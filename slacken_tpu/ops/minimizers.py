@@ -1,0 +1,284 @@
+"""Minimizer scanning on device (JAX/XLA, TPU-first).
+
+Implements the reference's minimizer semantics (Kraken 2 compatible):
+
+  priority(m-mer) = (canonical(m-mer) XOR toggle_mask) AND spaced_seed_mask
+
+where canonical = unsigned min(forward, reverse-complement)
+(NTBitArray.scala:437-452 — lexicographic orientation test equals unsigned
+integer order for 2-bit codes), the toggle mask is Kraken 2's
+DEFAULT_TOGGLE_MASK truncated to 2m bits (MinimizerPriorities.scala:146-160:
+the left-aligned mask replication is equivalent to masking the low 2m bits in
+a right-aligned representation), and the spaced seed clears s nucleotides at
+odd positions 1,3,..,2s-1 counted from the right (MinimizerPriorities.scala:
+287-300, verified against the documented example TTCTGTGGG/s=3 -> TTC-G-G-G).
+
+The k-mer window minimizer is the minimum priority over the W = k-m+1 m-mer
+start positions of the window (PosRankWindow.scala). Super-mer boundaries fall
+exactly where the window minimum *value* changes between adjacent windows
+(MinSplitter.scala:154-155 merges on equal rank), so no positions need to be
+tracked — everything is dense per-position arrays, ideal for the TPU VPU.
+
+Instead of the reference's sequential rolling scan (ShiftScanner.scala:90-159),
+all per-position quantities are computed with O(log) doubling steps over the
+whole [B, L] batch: m-mer assembly, validity windows, and sliding-window
+minimum are each a handful of full-array uint32 ops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import u64
+from .u64 import U64
+
+#: Kraken 2's minimizer toggle mask (mmscanner.h; reference package.scala:32)
+DEFAULT_TOGGLE_MASK = 0xE37E28C4271B5A2D
+
+
+class MinimizerParams(NamedTuple):
+    """Minimizer scheme parameters (reference IndexParams.scala:63-91)."""
+
+    k: int = 35
+    m: int = 31
+    spaces: int = 7
+    toggle_mask: int = DEFAULT_TOGGLE_MASK
+    canonical: bool = True
+
+    @property
+    def window(self) -> int:
+        """Number of m-mer start positions per k-mer window."""
+        return self.k - self.m + 1
+
+    def validate(self):
+        if not (1 <= self.m <= 31):
+            raise ValueError(f"m must be in [1, 31], got {self.m}")
+        if self.k < self.m:
+            raise ValueError(f"k ({self.k}) must be >= m ({self.m})")
+        if self.spaces > self.m // 2:
+            raise ValueError(f"spaces ({self.spaces}) must be <= m/2 ({self.m // 2})")
+        return self
+
+
+def space_mask_int(m: int, s: int) -> int:
+    """Spaced-seed AND-mask over 2m bits: clears nt positions 1,3,..,2s-1 from the right."""
+    mask = (1 << (2 * m)) - 1
+    for j in range(s):
+        pos = 2 * j + 1
+        mask &= ~(0b11 << (2 * pos))
+    return mask
+
+
+def _shift_u32(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    """out[..., i] = x[..., i+d], filling the tail with `fill` (static d >= 0)."""
+    if d == 0:
+        return x
+    pad = jnp.full(x.shape[:-1] + (d,), fill, x.dtype)
+    return jnp.concatenate([x[..., d:], pad], axis=-1)
+
+
+def _shift_pair(x: U64, d: int, fill_int: int = 0) -> U64:
+    hi_fill = jnp.uint32((fill_int >> 32) & 0xFFFFFFFF)
+    lo_fill = jnp.uint32(fill_int & 0xFFFFFFFF)
+    return U64(_shift_u32(x.hi, d, hi_fill), _shift_u32(x.lo, d, lo_fill))
+
+
+def _powers_desc(n: int):
+    """Decompose n into descending powers of two."""
+    out = []
+    p = 1 << (n.bit_length() - 1)
+    while p:
+        if n & p:
+            out.append(p)
+        p >>= 1
+    return out
+
+
+def mmer_at_starts(codes: jnp.ndarray, m: int) -> U64:
+    """Value of the m-mer *starting* at each position, right-aligned in a u64.
+
+    codes: [..., L] integer array; only the low 2 bits of each element are
+    used (invalid markers are handled separately via validity masks).
+    Positions within m-1 of the end contain garbage (mask downstream).
+
+    Built by doubling: v_{2l}[i] = v_l[i] << 2l | v_l[i+l], then composing the
+    binary decomposition of m — O(log m) full-array ops instead of a rolling
+    scan (contrast ShiftScanner.scala:125-148).
+    """
+    c = jnp.asarray(codes).astype(jnp.uint32) & jnp.uint32(3)
+    base = U64(jnp.zeros_like(c), c)
+    pow_vals = {1: base}
+    p = 1
+    while p * 2 <= m:
+        v = pow_vals[p]
+        pow_vals[p * 2] = u64.bor(u64.shl(v, 2 * p), _shift_pair(v, p))
+        p *= 2
+
+    acc = None
+    off = 0
+    for p in _powers_desc(m):
+        block = _shift_pair(pow_vals[p], off)
+        acc = block if acc is None else u64.bor(u64.shl(acc, 2 * p), block)
+        off += p
+    return acc
+
+
+def _rev_pairs_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the 16 2-bit groups inside each uint32 (bithack, cf.
+    BitRepresentation.scala:60-73 / Kraken 2 mmscanner.cc)."""
+    x = ((x & jnp.uint32(0xCCCCCCCC)) >> 2) | ((x & jnp.uint32(0x33333333)) << 2)
+    x = ((x & jnp.uint32(0xF0F0F0F0)) >> 4) | ((x & jnp.uint32(0x0F0F0F0F)) << 4)
+    x = ((x & jnp.uint32(0xFF00FF00)) >> 8) | ((x & jnp.uint32(0x00FF00FF)) << 8)
+    x = (x >> 16) | (x << 16)
+    return x
+
+
+def revcomp_mmer(x: U64, m: int) -> U64:
+    """Reverse complement of a right-aligned 2-bit m-mer (m <= 31)."""
+    # Reverse all 32 2-bit groups across the 64-bit value: per-limb group
+    # reversal + limb swap, then right-align and complement.
+    swapped = U64(_rev_pairs_u32(x.lo), _rev_pairs_u32(x.hi))
+    aligned = u64.shr(swapped, 64 - 2 * m)
+    comp_mask = (1 << (2 * m)) - 1
+    return u64.bxor(aligned, u64.from_int(comp_mask, x.hi.shape))
+
+
+def canonical_mmer(x: U64, m: int) -> U64:
+    """Canonical orientation: unsigned min(forward, reverse complement)."""
+    return u64.minu(x, revcomp_mmer(x, m))
+
+
+def priorities_at_starts(codes: jnp.ndarray, params: MinimizerParams):
+    """Per-position minimizer priority and validity.
+
+    Returns (prio: U64[..., L], mmer_valid: bool[..., L]) where position i
+    refers to the m-mer starting at i. Invalid positions contain garbage in
+    `prio`; consult the mask.
+    """
+    m = params.m
+    mm = mmer_at_starts(codes, m)
+    if params.canonical:
+        mm = canonical_mmer(mm, m)
+    toggle = params.toggle_mask & ((1 << (2 * m)) - 1)
+    prio = u64.bxor(mm, u64.from_int(toggle, mm.hi.shape))
+    if params.spaces > 0:
+        prio = u64.band(prio, u64.from_int(space_mask_int(m, params.spaces), mm.hi.shape))
+
+    valid1 = jnp.asarray(codes) < 4
+    mmer_valid = sliding_all(valid1, m)
+    return prio, mmer_valid
+
+
+def sliding_all(valid: jnp.ndarray, width: int) -> jnp.ndarray:
+    """out[i] = AND of valid[i : i+width] (False-filled past the end)."""
+    pow_vals = {1: valid}
+    p = 1
+    while p * 2 <= width:
+        v = pow_vals[p]
+        pow_vals[p * 2] = v & _shift_u32(v, p, False)
+        p *= 2
+    acc = None
+    off = 0
+    for p in _powers_desc(width):
+        block = _shift_u32(pow_vals[p], off, False)
+        acc = block if acc is None else (acc & block)
+        off += p
+    return acc
+
+
+def sliding_min_u64(x: U64, width: int) -> U64:
+    """out[i] = unsigned min of x[i : i+width] (doubling; garbage past end)."""
+    fill = (1 << 64) - 1
+    pow_vals = {1: x}
+    p = 1
+    while p * 2 <= width:
+        v = pow_vals[p]
+        pow_vals[p * 2] = u64.minu(v, _shift_pair(v, p, fill))
+        p *= 2
+    acc = None
+    off = 0
+    for p in _powers_desc(width):
+        block = _shift_pair(pow_vals[p], off, fill)
+        acc = block if acc is None else u64.minu(acc, block)
+        off += p
+    return acc
+
+
+class WindowMinimizers(NamedTuple):
+    """Per-k-mer-window minimizers for a batch of sequences.
+
+    All arrays are [..., L]; index i refers to the k-mer window starting at
+    base position i. Only positions with ``valid`` True are meaningful.
+    """
+
+    minimizer: U64  # window minimizer priority value
+    valid: jnp.ndarray  # bool: all k bases of the window are valid
+    span_start: jnp.ndarray  # bool: window starts a new super-mer span
+    distinct: jnp.ndarray  # bool: span's minimizer differs from previous valid span's
+
+
+@partial(jax.jit, static_argnums=(1,))
+def window_minimizers(codes: jnp.ndarray, params: MinimizerParams) -> WindowMinimizers:
+    """Compute per-window minimizers + span structure for a code batch.
+
+    Semantics match getSpans/Supermers.spans (KeyValueIndex.scala:163-173,
+    Supermers.scala:70-97): a window is valid iff its k bases are all valid
+    (equivalently it lies inside a >=k valid run); span boundaries occur at
+    validity gaps or where the window minimum value changes; `distinct`
+    compares against the last valid window before this span, carried across
+    ambiguous gaps (Supermers.scala:82-90: ambiguous/mate-border segments do
+    not update lastMinimizer).
+    """
+    params.validate()
+    prio, mmer_valid = priorities_at_starts(codes, params)
+    win_min = sliding_min_u64(prio, params.window)
+    win_valid = sliding_all(jnp.asarray(codes) < 4, params.k)
+
+    # span_start: first valid window, or previous window invalid, or value change
+    prev_valid = jnp.concatenate(
+        [jnp.zeros(win_valid.shape[:-1] + (1,), bool), win_valid[..., :-1]], axis=-1
+    )
+    prev_min = _unshift_pair(win_min)
+    value_change = u64.ne(win_min, prev_min)
+    span_start = win_valid & (~prev_valid | value_change)
+
+    # distinct: compare with last valid window value strictly before i
+    # (carry-forward scan of the last valid minimizer value)
+    carry_hi, carry_lo, carry_has = jax.lax.associative_scan(
+        _carry_combine, (win_min.hi, win_min.lo, win_valid), axis=-1
+    )
+    # shift right: state strictly before i
+    before_hi = _unshift1(carry_hi)
+    before_lo = _unshift1(carry_lo)
+    before_has = jnp.concatenate(
+        [jnp.zeros(carry_has.shape[:-1] + (1,), bool), carry_has[..., :-1]], axis=-1
+    )
+    differs = u64.ne(win_min, U64(before_hi, before_lo))
+    distinct = span_start & (~before_has | differs)
+
+    return WindowMinimizers(win_min, win_valid, span_start, distinct)
+
+
+def _unshift1(x: jnp.ndarray) -> jnp.ndarray:
+    """out[..., i] = x[..., i-1] (zero-filled at i=0)."""
+    pad = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-1]], axis=-1)
+
+
+def _unshift_pair(x: U64) -> U64:
+    return U64(_unshift1(x.hi), _unshift1(x.lo))
+
+
+def _carry_combine(a, b):
+    """Associative combine for 'last valid value' scan."""
+    a_hi, a_lo, a_has = a
+    b_hi, b_lo, b_has = b
+    return (
+        jnp.where(b_has, b_hi, a_hi),
+        jnp.where(b_has, b_lo, a_lo),
+        a_has | b_has,
+    )
