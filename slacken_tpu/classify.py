@@ -1,0 +1,470 @@
+"""Read classification driver (reference: Classifier.scala).
+
+Pipeline per batch of reads (fixed-shape [B, L] code matrix):
+
+  device: minimizer scan -> index binary-search probe -> per-window LCA taxa
+          -> hit compaction -> batched resolveTree (clade-score vectors)
+  host:   ambiguous-segment accounting, exact float64 confidence threshold
+          pick (all thresholds reuse one device pass), per-read Kraken-format
+          output lines, per-sample Kraken reports.
+
+Paired-end reads are packed as R1 + one INVALID separator + R2 in a single
+row: no k-mer window crosses the separator, the distinct-minimizer chain runs
+through it (matching Supermers.scala:82-90 where the mate border does not
+reset lastMinimizer), and the host splits the ordered hit list at the border
+for output (the |:| marker, TaxonCounts.scala:94-110).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import os
+import re
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .index import KeyValueIndex
+from .ops import encode
+from .ops import lookup as lookup_ops
+from .ops import u64
+from .ops.minimizers import MinimizerParams, window_minimizers
+from .ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
+from .report import KrakenReport
+from .taxonomy import NONE, Taxonomy
+
+AMBIGUOUS_SPAN = -1  # package.scala:30
+MATE_PAIR_BORDER = -2  # package.scala:31
+
+
+class Fragment(NamedTuple):
+    """An input read (or read pair) to classify (InputFragment analogue)."""
+
+    title: str
+    seq: str
+    seq2: Optional[str] = None
+
+
+@dataclass
+class ClassifyParams:
+    """Classification parameters (Classifier.scala:60-61)."""
+
+    min_hit_groups: int = 2
+    with_unclassified: bool = True
+    thresholds: Sequence[float] = (0.0,)
+    sample_regex: Optional[str] = None
+    per_read_output: bool = True
+
+
+@dataclass
+class ClassifiedRead:
+    sample_id: str
+    classified: bool
+    title: str
+    taxon: int
+    length_string: str
+    hit_details: str
+
+    @property
+    def classify_flag(self) -> str:
+        return "C" if self.classified else "U"
+
+    def output_line(self) -> str:
+        return f"{self.classify_flag}\t{self.title}\t{self.taxon}\t{self.length_string}\t{self.hit_details}"
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _classify_kernel(
+    codes, keys_hi, keys_lo, key_taxa, parents, mp: MinimizerParams, max_taxa: int, max_path: int
+):
+    wm = window_minimizers(codes, mp)
+    looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+    window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
+    # hit groups: spans whose minimizer is distinct AND was found in the index
+    # (Classifier.scala:92-95)
+    num_distinct = jnp.sum(
+        wm.span_start & wm.distinct & (looked > 0) & wm.valid, axis=-1
+    ).astype(jnp.int32)
+    ch = compact_hits(window_taxa, max_taxa)
+    res = resolve_hits(ch.taxa, ch.counts, parents, max_path)
+    return window_taxa, num_distinct, ch, res
+
+
+# ---------------------------------------------------------------------------
+# Host helpers: exact resolveTree fallback + ordered hit reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _resolve_host(parents: np.ndarray, hit_counts: Dict[int, int], required: float) -> int:
+    """Exact host resolveTree for reads overflowing the device's max-taxa
+    budget (LowestCommonAncestor.scala:101-146)."""
+
+    def path(t):
+        out = []
+        while t != NONE:
+            out.append(t)
+            t = int(parents[t])
+        return out
+
+    def lca(a, b):
+        if a == NONE or b == NONE:
+            return a if b == NONE else b
+        pa = set(path(a))
+        t = b
+        while t != NONE:
+            if t in pa:
+                return t
+            t = int(parents[t])
+        return 1
+
+    max_taxon, max_score = 0, 0
+    for taxon in hit_counts:
+        if taxon == NONE:
+            continue
+        score = sum(hit_counts.get(n, 0) for n in path(taxon))
+        if score > max_score:
+            max_taxon, max_score = taxon, score
+        elif score == max_score:
+            max_taxon = lca(max_taxon, taxon)
+
+    max_score = hit_counts.get(max_taxon, 0)
+    while max_taxon != NONE and max_score < required:
+        anc = max_taxon
+        max_score = sum(
+            c for t, c in hit_counts.items() if t != NONE and anc in path(t)
+        )
+        if max_score >= required:
+            return max_taxon
+        max_taxon = int(parents[max_taxon])
+    return max_taxon
+
+
+def _char_runs(valid: np.ndarray):
+    """Yield (start, end, is_valid) maximal runs of the boolean array."""
+    n = len(valid)
+    if n == 0:
+        return
+    change = np.flatnonzero(valid[1:] != valid[:-1]) + 1
+    bounds = [0, *change.tolist(), n]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        yield a, b, bool(valid[a])
+
+
+def mate_hits(codes: np.ndarray, window_taxa: np.ndarray, a: int, b: int, k: int):
+    """Ordered (taxon, kmer-count) hit pairs for one mate occupying row
+    columns [a, b), merging adjacent equal taxa (TaxonCounts.fromHits,
+    TaxonCounts.scala:31-48). Ambiguous char-runs >= k become (-1, len-k+1)
+    pseudo-hits; shorter ambiguous/valid runs are dropped
+    (Supermers.scala:113-125)."""
+    hits: List[List[int]] = []
+
+    def add(taxon, count):
+        if hits and hits[-1][0] == taxon:
+            hits[-1][1] += count
+        else:
+            hits.append([taxon, count])
+
+    valid = codes[a:b] < 4
+    for i, j, is_valid in _char_runs(valid):
+        runlen = j - i
+        if runlen < k:
+            continue
+        if is_valid:
+            for w in range(a + i, a + j - k + 1):
+                add(int(window_taxa[w]), 1)
+        else:
+            add(AMBIGUOUS_SPAN, runlen - k + 1)
+    return hits
+
+
+def hits_to_strings(hits_parts: List[List[List[int]]], k: int) -> Tuple[str, str]:
+    """(hit_details, length_string) from per-mate ordered hit lists
+    (TaxonCounts.scala:94-121)."""
+    pieces = []
+    lengths = []
+    for part in hits_parts:
+        for taxon, count in part:
+            pieces.append(("A" if taxon == AMBIGUOUS_SPAN else str(taxon)) + f":{count}")
+        lengths.append(sum(c for _, c in part) + (k - 1))
+        pieces.append("|:|")
+    pieces.pop()  # drop trailing border
+    return " ".join(pieces), "|".join(str(x) for x in lengths)
+
+
+# ---------------------------------------------------------------------------
+# Classifier
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _BatchResult:
+    titles: List[str]
+    window_taxa: np.ndarray  # [B, L]
+    codes: np.ndarray  # [B, L]
+    mate_split: List[Optional[int]]  # len1 per row if paired
+    row_lens: List[int]  # true row content length (trailing Ns are content!)
+    num_distinct: np.ndarray
+    total_kmers: np.ndarray  # valid windows + ambiguous pseudo-kmers
+    res_max_taxon: np.ndarray
+    res_path: np.ndarray
+    res_clade: np.ndarray
+    overflow: np.ndarray
+    hit_taxa: np.ndarray  # [B, T]
+    hit_counts: np.ndarray  # [B, T]
+
+
+class Classifier:
+    """Classify reads against a KeyValueIndex (Classifier.scala:66)."""
+
+    def __init__(
+        self,
+        index: KeyValueIndex,
+        max_taxa_per_read: int = 32,
+        target_batch_bp: int = 1 << 22,
+    ):
+        self.index = index
+        self.max_taxa = max_taxa_per_read
+        self.target_batch_bp = target_batch_bp
+        self._parents_dev = jnp.asarray(index.taxonomy.parents)
+        self.max_path = index.taxonomy.max_path_len
+
+    # -- batching -----------------------------------------------------------
+
+    def _row_length_bucket(self, n: int) -> int:
+        b = 128
+        while b < n:
+            b *= 2
+        return b
+
+    def _pack_rows(self, frags: List[Fragment], bucket: int):
+        rows = []
+        splits: List[Optional[int]] = []
+        for f in frags:
+            c1 = encode.encode_seq(f.seq)
+            if f.seq2 is not None:
+                c2 = encode.encode_seq(f.seq2)
+                row = np.concatenate([c1, np.array([encode.INVALID], np.uint8), c2])
+                splits.append(len(c1))
+            else:
+                row = c1
+                splits.append(None)
+            rows.append(row)
+        codes, _ = encode.pack_batch(rows, bucket)
+        return codes, splits
+
+    def _run_batch(self, frags: List[Fragment], bucket: int) -> _BatchResult:
+        codes, splits = self._pack_rows(frags, bucket)
+        idx = self.index
+        dk = idx.device_keys
+        window_taxa, num_distinct, ch, res = _classify_kernel(
+            codes,
+            dk.hi,
+            dk.lo,
+            idx.device_taxa,
+            self._parents_dev,
+            idx.params.minimizer_params,
+            self.max_taxa,
+            self.max_path,
+        )
+        window_taxa = np.asarray(window_taxa)
+        k = idx.params.k
+        row_lens = [
+            len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0) for f in frags
+        ]
+        # ambiguous pseudo-kmer counts per row, per mate slice
+        total = np.asarray(ch.n_hit_kmers) + np.asarray(ch.n_none_kmers)
+        ambig = np.zeros(len(frags), np.int64)
+        for i in range(len(frags)):
+            ambig[i] = _ambig_kmers(codes[i], splits[i], row_lens[i], k)
+        total = total[: len(frags)] + ambig
+
+        return _BatchResult(
+            titles=[f.title for f in frags],
+            window_taxa=window_taxa[: len(frags)],
+            codes=codes[: len(frags)],
+            mate_split=splits,
+            row_lens=row_lens,
+            num_distinct=np.asarray(num_distinct)[: len(frags)],
+            total_kmers=total,
+            res_max_taxon=np.asarray(res.max_taxon)[: len(frags)],
+            res_path=np.asarray(res.path)[: len(frags)],
+            res_clade=np.asarray(res.clade)[: len(frags)],
+            overflow=np.asarray(ch.overflow)[: len(frags)],
+            hit_taxa=np.asarray(ch.taxa)[: len(frags)],
+            hit_counts=np.asarray(ch.counts)[: len(frags)],
+        )
+
+    def batches(self, fragments: Iterable[Fragment]):
+        """Group fragments into shape-bucketed batches and run the device
+        pipeline, yielding _BatchResults."""
+        pending: Dict[int, List[Fragment]] = {}
+        for f in fragments:
+            n = len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0)
+            bucket = self._row_length_bucket(n)
+            lst = pending.setdefault(bucket, [])
+            lst.append(f)
+            rows_target = max(8, self.target_batch_bp // bucket)
+            if len(lst) >= rows_target:
+                yield self._run_batch(lst, bucket)
+                pending[bucket] = []
+        for bucket, lst in pending.items():
+            if lst:
+                yield self._run_batch(lst, bucket)
+
+    # -- per-threshold finalisation -----------------------------------------
+
+    def finalize(
+        self, batch: _BatchResult, threshold: float, cpar: ClassifyParams
+    ) -> List[ClassifiedRead]:
+        """Apply one confidence threshold to a batch's device results
+        (host-exact, float64 ceil — Classifier.scala:439-467)."""
+        n = len(batch.titles)
+        required = np.array(
+            [math.ceil(threshold * int(t)) for t in batch.total_kmers], np.float64
+        )
+        # deepest node on winning path with clade >= required
+        path = batch.res_path
+        clade = batch.res_clade
+        ok = (path != -1) & (clade.astype(np.float64) >= required[:, None])
+        dsel = ok.shape[1] - 1 - np.argmax(ok[:, ::-1], axis=1)
+        any_ok = ok.any(axis=1)
+        taxon = np.where(
+            any_ok, np.take_along_axis(path, dsel[:, None], axis=1)[:, 0], NONE
+        )
+        taxon = np.where(batch.res_max_taxon == NONE, NONE, taxon).astype(np.int64)
+
+        parents = self.index.taxonomy.parents
+        sre = re.compile(cpar.sample_regex) if cpar.sample_regex else None
+        k = self.index.params.k
+        out: List[ClassifiedRead] = []
+        for i in range(n):
+            if batch.overflow[i]:
+                # host-exact fallback for reads with too many distinct taxa
+                counts = _window_taxa_counts(batch.window_taxa[i])
+                taxon_i = _resolve_host(parents, counts, required[i])
+            else:
+                taxon_i = int(taxon[i])
+            classified = taxon_i != NONE and int(batch.num_distinct[i]) >= cpar.min_hit_groups
+            report_taxon = taxon_i if classified else NONE
+            title = batch.titles[i]
+            if sre is not None:
+                m = sre.search(title)
+                sample = m.group(1) if m else "other"
+            else:
+                sample = "all"
+            if cpar.per_read_output:
+                parts = _row_hit_parts(
+                    batch.codes[i], batch.window_taxa[i], batch.mate_split[i], batch.row_lens[i], k
+                )
+                details, length_string = hits_to_strings(parts, k)
+            else:
+                details, length_string = "", ""
+            out.append(
+                ClassifiedRead(sample, classified, title, report_taxon, length_string, details)
+            )
+        return out
+
+    # -- high level ----------------------------------------------------------
+
+    def classify(
+        self, fragments: Iterable[Fragment], cpar: ClassifyParams
+    ) -> Dict[float, List[ClassifiedRead]]:
+        """Classify all fragments at every threshold (one device pass total,
+        generalising the reference's multi-threshold cache,
+        Classifier.scala:156-170)."""
+        results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
+        for batch in self.batches(fragments):
+            for t in cpar.thresholds:
+                results[t].extend(self.finalize(batch, t, cpar))
+        return results
+
+    def classify_and_write(
+        self, fragments: Iterable[Fragment], output_location: str, cpar: ClassifyParams
+    ) -> Dict[float, List[str]]:
+        """Classify and write per-sample outputs + kreports per threshold
+        (Classifier.scala:184-251). Returns {threshold: [sample ids]}."""
+        results = self.classify(fragments, cpar)
+        out = {}
+        for t, reads in results.items():
+            loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
+            out[t] = write_per_sample_output(
+                reads, loc, cpar, self.index.taxonomy
+            )
+        return out
+
+
+def _ambig_kmers(codes_row: np.ndarray, split: Optional[int], row_len: int, k: int) -> int:
+    """Pseudo-kmers from ambiguous char-runs >= k, per mate."""
+    total = 0
+    if split is None:
+        slices = [(0, row_len)]
+    else:
+        slices = [(0, split), (split + 1, row_len)]
+    for a, b in slices:
+        for i, j, is_valid in _char_runs(codes_row[a:b] < 4):
+            if not is_valid and (j - i) >= k:
+                total += (j - i) - k + 1
+    return total
+
+
+def _row_hit_parts(codes_row, window_taxa_row, split, row_len, k):
+    if split is None:
+        return [mate_hits(codes_row, window_taxa_row, 0, row_len, k)]
+    return [
+        mate_hits(codes_row, window_taxa_row, 0, split, k),
+        mate_hits(codes_row, window_taxa_row, split + 1, row_len, k),
+    ]
+
+
+def _window_taxa_counts(window_taxa_row: np.ndarray) -> Dict[int, int]:
+    vals, counts = np.unique(window_taxa_row[window_taxa_row >= 0], return_counts=True)
+    return {int(v): int(c) for v, c in zip(vals, counts)}
+
+
+def format_threshold(t: float, thresholds: Sequence[float]) -> str:
+    """Format with max decimal places across the threshold list so file names
+    sort (Classifier.scala:186-190)."""
+    decimals = max(len(repr(float(x)).split(".")[1]) for x in thresholds)
+    return f"%.{decimals}f" % t
+
+
+def write_per_sample_output(
+    reads: List[ClassifiedRead],
+    location: str,
+    cpar: ClassifyParams,
+    taxonomy: Taxonomy,
+) -> List[str]:
+    """Write gzip per-read outputs partitioned by sample + a kreport per
+    sample (Classifier.scala:184-251 layout: <loc>/sample=<id>/ and
+    <loc>/<id>_kreport.txt)."""
+    os.makedirs(location, exist_ok=True)
+    kept = [r for r in reads if cpar.with_unclassified or r.classified]
+    by_sample: Dict[str, List[ClassifiedRead]] = {}
+    for r in kept:
+        by_sample.setdefault(r.sample_id, []).append(r)
+
+    samples = []
+    for sample, rs in by_sample.items():
+        if cpar.per_read_output:
+            d = os.path.join(location, f"sample={sample}")
+            os.makedirs(d, exist_ok=True)
+            with gzip.open(os.path.join(d, "part-00000.txt.gz"), "wt") as f:
+                for r in rs:
+                    f.write(r.output_line() + "\n")
+        counts: Dict[int, int] = {}
+        for r in rs:
+            counts[r.taxon] = counts.get(r.taxon, 0) + 1
+        report = KrakenReport(taxonomy, sorted(counts.items()))
+        report.write(os.path.join(location, f"{sample}_kreport.txt"))
+        samples.append(sample)
+    return samples

@@ -1,0 +1,338 @@
+"""The minimizer-LCA key-value index (reference: KeyValueIndex.scala).
+
+Storage model: one sorted array of uint64 minimizer priorities ("keys") plus
+a parallel int32 array of LCA taxa. On disk this is a directory:
+
+    <loc>/params.json       k, m, spaces, toggle mask, canonical, counts
+    <loc>/keys.npy          uint64 [N] sorted ascending
+    <loc>/taxa.npy          int32  [N]
+    <loc>/taxonomy/         nodes.dmp, names.dmp, merged.dmp
+
+(The reference persists bucketed Parquet plus a .properties file —
+KeyValueIndex.scala:125-159, IndexParams.scala:63-91. A sorted flat array is
+the TPU-native equivalent: device lookup is a vectorised binary search, and
+range-sharding it across a mesh replaces Spark's hash-bucketed join.)
+
+Build: genome fragments are scanned on device in fixed-shape batches; span
+minimizers + taxa stream back to the host, which sorts (uint64 radix via
+numpy) and hands contiguous runs back to the device for segment-LCA
+reduction (KeyValueIndex.scala:85-93's groupBy + LCA-UDAF).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops import lca as lca_ops
+from .ops import lookup as lookup_ops
+from .ops import u64
+from .ops.minimizers import DEFAULT_TOGGLE_MASK, MinimizerParams, space_mask_int, window_minimizers
+from .ops import encode
+from .taxonomy import Taxonomy
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class IndexParams:
+    k: int = 35
+    m: int = 31
+    spaces: int = 7
+    toggle_mask: int = DEFAULT_TOGGLE_MASK
+    canonical: bool = True
+    buckets: int = 200  # shard count hint for distributed layouts
+
+    @property
+    def minimizer_params(self) -> MinimizerParams:
+        return MinimizerParams(
+            k=self.k,
+            m=self.m,
+            spaces=self.spaces,
+            toggle_mask=self.toggle_mask,
+            canonical=self.canonical,
+        )
+
+    def to_json(self) -> dict:
+        return {
+            "version": FORMAT_VERSION,
+            "k": self.k,
+            "m": self.m,
+            "spaces": self.spaces,
+            "toggle_mask": f"{self.toggle_mask:#x}",
+            "canonical": self.canonical,
+            "buckets": self.buckets,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "IndexParams":
+        ver = d.get("version", 0)
+        if ver > FORMAT_VERSION:
+            raise ValueError(f"Unsupported index format version {ver}")
+        return cls(
+            k=d["k"],
+            m=d["m"],
+            spaces=d["spaces"],
+            toggle_mask=int(d["toggle_mask"], 16),
+            canonical=d["canonical"],
+            buckets=d.get("buckets", 200),
+        )
+
+    def compatibility_check(self, other: "IndexParams"):
+        if (self.k, self.m, self.spaces, self.toggle_mask, self.canonical) != (
+            other.k,
+            other.m,
+            other.spaces,
+            other.toggle_mask,
+            other.canonical,
+        ):
+            raise ValueError(f"Incompatible index parameters: {self} vs {other}")
+
+
+# ---------------------------------------------------------------------------
+# Device scan: genome fragments -> (minimizer, taxon) records
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _scan_batch(codes, params: MinimizerParams):
+    wm = window_minimizers(codes, params)
+    return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
+
+
+def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams):
+    """Scan packed fragments [B, L] and return (keys uint64 [R], taxa int32 [R])
+    — one record per super-mer span, tagged with the fragment's taxon
+    (Minimizers.scala:43-76 equivalent)."""
+    hi, lo, start = _scan_batch(codes, params)
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    start = np.asarray(start)
+    keys = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+    rows, cols = np.nonzero(start)
+    return keys[rows, cols], np.asarray(taxa, np.int32)[rows]
+
+
+class RecordCollector:
+    """Accumulates (minimizer, taxon) record chunks on host during a build."""
+
+    def __init__(self):
+        self._keys: List[np.ndarray] = []
+        self._taxa: List[np.ndarray] = []
+
+    def add(self, keys: np.ndarray, taxa: np.ndarray):
+        self._keys.append(np.asarray(keys, np.uint64))
+        self._taxa.append(np.asarray(taxa, np.int32))
+
+    def __len__(self):
+        return sum(len(k) for k in self._keys)
+
+    def concat(self) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._keys:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+        return np.concatenate(self._keys), np.concatenate(self._taxa)
+
+
+def reduce_records(
+    keys: np.ndarray, taxa: np.ndarray, taxonomy: Taxonomy, chunk: int = 1 << 22
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort records by key and LCA-reduce duplicates.
+
+    Host radix-sorts the uint64 keys; the device LCA-reduces each run of
+    equal keys (chunked on run boundaries so no run straddles a chunk).
+    """
+    if len(keys) == 0:
+        return keys, taxa
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    taxa = taxa[order]
+    boundary = np.empty(len(keys), bool)
+    boundary[0] = True
+    boundary[1:] = keys[1:] != keys[:-1]
+    run_of = np.cumsum(boundary) - 1
+    num_runs = int(run_of[-1]) + 1
+    uniq_keys = keys[boundary]
+
+    out_taxa = np.empty(num_runs, np.int32)
+    parents = jnp.asarray(taxonomy.parents)
+    max_path = taxonomy.max_path_len
+
+    run_starts = np.flatnonzero(boundary)
+    start = 0
+    while start < len(keys):
+        end = min(start + chunk, len(keys))
+        if end < len(keys):
+            # snap to a run boundary
+            end = int(run_starts[np.searchsorted(run_starts, end, side="left")])
+            if end <= start:  # single run larger than chunk
+                end = min(start + chunk, len(keys))
+                nxt = np.searchsorted(run_starts, end)
+                end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys)
+        rid = run_of[start:end] - run_of[start]
+        red = np.asarray(
+            lca_ops.segment_lca(
+                jnp.asarray(rid, jnp.int32), jnp.asarray(taxa[start:end]), parents, max_path
+            )
+        )
+        r0 = int(run_of[start])
+        r1 = int(run_of[end - 1]) + 1
+        out_taxa[r0:r1] = red[: r1 - r0]
+        start = end
+
+    return uniq_keys, out_taxa
+
+
+class KeyValueIndex:
+    """Sorted minimizer->LCA index with its parameters and taxonomy."""
+
+    def __init__(
+        self,
+        keys: np.ndarray,
+        taxa: np.ndarray,
+        params: IndexParams,
+        taxonomy: Taxonomy,
+        location: Optional[str] = None,
+    ):
+        self.keys = np.asarray(keys, np.uint64)
+        self.taxa = np.asarray(taxa, np.int32)
+        self.params = params
+        self.taxonomy = taxonomy
+        self.location = location
+        self._device_keys = None
+        self._device_taxa = None
+
+    # -- device residency ---------------------------------------------------
+
+    @property
+    def device_keys(self):
+        if self._device_keys is None:
+            self._device_keys = lookup_ops.keys_from_numpy(self.keys)
+        return self._device_keys
+
+    @property
+    def device_taxa(self):
+        if self._device_taxa is None:
+            self._device_taxa = jnp.asarray(self.taxa)
+        return self._device_taxa
+
+    def lookup(self, q_hi, q_lo):
+        """Device lookup of query minimizers -> LCA taxa (0 = miss)."""
+        return lookup_ops.lookup_taxa(
+            self.device_keys, self.device_taxa, u64.U64(q_hi, q_lo)
+        )
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        fragments: Iterable[Tuple[int, str]],
+        params: IndexParams,
+        taxonomy: Taxonomy,
+        batch_rows: int = 256,
+        row_len: int = 1 << 16,
+        taxon_filter: Optional[set] = None,
+    ) -> "KeyValueIndex":
+        """Build from an iterable of (taxon, sequence) pairs.
+
+        Sequences longer than row_len are split with k-1 overlap so no k-mer
+        window is lost (the analogue of overlapped Hadoop splits,
+        FileInputs.scala:246-273). Sequences with taxa not defined in the
+        taxonomy are skipped (KeyValueIndex.scala:118-120), as are taxa
+        outside `taxon_filter` when given (dynamic builds,
+        KeyValueIndex.scala:102-113).
+        """
+        mp = params.minimizer_params.validate()
+        collector = RecordCollector()
+        buf_seqs: List[np.ndarray] = []
+        buf_taxa: List[int] = []
+
+        def flush():
+            if not buf_seqs:
+                return
+            codes, _ = encode.pack_batch(buf_seqs, row_len)
+            k, t = spans_to_records(codes, np.array(buf_taxa, np.int32), mp)
+            collector.add(k, t)
+            buf_seqs.clear()
+            buf_taxa.clear()
+
+        for taxon, seq in fragments:
+            taxon = int(taxonomy.primary[taxon]) if taxon < len(taxonomy.primary) else taxon
+            if not taxonomy.is_defined(taxon):
+                continue
+            if taxon_filter is not None and taxon not in taxon_filter:
+                continue
+            if isinstance(seq, str):
+                seq = encode.encode_seq(seq)
+            # split long sequences with overlap
+            step = row_len - (params.k - 1)
+            for off in range(0, max(len(seq) - params.k + 1, 1), step):
+                buf_seqs.append(seq[off : off + row_len])
+                buf_taxa.append(taxon)
+                if len(buf_seqs) >= batch_rows:
+                    flush()
+        flush()
+
+        keys, taxa = collector.concat()
+        keys, taxa = reduce_records(keys, taxa, taxonomy)
+        return cls(keys, taxa, params, taxonomy)
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, location: str):
+        os.makedirs(location, exist_ok=True)
+        meta = self.params.to_json()
+        meta["num_records"] = int(len(self.keys))
+        with open(os.path.join(location, "params.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        np.save(os.path.join(location, "keys.npy"), self.keys)
+        np.save(os.path.join(location, "taxa.npy"), self.taxa)
+        self.taxonomy.save(os.path.join(location, "taxonomy"))
+        self.location = location
+
+    @classmethod
+    def load(cls, location: str, taxonomy: Optional[Taxonomy] = None) -> "KeyValueIndex":
+        with open(os.path.join(location, "params.json")) as f:
+            params = IndexParams.from_json(json.load(f))
+        keys = np.load(os.path.join(location, "keys.npy"), mmap_mode="r")
+        taxa = np.load(os.path.join(location, "taxa.npy"), mmap_mode="r")
+        if taxonomy is None:
+            taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
+        return cls(keys, taxa, params, taxonomy, location)
+
+    def with_records(self, keys: np.ndarray, taxa: np.ndarray) -> "KeyValueIndex":
+        return KeyValueIndex(keys, taxa, self.params, self.taxonomy, self.location)
+
+    # -- tooling ------------------------------------------------------------
+
+    def respace(self, spaces: int) -> "KeyValueIndex":
+        """Project this index to a larger number of spaced-seed spaces and
+        re-reduce (KeyValueIndex.scala:353-382): an index with s spaces
+        contains all information needed for s' > s."""
+        if spaces <= self.params.spaces:
+            raise ValueError(
+                f"Respacing must increase spaces (was {self.params.spaces}, got {spaces})"
+            )
+        mask = np.uint64(space_mask_int(self.params.m, spaces))
+        new_keys = self.keys & mask
+        keys, taxa = reduce_records(new_keys.copy(), self.taxa.copy(), self.taxonomy)
+        import dataclasses
+
+        new_params = dataclasses.replace(self.params, spaces=spaces)
+        return KeyValueIndex(keys, taxa, new_params, self.taxonomy)
+
+    def records_per_taxon(self) -> dict:
+        """taxon -> number of stored minimizers (showIndexStats support)."""
+        t, c = np.unique(self.taxa, return_counts=True)
+        return dict(zip(t.tolist(), c.tolist()))
+
+    def distinct_minimizers_per_taxon(self) -> dict:
+        # keys are unique already, so this equals records_per_taxon
+        return self.records_per_taxon()

@@ -1,0 +1,118 @@
+"""Lowest-common-ancestor computations on device.
+
+The taxonomy's `parents` array (int32, replicated in HBM) is the only tree
+state needed. All walks are fixed-bound loops of `max_path` gather steps
+(the reference bounds paths at 256 — LowestCommonAncestor.scala:34; real NCBI
+paths are < 50, and the Taxonomy reports its true maximum).
+
+Key building block: *root-aligned paths* — for taxon t, rpath[d] = the
+ancestor of t at real tree depth d (root = depth 0), or -1 where t is
+shallower than d. The LCA of any set of taxa is then the deepest level at
+which all rpaths agree, which turns segment-LCA reduction (the index build's
+aggregation, KeyValueIndex.scala:90-93) into plain per-level segment min/max
+— fully parallel, no data-dependent loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NONE = 0
+ROOT = 1
+
+
+def paths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
+    """Self-aligned ancestor paths: out[..., d] = d-th ancestor (0 = self),
+    padded with NONE once the walk passes the root."""
+    taxa = jnp.asarray(taxa, jnp.int32)
+
+    def step(node, _):
+        return parents[node], node
+
+    _, path = jax.lax.scan(step, taxa, None, length=max_path)
+    # path has shape [max_path, ...]; move to last axis
+    return jnp.moveaxis(path, 0, -1)
+
+
+def real_depths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
+    """Number of edges from taxon to root (root=0; NONE -> -1)."""
+    p = paths(taxa, parents, max_path)
+    return jnp.sum(p != NONE, axis=-1).astype(jnp.int32) - 1
+
+
+def root_aligned_paths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
+    """rpath[..., d] = ancestor of taxon at real depth d, or -1 if the taxon
+    sits above depth d (or is NONE)."""
+    p = paths(taxa, parents, max_path)  # [..., D], self first
+    depth = jnp.sum(p != NONE, axis=-1, keepdims=True) - 1  # [..., 1]
+    d = jnp.arange(max_path, dtype=jnp.int32)
+    idx = depth - d  # position in self-aligned path of the depth-d ancestor
+    ok = (idx >= 0) & (d <= depth)
+    gathered = jnp.take_along_axis(p, jnp.clip(idx, 0, max_path - 1), axis=-1)
+    return jnp.where(ok, gathered, -1)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def lca_pairs(a: jnp.ndarray, b: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
+    """Vectorised pairwise LCA with the reference's NONE semantics
+    (LowestCommonAncestor.scala:49-78): lca(a, NONE) = a, lca(NONE, b) = b."""
+    ra = root_aligned_paths(a, parents, max_path)
+    rb = root_aligned_paths(b, parents, max_path)
+    agree = (ra == rb) & (ra != -1)
+    # deepest agreeing level
+    d = jnp.arange(max_path, dtype=jnp.int32)
+    best = jnp.max(jnp.where(agree, d, -1), axis=-1)
+    lca_val = jnp.take_along_axis(ra, jnp.maximum(best, 0)[..., None], axis=-1)[..., 0]
+    lca_val = jnp.where(best >= 0, lca_val, ROOT)
+    a = jnp.asarray(a, jnp.int32)
+    b = jnp.asarray(b, jnp.int32)
+    out = jnp.where(a == NONE, b, jnp.where(b == NONE, a, lca_val))
+    return out.astype(jnp.int32)
+
+
+def lca_of_rpath_set(rpaths: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
+    """LCA over a masked set of taxa given their root-aligned paths.
+
+    rpaths: [..., T, D]; member: bool [..., T]. Returns [...] int32 taxon,
+    NONE if the set is empty.
+    """
+    big = jnp.int32(2**31 - 1)
+    r = jnp.where(member[..., None], rpaths, big)
+    mn = jnp.min(r, axis=-2)  # [..., D]
+    r2 = jnp.where(member[..., None], rpaths, jnp.int32(-2))
+    mx = jnp.max(r2, axis=-2)
+    agree = (mn == mx) & (mn != -1) & (mn != big)
+    d = jnp.arange(rpaths.shape[-1], dtype=jnp.int32)
+    best = jnp.max(jnp.where(agree, d, -1), axis=-1)
+    val = jnp.take_along_axis(mn, jnp.maximum(best, 0)[..., None], axis=-1)[..., 0]
+    return jnp.where(best >= 0, val, NONE).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def segment_lca(
+    run_ids: jnp.ndarray, taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int
+) -> jnp.ndarray:
+    """LCA-reduce taxa within each run (the index build's groupBy+LCA-UDAF,
+    KeyValueIndex.scala:85-93). `run_ids` must be sorted, contiguous from 0.
+
+    Returns an array of length len(taxa) where entry r < num_runs holds the
+    LCA of run r (the tail is ROOT-filled garbage).
+    """
+    n = taxa.shape[0]
+    rp = root_aligned_paths(taxa, parents, max_path)  # [N, D]
+    # NONE taxa act as the aggregation identity (TaxonLCA.zero,
+    # LowestCommonAncestor.scala:153): exclude them from the reduction.
+    defined = (jnp.asarray(taxa, jnp.int32) != NONE)[:, None]
+    big = jnp.int32(2**31 - 1)
+    mn = jax.ops.segment_min(jnp.where(defined, rp, big), run_ids, num_segments=n)
+    mx = jax.ops.segment_max(jnp.where(defined, rp, jnp.int32(-2)), run_ids, num_segments=n)
+    agree = (mn == mx) & (mn != -1) & (mn != big)
+    d = jnp.arange(max_path, dtype=jnp.int32)
+    best = jnp.max(jnp.where(agree, d, -1), axis=-1)
+    val = jnp.take_along_axis(mn, jnp.maximum(best, 0)[..., None], axis=-1)[..., 0]
+    any_defined = jax.ops.segment_max(defined[:, 0].astype(jnp.int32), run_ids, num_segments=n)
+    fallback = jnp.where(any_defined > 0, ROOT, NONE)
+    return jnp.where(best >= 0, val, fallback).astype(jnp.int32)

@@ -1,0 +1,221 @@
+import math
+
+import numpy as np
+
+import oracle
+from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+from slacken_tpu.index import IndexParams, KeyValueIndex
+from test_index import make_genomes, oracle_index, random_genome
+from test_taxonomy import random_taxonomy
+
+K, M, S = 35, 31, 7
+
+
+def oracle_classify(seq, seq2, idx_map, parents, k, m, s, conf, min_hit_groups):
+    """Full per-read oracle: spans -> lookup -> ordered hits -> resolveTree.
+    Returns (classified, taxon, hit_details, length_string)."""
+    mates = [seq] if seq2 is None else [seq, seq2]
+    all_hits = []  # ordered (taxon, count), with border markers -2
+    window_taxa = []
+    num_distinct = 0
+    last_min = None
+    ambig = 0
+    for mi, mate in enumerate(mates):
+        if mi > 0:
+            all_hits.append((-2, 0))
+        codes = oracle.encode(mate)
+        # char runs
+        i = 0
+        n = len(codes)
+        while i < n:
+            j = i
+            while j < n and (codes[j] < 4) == (codes[i] < 4):
+                j += 1
+            if j - i >= k:
+                if codes[i] < 4:
+                    sps = oracle.spans(codes[i:j], k, m, s)
+                    for start, nwin, value, _ in sps:
+                        taxon = idx_map.get(value, 0)
+                        distinct = last_min is None or value != last_min
+                        if distinct and taxon != 0:
+                            num_distinct += 1
+                        last_min = value
+                        all_hits.append((taxon, nwin))
+                        window_taxa += [taxon] * nwin
+                else:
+                    all_hits.append((-1, (j - i) - k + 1))
+                    ambig += (j - i) - k + 1
+            i = j
+
+    # merge adjacent equal (TaxonCounts.fromHits)
+    merged = []
+    for t, c in all_hits:
+        if merged and merged[-1][0] == t and t != -2:
+            merged[-1][1] += c
+        else:
+            merged.append([t, c])
+
+    total = len(window_taxa) + ambig
+    required = math.ceil(conf * total)
+    counts = {}
+    for t in window_taxa:
+        counts[t] = counts.get(t, 0) + 1
+    taxon = oracle.resolve_tree(parents, counts, required)
+    classified = taxon != 0 and num_distinct >= min_hit_groups
+
+    pieces = []
+    lengths = []
+    cur = 0
+    for t, c in merged:
+        if t == -2:
+            lengths.append(cur + k - 1)
+            cur = 0
+            pieces.append("|:|")
+        else:
+            pieces.append(("A" if t == -1 else str(t)) + f":{c}")
+            cur += c
+    lengths.append(cur + k - 1)
+    details = " ".join(pieces)
+    length_string = "|".join(str(x) for x in lengths)
+    return classified, (taxon if classified else 0), details, length_string
+
+
+def sample_read(rng, genomes, length=101):
+    taxon, seq = genomes[int(rng.integers(len(genomes)))]
+    if len(seq) <= length:
+        return taxon, seq
+    start = int(rng.integers(0, len(seq) - length))
+    return taxon, seq[start : start + length]
+
+
+def setup(rng, n_genomes=6, glen=800):
+    t = random_taxonomy(rng)
+    parents = {i: int(p) for i, p in enumerate(t.parents)}
+    genomes = make_genomes(rng, t, n_genomes=n_genomes, length=glen)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    idx_map = oracle_index(genomes, K, M, S, parents)
+    return t, parents, genomes, idx, idx_map
+
+
+def test_classify_source_or_ancestor(rng):
+    """Reads sampled from a genome classify to the source taxon or an
+    ancestor (ClassifierTest.scala:75-126)."""
+    t, parents, genomes, idx, _ = setup(rng)
+    frags = []
+    sources = []
+    for i in range(60):
+        taxon, seq = sample_read(rng, genomes)
+        frags.append(Fragment(f"read{i}", seq))
+        sources.append(taxon)
+    cls = Classifier(idx)
+    cpar = ClassifyParams(thresholds=[0.0])
+    res = cls.classify(frags, cpar)[0.0]
+    assert len(res) == 60
+    n_classified = 0
+    for r, src in zip(res, sources):
+        if r.classified:
+            n_classified += 1
+            assert t.has_ancestor(src, r.taxon), f"{r.taxon} not ancestor of {src}"
+    assert n_classified > 50  # nearly all should classify
+
+
+def test_classify_matches_oracle_exactly(rng):
+    t, parents, genomes, idx, idx_map = setup(rng)
+    cls = Classifier(idx)
+
+    frags = []
+    for i in range(40):
+        _, seq = sample_read(rng, genomes)
+        # some mutated reads, some with Ns, some random (unclassifiable)
+        r = rng.random()
+        if r < 0.2:
+            seq = random_genome(rng, 101)
+        elif r < 0.4:
+            pos = sorted(rng.integers(0, len(seq), 3).tolist())
+            chars = list(seq)
+            for p in pos:
+                chars[p] = "N"
+            seq = "".join(chars)
+        frags.append(Fragment(f"read{i}", seq))
+    # short read, all-N read, empty-ish
+    frags.append(Fragment("short", "ACGTACGT"))
+    frags.append(Fragment("allN", "N" * 80))
+    frags.append(Fragment("mixN", "N" * 40 + genomes[0][1][:61]))
+
+    for conf in [0.0, 0.15, 0.6]:
+        cpar = ClassifyParams(thresholds=[conf])
+        res = cls.classify(frags, cpar)[conf]
+        for f, r in zip(frags, res):
+            want = oracle_classify(f.seq, f.seq2, idx_map, parents, K, M, S, conf, 2)
+            assert (r.classified, r.taxon) == want[:2], f"{f.title} conf={conf}"
+            assert r.hit_details == want[2], f"{f.title} details"
+            assert r.length_string == want[3], f"{f.title} length"
+
+
+def test_classify_paired(rng):
+    t, parents, genomes, idx, idx_map = setup(rng)
+    cls = Classifier(idx)
+    frags = []
+    for i in range(20):
+        taxon, seq = sample_read(rng, genomes, length=120)
+        r1, r2 = seq[:60], seq[60:]
+        frags.append(Fragment(f"pair{i}", r1, r2))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1])
+    res = cls.classify(frags, cpar)
+    for conf in [0.0, 0.1]:
+        for f, r in zip(frags, res[conf]):
+            want = oracle_classify(f.seq, f.seq2, idx_map, parents, K, M, S, conf, 2)
+            assert (r.classified, r.taxon) == want[:2], f"{f.title}"
+            assert r.hit_details == want[2]
+            assert r.length_string == want[3]
+            assert "|:|" in r.hit_details
+            assert "|" in r.length_string
+
+
+def test_min_hit_groups_gate(rng):
+    t, parents, genomes, idx, idx_map = setup(rng)
+    # a read with a single span: exactly k bases -> 1 hit group
+    taxon, seq = genomes[0]
+    read = seq[:K]
+    cls = Classifier(idx)
+    res2 = cls.classify([Fragment("r", read)], ClassifyParams(min_hit_groups=2))[0.0]
+    res1 = cls.classify([Fragment("r", read)], ClassifyParams(min_hit_groups=1))[0.0]
+    assert not res2[0].classified
+    assert res1[0].classified
+
+
+def test_sample_regex(rng):
+    t, parents, genomes, idx, idx_map = setup(rng, n_genomes=3)
+    frags = [
+        Fragment("sampleA|x|1", genomes[0][1][:101]),
+        Fragment("sampleB|x|2", genomes[1][1][:101]),
+        Fragment("nomatch", genomes[2][1][:101]),
+    ]
+    cls = Classifier(idx)
+    cpar = ClassifyParams(sample_regex=r"(.*)\|.*\|.*")
+    res = cls.classify(frags, cpar)[0.0]
+    assert [r.sample_id for r in res] == ["sampleA", "sampleB", "other"]
+
+
+def test_write_outputs(rng, tmp_path):
+    t, parents, genomes, idx, idx_map = setup(rng, n_genomes=3)
+    frags = [Fragment(f"r{i}", genomes[i % 3][1][200 : 200 + 101]) for i in range(9)]
+    cls = Classifier(idx)
+    cpar = ClassifyParams(thresholds=[0.0, 0.05])
+    out = str(tmp_path / "out")
+    cls.classify_and_write(frags, out, cpar)
+    import gzip
+    import os
+
+    for suffix in ["_c0.00", "_c0.05"]:
+        d = out + suffix
+        assert os.path.isdir(d)
+        with gzip.open(os.path.join(d, "sample=all", "part-00000.txt.gz"), "rt") as f:
+            lines = f.read().splitlines()
+        assert len(lines) == 9
+        for line in lines:
+            parts = line.split("\t")
+            assert parts[0] in ("C", "U") and len(parts) == 5
+        report = open(os.path.join(d, "all_kreport.txt")).read().splitlines()
+        assert report[0].startswith("#Perc")
+        assert any("\tR\t1\t" in line for line in report)
