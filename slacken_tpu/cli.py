@@ -1,0 +1,343 @@
+"""Command-line interface (reference: Slacken.scala CLI, subcommands at
+Slacken.scala:123-379). Run as `python -m slacken_tpu.cli <subcommand>`.
+
+Subcommands: build, classify, classify2, bracken-build, respace, stats,
+inspect, compareIndex, compare, inputCheck.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_classify_opts(p):
+    p.add_argument("-i", "--index", required=True, help="Index location")
+    p.add_argument("inputs", nargs="*", help="Sequence files to classify")
+    p.add_argument("--min-hits", type=int, default=2, help="Minimum hit groups (default 2)")
+    p.add_argument("-p", "--paired", action="store_true", help="Inputs are paired-end reads")
+    p.add_argument("--no-unclassified", action="store_true", help="Omit unclassified reads")
+    p.add_argument("-o", "--output", required=True, help="Output location")
+    p.add_argument(
+        "--no-detailed", action="store_true", help="Only reports, no per-read output"
+    )
+    p.add_argument(
+        "-c",
+        "--confidence",
+        type=float,
+        nargs="+",
+        default=[0.0],
+        help="Confidence thresholds in [0,1]",
+    )
+    p.add_argument("--sample-regex", help="Regex extracting sample ID from read headers")
+
+
+def _cpar(args):
+    from .classify import ClassifyParams
+
+    for c in args.confidence:
+        if c < 0 or c > 1:
+            sys.exit(f"--confidence values must be in [0, 1] ({c} was given)")
+    return ClassifyParams(
+        min_hit_groups=args.min_hits,
+        with_unclassified=not args.no_unclassified,
+        thresholds=list(args.confidence),
+        sample_regex=args.sample_regex,
+        per_read_output=not args.no_detailed,
+    )
+
+
+def _build_parser():
+    ap = argparse.ArgumentParser(
+        prog="slacken_tpu",
+        description="TPU-native metagenomic classifier (Kraken 2 algorithm)",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build", help="Build a new index from genomes with taxa")
+    b.add_argument("-i", "--index", required=True, help="Output index location")
+    b.add_argument("-l", "--library", required=True, help="Genome library directory (contains library/)")
+    b.add_argument("-t", "--taxonomy", required=True, help="Taxonomy directory (nodes.dmp, names.dmp, merged.dmp)")
+    b.add_argument("-k", type=int, default=35, help="k-mer length (default 35)")
+    b.add_argument("-m", type=int, default=31, help="minimizer width (default 31)")
+    b.add_argument("-s", "--spaces", type=int, default=7, help="spaced seed spaces (default 7)")
+    b.add_argument("-p", "--partitions", type=int, default=200, help="shard count hint")
+    b.add_argument("--check", action="store_true", help="Only check input files for consistency")
+
+    c = sub.add_parser("classify", help="Classify genomic sequences")
+    _add_classify_opts(c)
+
+    c2 = sub.add_parser(
+        "classify2", help="Two-step classification with a dynamic index built on the fly"
+    )
+    _add_classify_opts(c2)
+    c2.add_argument("-l", "--library", required=True, help="Genome library for dynamic index construction")
+    c2.add_argument("--rank", default="species", help="Granularity for index construction (default species)")
+    c2.add_argument("-C", "--min-count", type=int, help="Minimizer total count criterion")
+    c2.add_argument("-D", "--min-distinct", type=int, help="Minimizer distinct count criterion")
+    c2.add_argument("-R", "--reads", type=int, help="Classified read count criterion (default 100)")
+    c2.add_argument("--init-confidence", type=float, default=0.15, help="Confidence for step-1 classification")
+    c2.add_argument("--bracken-length", type=int, help="Read length for dynamic bracken weights")
+    c2.add_argument("--index-reports", action="store_true", help="Report on the dynamic index")
+    c2.add_argument("--classify-with-gold", action="store_true", help="Use gold taxon set for the dynamic library")
+    c2.add_argument("-g", "--gold-set", help="Gold standard taxon set file")
+    c2.add_argument("--promote-gold-set", help="Promote unmatched gold taxa to this rank")
+
+    bb = sub.add_parser("bracken-build", help="Generate Bracken weights (kmer_distrib)")
+    bb.add_argument("-i", "--index", required=True)
+    bb.add_argument("-l", "--library", required=True)
+    bb.add_argument("--read-len", type=int, default=100)
+
+    r = sub.add_parser("respace", help="Derive new indexes with more spaced-seed spaces")
+    r.add_argument("-i", "--index", required=True)
+    r.add_argument("-o", "--output", required=True)
+    r.add_argument("--spaces", type=int, nargs="+", required=True)
+
+    st = sub.add_parser("stats", help="Index statistics")
+    st.add_argument("-i", "--index", required=True)
+    st.add_argument("-l", "--library", help="Genome library for coverage check")
+    st.add_argument("--histogram", action="store_true", help="Taxonomic depth histograms")
+
+    ins = sub.add_parser("inspect", help="Generate index contents reports")
+    ins.add_argument("-i", "--index", required=True)
+    ins.add_argument("-l", "--library")
+    ins.add_argument("-o", "--output", required=True)
+    ins.add_argument("--labels", help="Label file to check for missing taxa")
+
+    ci = sub.add_parser("compareIndex", help="Compare minimizer LCAs between two indexes")
+    ci.add_argument("-i", "--index", required=True)
+    ci.add_argument("-r", "--reference", required=True)
+    ci.add_argument("-o", "--output", required=True)
+
+    cm = sub.add_parser("compare", help="Compare classifications against a reference mapping")
+    cm.add_argument("-t", "--taxonomy", required=True)
+    cm.add_argument("-r", "--reference", required=True)
+    cm.add_argument("--id-col", type=int, default=2)
+    cm.add_argument("-T", "--taxon-col", type=int, default=3)
+    cm.add_argument("-o", "--output")
+    cm.add_argument("--header", action="store_true")
+    cm.add_argument("--multi-dirs", nargs="+")
+    cm.add_argument("--test-files", nargs="+")
+    cm.add_argument("--min-count", type=int, default=10)
+
+    ic = sub.add_parser("inputCheck", help="Inspect input data")
+    ic.add_argument("-t", "--taxonomy", required=True)
+    ic.add_argument("--labels", help="Sequence taxonomic label file")
+
+    return ap
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    t0 = time.time()
+    rc = COMMANDS[args.command](args)
+    print(f"Total time: {time.time() - t0:.1f} s", file=sys.stderr)
+    return rc or 0
+
+
+# ---------------------------------------------------------------------------
+
+
+def cmd_build(args):
+    from .index import IndexParams, KeyValueIndex
+    from .inputs import GenomeLibrary
+    from .taxonomy import Taxonomy
+
+    tax = Taxonomy.load(args.taxonomy)
+    lib = GenomeLibrary.from_directory(args.library)
+    print(f"Discovered {len(lib.files)} genome files")
+    if args.check:
+        stats = lib.input_stats(tax)
+        print(json.dumps(stats, indent=2))
+        return 0
+
+    params = IndexParams(k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions)
+    idx = KeyValueIndex.build(lib.taxa_sequences(), params, tax)
+    idx.save(args.index)
+    print(f"Saved {len(idx.keys)} records to {args.index}")
+    _show_index_stats(idx)
+    print(json.dumps(lib.input_stats(tax), indent=2))
+    return 0
+
+
+def cmd_classify(args):
+    from .classify import Classifier
+    from .index import KeyValueIndex
+    from .inputs import fragments_from_files
+
+    cpar = _cpar(args)  # validate before any heavy work
+    idx = KeyValueIndex.load(args.index)
+    cls = Classifier(idx)
+    frags = fragments_from_files(args.inputs, paired=args.paired, k=idx.params.k)
+    samples = cls.classify_and_write(frags, args.output, cpar)
+    for t, ss in samples.items():
+        print(f"threshold {t}: samples {ss}")
+    return 0
+
+
+def cmd_classify2(args):
+    from .dynamic import Dynamic, GoldSetOptions, criteria_from_args
+    from .index import KeyValueIndex
+    from .inputs import GenomeLibrary, fragments_from_files
+    from .taxonomy import RANK_DEPTH
+
+    idx = KeyValueIndex.load(args.index)
+    lib = GenomeLibrary.from_directory(args.library)
+    gold = None
+    if args.gold_set:
+        promote = RANK_DEPTH.get(args.promote_gold_set) if args.promote_gold_set else None
+        gold = GoldSetOptions(args.gold_set, promote, args.classify_with_gold)
+    dyn = Dynamic(
+        idx,
+        lib,
+        RANK_DEPTH.get(args.rank, 8),
+        criteria_from_args(args),
+        _cpar(args),
+        gold,
+        args.output,
+    )
+    frags = list(fragments_from_files(args.inputs, paired=args.paired, k=idx.params.k))
+    dyn.two_step_classify_and_write(frags, args.index_reports, args.bracken_length)
+    return 0
+
+
+def cmd_bracken_build(args):
+    from .bracken import BrackenWeights
+    from .index import KeyValueIndex
+    from .inputs import GenomeLibrary
+
+    idx = KeyValueIndex.load(args.index)
+    lib = GenomeLibrary.from_directory(args.library)
+    out = f"{args.index}_bracken/database{args.read_len}mers.kmer_distrib"
+    bw = BrackenWeights(idx, args.read_len)
+    bw.build_and_write_weights(lib, lib.taxon_set(idx.taxonomy), out)
+    print(f"Wrote {out}")
+    return 0
+
+
+def cmd_respace(args):
+    from .index import KeyValueIndex
+
+    idx = KeyValueIndex.load(args.index)
+    for s in args.spaces:
+        out = args.output.replace("_s%d" % idx.params.spaces, "_s%d" % s)
+        if out == args.output:
+            out = f"{args.output}_s{s}"
+        new = idx.respace(s)
+        new.save(out)
+        print(f"Respaced to s={s}: {len(new.keys)} records at {out}")
+        _show_index_stats(new)
+    return 0
+
+
+def _show_index_stats(idx):
+    per_taxon = idx.records_per_taxon()
+    leaf = {t: c for t, c in per_taxon.items() if idx.taxonomy.is_leaf(t)}
+    tree_size = idx.taxonomy.count_distinct_taxa_with_ancestors(per_taxon.keys())
+    total = sum(per_taxon.values())
+    leaf_total = sum(leaf.values())
+    print(
+        f"Tree size: {tree_size} taxa, stored taxa: {len(per_taxon)}, of which "
+        f"{len(leaf)} leaf taxa ({100.0 * len(leaf) / max(len(per_taxon), 1):.2f}%)"
+    )
+    print(
+        f"Total {idx.params.m}-minimizers: {total}, of which leaf records: "
+        f"{leaf_total} ({100.0 * leaf_total / max(total, 1):.2f}%)"
+    )
+
+
+def cmd_stats(args):
+    from .index import KeyValueIndex
+    from .stats import depth_histograms, show_coverage_stats
+
+    idx = KeyValueIndex.load(args.index)
+    p = idx.params
+    print(f"Index {args.index}: k={p.k} m={p.m} spaces={p.spaces} "
+          f"toggle=0x{p.toggle_mask:x} canonical={p.canonical} records={len(idx.keys)}")
+    if args.histogram:
+        kmer_h, taxon_h = depth_histograms(idx)
+        print("Minimizer depth histogram")
+        for depth, rank, count in kmer_h:
+            print(f"  {depth}\t{rank}\t{count}")
+        print("Taxon depth histogram")
+        for depth, rank, count in taxon_h:
+            print(f"  {depth}\t{rank}\t{count}")
+    else:
+        _show_index_stats(idx)
+        if args.library:
+            from .inputs import GenomeLibrary
+
+            show_coverage_stats(idx, GenomeLibrary.from_directory(args.library))
+    return 0
+
+
+def cmd_inspect(args):
+    from .index import KeyValueIndex
+    from .stats import write_inspect_reports
+
+    idx = KeyValueIndex.load(args.index)
+    lib = None
+    if args.library:
+        from .inputs import GenomeLibrary
+
+        lib = GenomeLibrary.from_directory(args.library)
+    write_inspect_reports(idx, args.output, labels=args.labels, library=lib)
+    return 0
+
+
+def cmd_compare_index(args):
+    from .analysis.migration import MinimizerMigration
+    from .index import KeyValueIndex
+
+    idx = KeyValueIndex.load(args.index)
+    ref = KeyValueIndex.load(args.reference)
+    MinimizerMigration(idx, ref).run(args.output)
+    return 0
+
+
+def cmd_compare(args):
+    from .analysis.mapping_comparison import MappingComparison
+    from .taxonomy import Taxonomy
+
+    tax = Taxonomy.load(args.taxonomy)
+    mc = MappingComparison(
+        tax, args.id_col, args.taxon_col, args.header, args.min_count, bool(args.multi_dirs)
+    )
+    if args.test_files:
+        mc.process_files(args.test_files, args.output, args.reference)
+    else:
+        mc.process_directories(args.multi_dirs, args.output, args.reference)
+    return 0
+
+
+def cmd_input_check(args):
+    from .inputs import GenomeLibrary
+    from .taxonomy import Taxonomy
+
+    tax = Taxonomy.load(args.taxonomy)
+    if args.labels:
+        lib = GenomeLibrary([], args.labels)
+        print(json.dumps(lib.input_stats(tax), indent=2))
+    return 0
+
+
+COMMANDS = {
+    "build": cmd_build,
+    "classify": cmd_classify,
+    "classify2": cmd_classify2,
+    "bracken-build": cmd_bracken_build,
+    "respace": cmd_respace,
+    "stats": cmd_stats,
+    "inspect": cmd_inspect,
+    "compareIndex": cmd_compare_index,
+    "compare": cmd_compare,
+    "inputCheck": cmd_input_check,
+}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

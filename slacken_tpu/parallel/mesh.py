@@ -1,0 +1,171 @@
+"""Multi-chip distribution over a jax.sharding.Mesh.
+
+Replaces the reference's Spark shuffle/broadcast backend (SURVEY §2
+parallelism table; KeyValueIndex.scala:188-217 hash-shuffle join) with two
+TPU-native layouts:
+
+  * **replicated**: the index fits in every chip's HBM; reads are sharded
+    over the 'data' axis and each chip probes its own reads against the full
+    index. The only collective is a psum when aggregating report counts.
+    (Analogue of Spark broadcast of a small table.)
+
+  * **ring-sharded**: the sorted key array is RANGE-sharded over the mesh;
+    each chip holds 1/n of the index. Queries stay sharded by read and
+    rotate around the ring via ppermute (one hop per step, riding ICI);
+    each chip probes the visiting queries against its local shard and the
+    accumulated answers arrive back at the owner after a full rotation.
+    Because the global key array is sorted and unique, exactly one shard can
+    answer each query, so the combiner is a plain max. (This is the
+    hash-shuffle join's TPU-native equivalent, with all-to-all replaced by a
+    bandwidth-optimal ring.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import lookup as lookup_ops
+from ..ops import u64
+from ..ops.minimizers import MinimizerParams, window_minimizers
+from ..ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_index_by_range(keys: np.ndarray, taxa: np.ndarray, n: int):
+    """Pad and split the sorted key array into n equal contiguous ranges.
+
+    Padding uses the all-ones key (greater than any real 62-bit priority), so
+    padded slots never match a query.
+    """
+    pad = (-len(keys)) % n
+    keys_p = np.concatenate([keys, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+    taxa_p = np.concatenate([taxa, np.zeros(pad, np.int32)])
+    return keys_p.reshape(n, -1), taxa_p.reshape(n, -1)
+
+
+def _window_scan(codes, mp):
+    wm = window_minimizers(codes, mp)
+    return wm
+
+
+def _postprocess(wm, looked, parents, max_taxa, max_path):
+    window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
+    num_distinct = jnp.sum(
+        wm.span_start & wm.distinct & (looked > 0) & wm.valid, axis=-1
+    ).astype(jnp.int32)
+    ch = compact_hits(window_taxa, max_taxa)
+    res = resolve_hits(ch.taxa, ch.counts, parents, max_path)
+    return window_taxa, num_distinct, ch, res
+
+
+def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int):
+    """Data-parallel classification with a fully replicated index.
+
+    Returns a jitted fn(codes[B,L], keys_hi[N], keys_lo[N], key_taxa[N],
+    parents[M]) -> (window_taxa, num_distinct, hits, resolve, report_counts)
+    with codes sharded over 'data' and everything else replicated; the
+    per-taxon report count vector is psum-reduced across the mesh.
+    """
+
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, parents):
+        wm = _window_scan(codes, mp)
+        looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+        window_taxa, num_distinct, ch, res = _postprocess(wm, looked, parents, max_taxa, max_path)
+        # per-taxon counts of winning taxa (report aggregation): psum over mesh
+        counts = jnp.zeros(parents.shape[0], jnp.int32).at[res.max_taxon].add(1)
+        counts = jax.lax.psum(counts, "data")
+        return window_taxa, num_distinct, ch, res, counts
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int):
+    """Classification with a range-sharded index and ring-rotated queries.
+
+    fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n], key_taxa[n,N/n],
+    parents[M]) with codes and index both sharded over 'data'.
+
+    Each of the n ring steps probes the local index shard with the visiting
+    chip's queries, then forwards (queries, partial answers) to the next
+    chip with ppermute. After n steps every answer is home.
+    """
+    n = mesh.devices.size
+
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, parents):
+        wm = _window_scan(codes, mp)
+        keys = u64.U64(keys_hi[0], keys_lo[0])
+        kt = key_taxa[0]
+
+        def probe(q_hi, q_lo):
+            return lookup_ops.lookup_taxa(keys, kt, u64.U64(q_hi, q_lo))
+
+        q_hi, q_lo = wm.minimizer.hi, wm.minimizer.lo
+        acc = probe(q_hi, q_lo)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+
+        def step(carry, _):
+            q_hi, q_lo, acc = carry
+            q_hi = jax.lax.ppermute(q_hi, "data", perm)
+            q_lo = jax.lax.ppermute(q_lo, "data", perm)
+            acc = jax.lax.ppermute(acc, "data", perm)
+            acc = jnp.maximum(acc, probe(q_hi, q_lo))
+            return (q_hi, q_lo, acc), None
+
+        (q_hi, q_lo, acc), _ = jax.lax.scan(step, (q_hi, q_lo, acc), None, length=n - 1)
+        # one final hop brings answers back to their owner
+        if n > 1:
+            acc = jax.lax.ppermute(acc, "data", perm)
+
+        window_taxa, num_distinct, ch, res = _postprocess(wm, acc, parents, max_taxa, max_path)
+        counts = jnp.zeros(parents.shape[0], jnp.int32).at[res.max_taxon].add(1)
+        counts = jax.lax.psum(counts, "data")
+        return window_taxa, num_distinct, ch, res, counts
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
+    """Distributed index-build scan: every chip scans its shard of genome
+    fragments and emits per-window (minimizer, span_start) data; the host
+    concatenates shards and the sort + segment-LCA reduction follows
+    (index.reduce_records). Mirrors the build pipeline of SURVEY §3.1 with
+    the Spark shuffle replaced by host gather + range-sharded reduce."""
+
+    def local_fn(codes):
+        wm = _window_scan(codes, mp)
+        return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=(P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(shard)
