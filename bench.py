@@ -65,7 +65,7 @@ def main():
         frags.append(Fragment(lines[i][1:], lines[i + 1]))
     print(f"{len(frags)} reads loaded", file=sys.stderr)
 
-    cls = Classifier(idx, target_batch_bp=1 << 22)
+    cls = Classifier(idx, target_batch_bp=1 << 20)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
 
     # warmup (compile)

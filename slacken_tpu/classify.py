@@ -230,7 +230,7 @@ class Classifier:
         self,
         index: KeyValueIndex,
         max_taxa_per_read: int = 32,
-        target_batch_bp: int = 1 << 22,
+        target_batch_bp: int = 1 << 20,
     ):
         self.index = index
         self.max_taxa = max_taxa_per_read
@@ -264,6 +264,14 @@ class Classifier:
 
     def _run_batch(self, frags: List[Fragment], bucket: int) -> _BatchResult:
         codes, splits = self._pack_rows(frags, bucket)
+        # pad the row count to a power of two (full batches arrive at the
+        # fixed rows_target already) so only O(log) shapes ever compile
+        b_fixed = 8
+        while b_fixed < codes.shape[0]:
+            b_fixed *= 2
+        if codes.shape[0] < b_fixed:
+            pad = np.full((b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8)
+            codes = np.concatenate([codes, pad], axis=0)
         idx = self.index
         dk = idx.device_keys
         window_taxa, num_distinct, ch, res = _classify_kernel(
@@ -276,33 +284,39 @@ class Classifier:
             self.max_taxa,
             self.max_path,
         )
-        window_taxa = np.asarray(window_taxa)
+        n = len(frags)
         k = idx.params.k
         row_lens = [
             len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0) for f in frags
         ]
-        # ambiguous pseudo-kmer counts per row, per mate slice
-        total = np.asarray(ch.n_hit_kmers) + np.asarray(ch.n_none_kmers)
-        ambig = np.zeros(len(frags), np.int64)
-        for i in range(len(frags)):
-            ambig[i] = _ambig_kmers(codes[i], splits[i], row_lens[i], k)
-        total = total[: len(frags)] + ambig
+        # ambiguous pseudo-kmer accounting: only rows that actually contain
+        # invalid bases inside their content need the run scan
+        total = (np.asarray(ch.n_hit_kmers) + np.asarray(ch.n_none_kmers))[:n].astype(np.int64)
+        n_invalid = (codes[:n] == encode.INVALID).sum(axis=1)
+        for i in np.flatnonzero(
+            n_invalid
+            > (bucket - np.array(row_lens)) + np.array([s is not None for s in splits])
+        ):
+            total[i] += _ambig_kmers(codes[i], splits[i], row_lens[i], k)
 
         return _BatchResult(
             titles=[f.title for f in frags],
-            window_taxa=window_taxa[: len(frags)],
-            codes=codes[: len(frags)],
+            window_taxa=window_taxa,  # device array; transferred lazily
+            codes=codes[:n],
             mate_split=splits,
             row_lens=row_lens,
-            num_distinct=np.asarray(num_distinct)[: len(frags)],
+            num_distinct=np.asarray(num_distinct)[:n],
             total_kmers=total,
-            res_max_taxon=np.asarray(res.max_taxon)[: len(frags)],
-            res_path=np.asarray(res.path)[: len(frags)],
-            res_clade=np.asarray(res.clade)[: len(frags)],
-            overflow=np.asarray(ch.overflow)[: len(frags)],
-            hit_taxa=np.asarray(ch.taxa)[: len(frags)],
-            hit_counts=np.asarray(ch.counts)[: len(frags)],
+            res_max_taxon=np.asarray(res.max_taxon)[:n],
+            res_path=np.asarray(res.path)[:n],
+            res_clade=np.asarray(res.clade)[:n],
+            overflow=np.asarray(ch.overflow)[:n],
+            hit_taxa=ch.taxa,  # device; rarely needed on host
+            hit_counts=ch.counts,
         )
+
+    def _rows_target(self, bucket: int) -> int:
+        return max(8, self.target_batch_bp // bucket)
 
     def batches(self, fragments: Iterable[Fragment]):
         """Group fragments into shape-bucketed batches and run the device
@@ -313,8 +327,7 @@ class Classifier:
             bucket = self._row_length_bucket(n)
             lst = pending.setdefault(bucket, [])
             lst.append(f)
-            rows_target = max(8, self.target_batch_bp // bucket)
-            if len(lst) >= rows_target:
+            if len(lst) >= self._rows_target(bucket):
                 yield self._run_batch(lst, bucket)
                 pending[bucket] = []
         for bucket, lst in pending.items():
@@ -329,9 +342,7 @@ class Classifier:
         """Apply one confidence threshold to a batch's device results
         (host-exact, float64 ceil — Classifier.scala:439-467)."""
         n = len(batch.titles)
-        required = np.array(
-            [math.ceil(threshold * int(t)) for t in batch.total_kmers], np.float64
-        )
+        required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
         # deepest node on winning path with clade >= required
         path = batch.res_path
         clade = batch.res_clade
@@ -343,36 +354,51 @@ class Classifier:
         )
         taxon = np.where(batch.res_max_taxon == NONE, NONE, taxon).astype(np.int64)
 
-        parents = self.index.taxonomy.parents
-        sre = re.compile(cpar.sample_regex) if cpar.sample_regex else None
-        k = self.index.params.k
-        out: List[ClassifiedRead] = []
-        for i in range(n):
-            if batch.overflow[i]:
+        overflow_rows = np.flatnonzero(batch.overflow)
+        if len(overflow_rows):
+            parents = self.index.taxonomy.parents
+            wt_host = np.asarray(batch.window_taxa)
+            for i in overflow_rows:
                 # host-exact fallback for reads with too many distinct taxa
-                counts = _window_taxa_counts(batch.window_taxa[i])
-                taxon_i = _resolve_host(parents, counts, required[i])
-            else:
-                taxon_i = int(taxon[i])
-            classified = taxon_i != NONE and int(batch.num_distinct[i]) >= cpar.min_hit_groups
-            report_taxon = taxon_i if classified else NONE
-            title = batch.titles[i]
-            if sre is not None:
-                m = sre.search(title)
-                sample = m.group(1) if m else "other"
-            else:
-                sample = "all"
-            if cpar.per_read_output:
+                counts = _window_taxa_counts(wt_host[i])
+                taxon[i] = _resolve_host(parents, counts, required[i])
+
+        classified = (taxon != NONE) & (batch.num_distinct >= cpar.min_hit_groups)
+        report_taxon = np.where(classified, taxon, NONE)
+
+        if cpar.sample_regex:
+            sre = re.compile(cpar.sample_regex)
+            samples = []
+            for t in batch.titles:
+                m = sre.search(t)
+                samples.append(m.group(1) if m else "other")
+        else:
+            samples = ["all"] * n
+
+        k = self.index.params.k
+        if cpar.per_read_output:
+            wt_host = np.asarray(batch.window_taxa)
+            out = []
+            for i in range(n):
                 parts = _row_hit_parts(
-                    batch.codes[i], batch.window_taxa[i], batch.mate_split[i], batch.row_lens[i], k
+                    batch.codes[i], wt_host[i], batch.mate_split[i], batch.row_lens[i], k
                 )
                 details, length_string = hits_to_strings(parts, k)
-            else:
-                details, length_string = "", ""
-            out.append(
-                ClassifiedRead(sample, classified, title, report_taxon, length_string, details)
-            )
-        return out
+                out.append(
+                    ClassifiedRead(
+                        samples[i],
+                        bool(classified[i]),
+                        batch.titles[i],
+                        int(report_taxon[i]),
+                        length_string,
+                        details,
+                    )
+                )
+            return out
+        return [
+            ClassifiedRead(samples[i], bool(classified[i]), batch.titles[i], int(report_taxon[i]), "", "")
+            for i in range(n)
+        ]
 
     # -- high level ----------------------------------------------------------
 

@@ -1,0 +1,336 @@
+"""Two-step dynamic classification (reference: Dynamic.scala).
+
+Step 1: detect a taxon set present in the sample, by one of three criteria
+(total minimizer hits, distinct minimizer hits, or classified read counts
+against the base index). Step 2: build a sample-tailored index restricted to
+that taxon set (plus descendants) from the genome library and classify all
+reads against it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import jax
+import numpy as np
+
+from .classify import Classifier, ClassifyParams, Fragment
+from .index import IndexParams, KeyValueIndex
+from .ops import encode, u64
+from .ops import lookup as lookup_ops
+from .ops.minimizers import window_minimizers
+from .report import KrakenReport, TreeAggregator
+from .taxonomy import NONE, Taxonomy
+
+
+@dataclass(frozen=True)
+class MinimizerTotalCount:
+    """Include taxa with >= threshold total minimizer hits (Dynamic.scala:34)."""
+
+    threshold: int
+
+
+@dataclass(frozen=True)
+class MinimizerDistinctCount:
+    """Include taxa with >= threshold distinct minimizer hits (Dynamic.scala:37)."""
+
+    threshold: int
+
+
+@dataclass(frozen=True)
+class ClassifiedReadCount:
+    """Include taxa with >= threshold classified reads at the given
+    confidence (Dynamic.scala:41)."""
+
+    threshold: int
+    confidence: float
+
+
+@dataclass
+class GoldSetOptions:
+    """User-supplied gold taxon set (Dynamic.scala:62)."""
+
+    taxon_file: str
+    promote_rank_depth: Optional[int]
+    classify_with: bool
+
+
+def criteria_from_args(args):
+    if getattr(args, "min_count", None):
+        return MinimizerTotalCount(args.min_count)
+    if getattr(args, "reads", None):
+        return ClassifiedReadCount(args.reads, args.init_confidence)
+    if getattr(args, "min_distinct", None):
+        return MinimizerDistinctCount(args.min_distinct)
+    return ClassifiedReadCount(100, getattr(args, "init_confidence", 0.15))
+
+
+class Timer:
+    def __init__(self, task: str):
+        self.task = task
+        self.start = time.time()
+        print(f"Start task: {task}")
+
+    def finish(self):
+        s = int(time.time() - self.start)
+        print(f"Finish task: {self.task} [{s // 60} min {s % 60} s]")
+
+
+class Dynamic:
+    """Two-step classification driver (Dynamic.scala:78)."""
+
+    def __init__(
+        self,
+        base: KeyValueIndex,
+        genomes,
+        reclassify_rank_depth: int,
+        criteria,
+        cpar: ClassifyParams,
+        gold: Optional[GoldSetOptions],
+        output_location: str,
+    ):
+        self.base = base
+        self.genomes = genomes
+        self.rank_depth = reclassify_rank_depth
+        self.criteria = criteria
+        self.cpar = cpar
+        self.gold = gold
+        self.output = output_location
+
+    @property
+    def taxonomy(self) -> Taxonomy:
+        return self.base.taxonomy
+
+    # -- counting methods (Dynamic.scala:95-142) ----------------------------
+
+    def _span_hits(self, fragments: Sequence[Fragment]):
+        """Per-span (minimizer key, LCA taxon) pairs against the base index,
+        for spans whose taxon is at depth >= the reclassify rank."""
+        idx = self.base
+        mp = idx.params.minimizer_params
+        depth_std = self.taxonomy.depth_std
+        cls = Classifier(idx)
+        out_keys: List[np.ndarray] = []
+        out_taxa: List[np.ndarray] = []
+
+        for bucket, frags in _bucketize(fragments, cls):
+            codes, _ = encode.pack_batch(
+                [_concat_pair(f) for f in frags], bucket
+            )
+            hi, lo, starts, taxa = _span_hits_kernel(
+                codes,
+                idx.device_keys.hi,
+                idx.device_keys.lo,
+                idx.device_taxa,
+                mp,
+            )
+            hi, lo = np.asarray(hi), np.asarray(lo)
+            starts = np.asarray(starts)
+            taxa = np.asarray(taxa)
+            rows, cols = np.nonzero(starts)
+            keys = (hi[rows, cols].astype(np.uint64) << np.uint64(32)) | lo[rows, cols]
+            t = taxa[rows, cols]
+            keep = (t > 0) & (depth_std[np.clip(t, 0, len(depth_std) - 1)] >= self.rank_depth)
+            out_keys.append(keys[keep])
+            out_taxa.append(t[keep])
+        if not out_keys:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+        return np.concatenate(out_keys), np.concatenate(out_taxa)
+
+    def total_minimizers_per_taxon(self, fragments) -> Dict[int, int]:
+        _, taxa = self._span_hits(fragments)
+        t, c = np.unique(taxa, return_counts=True)
+        return dict(zip(t.tolist(), c.tolist()))
+
+    def distinct_minimizers_per_taxon(self, fragments) -> Dict[int, int]:
+        keys, taxa = self._span_hits(fragments)
+        pairs = np.unique(np.stack([keys, taxa.astype(np.uint64)], axis=1), axis=0)
+        t, c = np.unique(pairs[:, 1].astype(np.int64), return_counts=True)
+        return dict(zip(t.tolist(), c.tolist()))
+
+    def classified_reads_per_taxon(self, fragments, confidence: float) -> Dict[int, int]:
+        cls = Classifier(self.base)
+        cpar = ClassifyParams(
+            min_hit_groups=self.cpar.min_hit_groups,
+            thresholds=[confidence],
+            per_read_output=False,
+        )
+        reads = cls.classify(fragments, cpar)[confidence]
+        counts: Dict[int, int] = {}
+        for r in reads:
+            if r.classified:
+                counts[r.taxon] = counts.get(r.taxon, 0) + 1
+        return counts
+
+    # -- taxon set detection (Dynamic.scala:189-280) ------------------------
+
+    def count_filter(self, counts: Dict[int, int], threshold: int) -> Set[int]:
+        """Clade-aggregated counts >= threshold at depth >= rank
+        (CountFilter, Dynamic.scala:191-201)."""
+        agg = TreeAggregator(self.taxonomy, counts.items())
+        return {
+            t
+            for t in agg.clade_totals
+            if self.taxonomy.depth(t) >= self.rank_depth
+            and agg.clade_totals[t] >= threshold
+        }
+
+    def find_taxon_set(self, fragments, write_location: Optional[str] = None) -> Set[int]:
+        t = Timer("Find taxon set in subjects")
+        c = self.criteria
+        if isinstance(c, MinimizerTotalCount):
+            counts = self.total_minimizers_per_taxon(fragments)
+            keep = self.count_filter(counts, c.threshold)
+        elif isinstance(c, MinimizerDistinctCount):
+            counts = self.distinct_minimizers_per_taxon(fragments)
+            keep = self.count_filter(counts, c.threshold)
+        elif isinstance(c, ClassifiedReadCount):
+            counts = self.classified_reads_per_taxon(fragments, c.confidence)
+            keep = self.count_filter(counts, c.threshold)
+        else:
+            raise ValueError(f"Unsupported criterion {c}")
+
+        if write_location:
+            os.makedirs(os.path.dirname(write_location) or ".", exist_ok=True)
+            with open(write_location, "w") as f:
+                for x in sorted(keep):
+                    f.write(f"{x}\n")
+
+        if self.gold is not None:
+            gold_set = self.read_gold_set()
+            tp = len(keep & gold_set)
+            fp = len(keep - gold_set)
+            fn = len(gold_set - keep)
+            prec = tp / (tp + fp) if tp + fp else 0.0
+            rec = tp / len(gold_set) if gold_set else 0.0
+            print(
+                f"Comparing detected set with supplied gold set. True Positives: {tp}, "
+                f"False Positives: {fp}, False Negatives: {fn}, "
+                f"Precision: {prec * 100:.2f}%, Recall: {rec * 100:.2f}%"
+            )
+
+        with_desc = self.taxonomy.taxa_with_descendants(keep)
+        t.finish()
+        print(
+            f"Detected set: initial scan (criterion {c}) produced {len(keep)} taxa, "
+            f"expanded with descendants to {len(with_desc)}"
+        )
+        return with_desc
+
+    def read_gold_set(self) -> Set[int]:
+        """Read + canonicalise the gold set, promoting taxa missing from the
+        library up their lineage (Dynamic.scala:284-312)."""
+        tax = self.taxonomy
+        with open(self.gold.taxon_file) as f:
+            gold = {
+                int(tax.primary[int(line.strip().split(",")[0])])
+                for line in f
+                if line.strip()
+            }
+        print(f"Gold set contained {len(gold)} taxa")
+        lib_set = self.genomes.taxon_set(tax)
+        not_found = gold - lib_set
+        promoted = set()
+        for t in not_found:
+            for p in tax.path_to_root(t):
+                if p in lib_set:
+                    promoted.add(p)
+                    break
+        print(f"{len(not_found)} taxa from gold set not found in library, promoted to {len(promoted)} taxa.")
+        if self.gold.promote_rank_depth is not None:
+            kept_promoted = {t for t in promoted if tax.depth(t) >= self.gold.promote_rank_depth}
+        else:
+            kept_promoted = set()
+        total = gold | promoted
+        filtered = {t for t in total if tax.depth(t) >= self.rank_depth} | kept_promoted
+        print(f"Initial adjusted gold set size {len(total)}, filtered to {len(filtered)}")
+        return filtered
+
+    # -- two-step pipeline (Dynamic.scala:320-374) --------------------------
+
+    def make_records(self, fragments) -> Tuple[KeyValueIndex, Set[int]]:
+        if self.gold is not None and self.gold.classify_with:
+            taxon_set = self.taxonomy.taxa_with_descendants(self.read_gold_set())
+        else:
+            taxon_set = self.find_taxon_set(fragments, self.output + "_taxonSet.txt")
+
+        t = Timer("Build dynamic index")
+        dynamic = KeyValueIndex.build(
+            self.genomes.taxa_sequences(),
+            self.base.params,
+            self.taxonomy,
+            taxon_filter=taxon_set,
+        )
+        t.finish()
+        return dynamic, taxon_set
+
+    def two_step_classify_and_write(
+        self,
+        fragments: Sequence[Fragment],
+        dynamic_reports: bool = False,
+        bracken_read_length: Optional[int] = None,
+    ):
+        fragments = list(fragments)
+        dynamic_index, used_taxa = self.make_records(fragments)
+        print(f"Dynamic index: {len(dynamic_index.keys)} records, {len(used_taxa)} taxa")
+
+        if dynamic_reports:
+            from .stats import write_inspect_reports
+
+            write_inspect_reports(dynamic_index, self.output + "_dynamic")
+
+        if bracken_read_length:
+            from .bracken import BrackenWeights
+
+            t = Timer("Build library and Bracken weights")
+            bw = BrackenWeights(dynamic_index, bracken_read_length)
+            os.makedirs(self.output, exist_ok=True)
+            bw.build_and_write_weights(
+                self.genomes,
+                used_taxa,
+                os.path.join(self.output, f"database{bracken_read_length}mers.kmer_distrib"),
+            )
+            t.finish()
+
+        t = Timer("Classify reads")
+        cls = Classifier(dynamic_index)
+        cls.classify_and_write(fragments, self.output, self.cpar)
+        t.finish()
+        return dynamic_index
+
+
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, mp):
+    wm = window_minimizers(codes, mp)
+    looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+    return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+
+def _concat_pair(f: Fragment):
+    c1 = encode.encode_seq(f.seq)
+    if f.seq2 is None:
+        return c1
+    return np.concatenate([c1, np.array([encode.INVALID], np.uint8), encode.encode_seq(f.seq2)])
+
+
+def _bucketize(fragments: Sequence[Fragment], cls: Classifier):
+    pending: Dict[int, List[Fragment]] = {}
+    for f in fragments:
+        n = len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0)
+        bucket = cls._row_length_bucket(n)
+        lst = pending.setdefault(bucket, [])
+        lst.append(f)
+        if len(lst) >= max(8, cls.target_batch_bp // bucket):
+            yield bucket, lst
+            pending[bucket] = []
+    for bucket, lst in pending.items():
+        if lst:
+            yield bucket, lst

@@ -1,0 +1,119 @@
+import numpy as np
+
+import oracle
+from slacken_tpu.bracken import BrackenWeights, write_kmer_distrib
+from slacken_tpu.index import IndexParams, KeyValueIndex
+from test_index import make_genomes, oracle_index
+from test_taxonomy import random_taxonomy
+
+K, M, S = 35, 31, 7
+
+
+class FakeLibrary:
+    def __init__(self, genomes):
+        self.genomes = genomes
+
+    def sequences(self):
+        for taxon, seq in self.genomes:
+            yield taxon, f"seq{taxon}", seq
+
+
+def oracle_bracken(genomes, idx_map, parents, read_len, k, m, s):
+    """Naive per-read simulation: classify every read of length R from every
+    genome against the minimizer map (FragmentWindow semantics, but O(L*R))."""
+    out = {}
+    for source, seq in genomes:
+        codes = oracle.encode(seq)
+        L = len(seq)
+        # per-position window taxa (NONE where invalid), via spans
+        t = [0] * L
+        spans_list = []  # (start, n_windows, taxon, distinct)
+        i = 0
+        while i < L:
+            j = i
+            while j < L and (codes[j] < 4) == (codes[i] < 4):
+                j += 1
+            if j - i >= k and codes[i] < 4:
+                last = None
+                for st, nw, value, _ in oracle.spans(codes[i:j], k, m, s):
+                    taxon = idx_map.get(value, 0)
+                    distinct = last is None or value != last
+                    last = value
+                    spans_list.append((i + st, nw, taxon, distinct))
+                    for w in range(i + st, i + st + nw):
+                        t[w] = taxon
+            i = j
+        W = read_len - k + 1
+        for start in range(0, L - read_len + 1):
+            window = t[start : start + W]
+            counts = {}
+            for x in window:
+                counts[x] = counts.get(x, 0) + 1
+            hit_groups = sum(
+                1
+                for (st, nw, taxon, distinct) in spans_list
+                if distinct and taxon != 0 and st < start + W and st + nw > start
+            )
+            taxon = oracle.resolve_tree(parents, counts, 0.0)
+            dest = taxon if hit_groups >= 2 else 0
+            out[(dest, source)] = out.get((dest, source), 0) + 1
+    return out
+
+
+def test_bracken_vs_oracle(rng):
+    t = random_taxonomy(rng)
+    parents = {i: int(p) for i, p in enumerate(t.parents)}
+    genomes = make_genomes(rng, t, n_genomes=4, length=700)
+    # add shared sequence so some reads map to an LCA
+    genomes.append((genomes[0][0], genomes[1][1][:400]))
+
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    idx_map = oracle_index(genomes, K, M, S, parents)
+
+    bw = BrackenWeights(idx, 100)
+    got = bw.build_weights(FakeLibrary(genomes), {g[0] for g in genomes})
+    want = oracle_bracken(genomes, idx_map, parents, 100, K, M, S)
+    assert got == want
+
+
+def test_bracken_with_ns(rng):
+    t = random_taxonomy(rng)
+    parents = {i: int(p) for i, p in enumerate(t.parents)}
+    genomes = make_genomes(rng, t, n_genomes=2, length=500)
+    # genome with ambiguous stretch
+    g0 = genomes[0]
+    seq = g0[1][:200] + "N" * 60 + g0[1][260:]
+    genomes[0] = (g0[0], seq)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    idx_map = oracle_index(genomes, K, M, S, parents)
+    bw = BrackenWeights(idx, 100)
+    got = bw.build_weights(FakeLibrary(genomes), {g[0] for g in genomes})
+    want = oracle_bracken(genomes, idx_map, parents, 100, K, M, S)
+    assert got == want
+
+
+def test_gradual_and_write(rng, tmp_path):
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=400)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    bw = BrackenWeights(idx, 100)
+    lib = FakeLibrary(genomes)
+    taxa = {g[0] for g in genomes}
+    full = bw.build_weights(lib, taxa)
+    gradual = bw.build_weights_gradually(lib, taxa, str(tmp_path / "tmp"), chunks=3)
+    assert full == gradual
+
+    out = str(tmp_path / "weights.kmer_distrib")
+    write_kmer_distrib(full, out)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "mapped_taxid\tgenome_taxids:kmers_mapped:total_genome_kmers"
+    # totals per source must equal number of simulated reads per genome
+    per_source = {}
+    for line in lines[1:]:
+        for piece in line.split("\t")[1].split(" "):
+            src, cnt, tot = map(int, piece.split(":"))
+            per_source.setdefault(src, [0, tot])[0] += cnt
+    for taxon, seq in genomes:
+        n_reads = len(seq) - 100 + 1
+        assert per_source[taxon][0] == n_reads
+        assert per_source[taxon][1] == n_reads

@@ -1,0 +1,99 @@
+import os
+
+import numpy as np
+
+from slacken_tpu.classify import ClassifyParams, Fragment
+from slacken_tpu.dynamic import (
+    ClassifiedReadCount,
+    Dynamic,
+    GoldSetOptions,
+    MinimizerDistinctCount,
+    MinimizerTotalCount,
+)
+from slacken_tpu.index import IndexParams, KeyValueIndex
+from test_index import make_genomes
+from test_taxonomy import random_taxonomy
+
+
+class FakeLibrary:
+    def __init__(self, genomes):
+        self.genomes = genomes
+
+    def sequences(self):
+        for taxon, seq in self.genomes:
+            yield taxon, f"seq{taxon}", seq
+
+    def taxa_sequences(self):
+        for taxon, seq in self.genomes:
+            yield taxon, seq
+
+    def taxon_set(self, taxonomy):
+        return taxonomy.taxa_with_ancestors([t for t, _ in self.genomes])
+
+
+def setup(rng):
+    t = random_taxonomy(rng)
+    # attach genomes at true species depth so the species-rank reclassify
+    # filter (depth >= 8) applies to them
+    species_leaves = [x for x in t.taxa() if t.is_leaf(x) and t.depth(x) == 8]
+    chosen = rng.choice(species_leaves, 5, replace=False)
+    from test_index import random_genome
+
+    genomes = [(int(x), random_genome(rng, 800)) for x in chosen]
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    lib = FakeLibrary(genomes)
+    # sample reads only from the first two genomes
+    present = [genomes[0], genomes[1]]
+    frags = []
+    for i in range(40):
+        taxon, seq = present[i % 2]
+        s = int(rng.integers(0, len(seq) - 101))
+        frags.append(Fragment(f"read{i}", seq[s : s + 101]))
+    return t, genomes, idx, lib, frags
+
+
+def run_criterion(rng, criteria, tmp_path):
+    t, genomes, idx, lib, frags = setup(rng)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    out = str(tmp_path / "dyn")
+    dyn = Dynamic(idx, lib, 8, criteria, cpar, None, out)
+    dynamic_index = dyn.two_step_classify_and_write(frags)
+    present = {genomes[0][0], genomes[1][0]}
+    stored = set(np.unique(dynamic_index.taxa).tolist())
+    # dynamic index only contains taxa from the detected clade
+    detected_leaves = {x for x in stored if t.is_leaf(x)}
+    assert detected_leaves <= present.union(
+        *[t.taxa_with_descendants([p]) for p in present]
+    )
+    assert present & {g for g in detected_leaves} or len(stored) > 0
+    assert os.path.exists(out + "_taxonSet.txt")
+    assert os.path.isdir(out + "_c0.0")
+    return stored, present
+
+
+def test_dynamic_all_criteria(rng, tmp_path):
+    for i, crit in enumerate(
+        [
+            ClassifiedReadCount(5, 0.0),
+            MinimizerTotalCount(50),
+            MinimizerDistinctCount(30),
+        ]
+    ):
+        stored, present = run_criterion(rng, crit, tmp_path / str(i))
+        assert stored & present, f"{crit}: detected set misses sampled taxa"
+
+
+def test_gold_set(rng, tmp_path):
+    t, genomes, idx, lib, frags = setup(rng)
+    gold_file = str(tmp_path / "gold.txt")
+    with open(gold_file, "w") as f:
+        f.write(f"{genomes[2][0]}\n{genomes[3][0]}\n")
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    out = str(tmp_path / "gold_out")
+    dyn = Dynamic(
+        idx, lib, 8, ClassifiedReadCount(5, 0.0), cpar,
+        GoldSetOptions(gold_file, None, True), out,
+    )
+    dynamic_index = dyn.two_step_classify_and_write(frags)
+    stored_leaves = {x for x in np.unique(dynamic_index.taxa).tolist() if t.is_leaf(x)}
+    assert stored_leaves <= {genomes[2][0], genomes[3][0]}
