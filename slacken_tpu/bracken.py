@@ -40,11 +40,13 @@ from .taxonomy import NONE, Taxonomy
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:303
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _fragment_kernel(codes, keys_hi, keys_lo, key_taxa, mp):
+@partial(jax.jit, static_argnums=(5, 6))
+def _fragment_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds):
     """Per-position window taxa + span structure for genome fragments."""
     wm = window_minimizers(codes, mp)
-    looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+    looked = lookup_ops.lookup_taxa_routed(
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds
+    )
     return looked, wm.valid, wm.span_start, wm.distinct
 
 
@@ -189,7 +191,8 @@ class BrackenWeights:
         def flush(bucket, items):
             codes, _ = encode.pack_batch([c for _, c in items], bucket)
             looked, valid, span_start, distinct = _fragment_kernel(
-                codes, dk.hi, dk.lo, idx.device_taxa, mp
+                codes, dk.hi, dk.lo, idx.device_taxa, idx.device_router, mp,
+                idx.router_rounds,
             )
             looked = np.asarray(looked)
             valid = np.asarray(valid)

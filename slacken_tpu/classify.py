@@ -83,12 +83,15 @@ class ClassifiedRead:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _classify_kernel(
-    codes, keys_hi, keys_lo, key_taxa, parents, mp: MinimizerParams, max_taxa: int, max_path: int
+    codes, keys_hi, keys_lo, key_taxa, router, parents,
+    mp: MinimizerParams, max_taxa: int, max_path: int, rounds: int
 ):
     wm = window_minimizers(codes, mp)
-    looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+    looked = lookup_ops.lookup_taxa_routed(
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds
+    )
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
     # (Classifier.scala:92-95)
@@ -279,10 +282,12 @@ class Classifier:
             dk.hi,
             dk.lo,
             idx.device_taxa,
+            idx.device_router,
             self._parents_dev,
             idx.params.minimizer_params,
             self.max_taxa,
             self.max_path,
+            idx.router_rounds,
         )
         n = len(frags)
         k = idx.params.k

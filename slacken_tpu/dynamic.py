@@ -127,7 +127,9 @@ class Dynamic:
                 idx.device_keys.hi,
                 idx.device_keys.lo,
                 idx.device_taxa,
+                idx.device_router,
                 mp,
+                idx.router_rounds,
             )
             hi, lo = np.asarray(hi), np.asarray(lo)
             starts = np.asarray(starts)
@@ -307,10 +309,12 @@ class Dynamic:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, mp):
+@partial(jax.jit, static_argnums=(5, 6))
+def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds):
     wm = window_minimizers(codes, mp)
-    looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+    looked = lookup_ops.lookup_taxa_routed(
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds
+    )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
 

@@ -207,6 +207,8 @@ class KeyValueIndex:
         self.location = location
         self._device_keys = None
         self._device_taxa = None
+        self._device_router = None
+        self._router_rounds = None
 
     # -- device residency ---------------------------------------------------
 
@@ -222,10 +224,24 @@ class KeyValueIndex:
             self._device_taxa = jnp.asarray(self.taxa)
         return self._device_taxa
 
+    @property
+    def device_router(self):
+        if self._device_router is None:
+            router = lookup_ops.build_router(self.keys)
+            self._router_rounds = lookup_ops.router_rounds(router)
+            self._device_router = jnp.asarray(router)
+        return self._device_router
+
+    @property
+    def router_rounds(self) -> int:
+        self.device_router
+        return self._router_rounds
+
     def lookup(self, q_hi, q_lo):
         """Device lookup of query minimizers -> LCA taxa (0 = miss)."""
-        return lookup_ops.lookup_taxa(
-            self.device_keys, self.device_taxa, u64.U64(q_hi, q_lo)
+        return lookup_ops.lookup_taxa_routed(
+            self.device_keys, self.device_taxa, self.device_router,
+            u64.U64(q_hi, q_lo), self.router_rounds,
         )
 
     # -- construction -------------------------------------------------------

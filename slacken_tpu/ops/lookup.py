@@ -30,6 +30,56 @@ def keys_from_numpy(keys: np.ndarray) -> U64:
     return U64(jnp.asarray(hi), jnp.asarray(lo))
 
 
+ROUTER_BITS = 16
+
+
+def build_router(keys: np.ndarray, bits: int = ROUTER_BITS, key_bits: int = 62) -> np.ndarray:
+    """Prefix router: entry p = index of the first key whose top `bits` bits
+    (of the key_bits-wide keyspace) are >= p. Shrinks the binary search from
+    log2(N) to log2(N / 2^bits) rounds.
+
+    The XOR toggle scrambles minimizer priorities uniformly and the spaced
+    seed only clears LOW bits (positions 2(2j+1), j < s), so top-bit prefixes
+    are uniformly loaded.
+    """
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    prefixes = (keys >> np.uint64(key_bits - bits)).astype(np.int64)
+    router = np.searchsorted(prefixes, np.arange((1 << bits) + 1), side="left")
+    return router.astype(np.int32)
+
+
+def router_rounds(router: np.ndarray) -> int:
+    """Binary-search rounds needed to cover the largest router bucket."""
+    max_span = int(np.max(np.diff(router.astype(np.int64)))) if len(router) > 1 else 1
+    return max(1, int(np.ceil(np.log2(max_span + 1))))
+
+
+def lower_bound_routed(
+    keys: U64,
+    router: jnp.ndarray,
+    q: U64,
+    rounds: int,
+    bits: int = ROUTER_BITS,
+    key_bits: int = 62,
+) -> jnp.ndarray:
+    """Router-accelerated lower bound: O(log2(max bucket)) gather rounds
+    instead of O(log2 N)."""
+    n = keys.hi.shape[0]
+    # the top `bits` bits of a key_bits-wide key fit in the low limb
+    pfx = u64.shr(q, key_bits - bits).lo.astype(jnp.int32)
+    pos = router[pfx]
+    size = router[pfx + 1] - pos
+    for _ in range(rounds):
+        half = size >> 1
+        mid = pos + half
+        idx = jnp.minimum(mid, n - 1)
+        k_at = U64(keys.hi[idx], keys.lo[idx])
+        less = u64.ltu(k_at, q) & (size > 0)
+        pos = jnp.where(less, mid + 1, pos)
+        size = jnp.where(less, size - half - 1, half)
+    return pos
+
+
 def lower_bound(keys: U64, q: U64) -> jnp.ndarray:
     """Index of the first key >= q (vectorised over q's shape)."""
     n = keys.hi.shape[0]
@@ -52,6 +102,21 @@ def lookup_taxa(keys: U64, taxa: jnp.ndarray, q: U64) -> jnp.ndarray:
     if n == 0:
         return jnp.zeros(q.hi.shape, jnp.int32)
     pos = lower_bound(keys, q)
+    idx = jnp.minimum(pos, n - 1)
+    k_at = U64(keys.hi[idx], keys.lo[idx])
+    found = (pos < n) & u64.eq(k_at, q)
+    return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def lookup_taxa_routed(
+    keys: U64, taxa: jnp.ndarray, router: jnp.ndarray, q: U64, rounds: int
+) -> jnp.ndarray:
+    """Router-accelerated lookup_taxa."""
+    n = keys.hi.shape[0]
+    if n == 0:
+        return jnp.zeros(q.hi.shape, jnp.int32)
+    pos = lower_bound_routed(keys, router, q, rounds)
     idx = jnp.minimum(pos, n - 1)
     k_at = U64(keys.hi[idx], keys.lo[idx])
     found = (pos < n) & u64.eq(k_at, q)

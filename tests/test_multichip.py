@@ -56,7 +56,8 @@ def test_ring_matches_single_device(rng):
     from slacken_tpu.classify import _classify_kernel
 
     wt_1, nd_1, ch_1, res_1 = _classify_kernel(
-        codes, kh, kl, idx.taxa, t.parents, mp, 16, max_path
+        codes, kh, kl, idx.taxa, idx.device_router, t.parents, mp, 16, max_path,
+        idx.router_rounds,
     )
 
     assert np.array_equal(np.asarray(wt_p), np.asarray(wt_1))
