@@ -155,6 +155,9 @@ def cmd_build(args):
     lib = GenomeLibrary.from_directory(args.library)
     print(f"Discovered {len(lib.files)} genome files")
     if args.check:
+        from .inputs import check_input
+
+        check_input(lib, args.k)
         stats = lib.input_stats(tax)
         print(json.dumps(stats, indent=2))
         return 0

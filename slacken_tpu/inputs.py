@@ -233,3 +233,34 @@ class GenomeLibrary:
             "defined_taxa": len(defined),
             "undefined_taxa": len(distinct - defined),
         }
+
+
+def check_input(library: "GenomeLibrary", k: int) -> List[str]:
+    """Report sequences that would produce no minimizers — i.e. with no
+    valid run of at least k bases (KeyValueIndex.checkInput,
+    KeyValueIndex.scala:56-76)."""
+    import numpy as np
+
+    from .ops import encode
+
+    bad = []
+    for _, header, seq in library.sequences():
+        codes = encode.encode_seq(seq)
+        valid = codes < 4
+        if len(valid) < k:
+            bad.append(header)
+            continue
+        # longest valid run via cumulative reset counting
+        idx = np.arange(len(valid))
+        reset = np.where(~valid, idx, -1)
+        last_reset = np.maximum.accumulate(reset)
+        run = idx - last_reset
+        if int(run.max()) < k:
+            bad.append(header)
+    if bad:
+        print(f"Some input sequences had no minimizers (total {len(bad)}):")
+        for h in bad[:20]:
+            print(f"  {h}")
+    else:
+        print("Input sequences checked, all had minimizers.")
+    return bad
