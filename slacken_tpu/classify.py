@@ -267,6 +267,20 @@ class Classifier:
 
     def _run_batch(self, frags: List[Fragment], bucket: int) -> _BatchResult:
         codes, splits = self._pack_rows(frags, bucket)
+        titles = [f.title for f in frags]
+        row_lens = [
+            len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0) for f in frags
+        ]
+        return self._run_codes(codes, titles, splits, row_lens)
+
+    def _run_codes(
+        self,
+        codes: np.ndarray,
+        titles: List[str],
+        splits: List[Optional[int]],
+        row_lens: List[int],
+    ) -> _BatchResult:
+        bucket = codes.shape[1]
         # pad the row count to a power of two (full batches arrive at the
         # fixed rows_target already) so only O(log) shapes ever compile
         b_fixed = 8
@@ -289,11 +303,8 @@ class Classifier:
             self.max_path,
             idx.router_rounds,
         )
-        n = len(frags)
+        n = len(titles)
         k = idx.params.k
-        row_lens = [
-            len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0) for f in frags
-        ]
         # ambiguous pseudo-kmer accounting: only rows that actually contain
         # invalid bases inside their content need the run scan
         total = (np.asarray(ch.n_hit_kmers) + np.asarray(ch.n_none_kmers))[:n].astype(np.int64)
@@ -305,7 +316,7 @@ class Classifier:
             total[i] += _ambig_kmers(codes[i], splits[i], row_lens[i], k)
 
         return _BatchResult(
-            titles=[f.title for f in frags],
+            titles=titles,
             window_taxa=window_taxa,  # device array; transferred lazily
             codes=codes[:n],
             mate_split=splits,
@@ -338,6 +349,28 @@ class Classifier:
         for bucket, lst in pending.items():
             if lst:
                 yield self._run_batch(lst, bucket)
+
+    def packed_batches(self, packed_iter):
+        """Run pre-packed code batches (native.PackedReads) through the
+        device pipeline — the zero-copy fast path fed by the C++ parser."""
+        for packed in packed_iter:
+            rows = self._rows_target(packed.codes.shape[1])
+            n = len(packed)
+            for start in range(0, n, rows):
+                end = min(start + rows, n)
+                yield self._run_codes(
+                    np.ascontiguousarray(packed.codes[start:end]),
+                    packed.titles[start:end],
+                    [None] * (end - start),
+                    [int(x) for x in packed.lengths[start:end]],
+                )
+
+    def classify_packed(self, packed_iter, cpar: ClassifyParams):
+        results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
+        for batch in self.packed_batches(packed_iter):
+            for t in cpar.thresholds:
+                results[t].extend(self.finalize(batch, t, cpar))
+        return results
 
     # -- per-threshold finalisation -----------------------------------------
 

@@ -264,3 +264,34 @@ def check_input(library: "GenomeLibrary", k: int) -> List[str]:
     else:
         print("Input sequences checked, all had minimizers.")
     return bad
+
+
+def packed_reads_from_file(path: str, chunk_bytes: int = 64 << 20, row_len: Optional[int] = None):
+    """Stream a FASTQ/FASTA file as native-packed code batches
+    (native.PackedReads) — the fast path for classification input."""
+    from . import native
+
+    if is_fastq(path):
+        with open_maybe_compressed(path, "rb") as f:
+            tail = b""
+            while True:
+                chunk = f.read(chunk_bytes)
+                if not chunk:
+                    break
+                buf = tail + chunk
+                packed, consumed = native.pack_fastq_chunk(buf, row_len)
+                tail = buf[consumed:]
+                if len(packed):
+                    yield packed
+            if tail.strip():
+                packed, _ = native.pack_fastq_chunk(
+                    tail if tail.endswith(b"\n") else tail + b"\n", row_len
+                )
+                if len(packed):
+                    yield packed
+    else:
+        with open_maybe_compressed(path, "rb") as f:
+            data = f.read()
+        packed = native.pack_fasta_chunk(data, row_len)
+        if len(packed):
+            yield packed

@@ -1,0 +1,220 @@
+"""ctypes bindings for the native C++ IO layer (native/packer.cpp).
+
+The shared library is built on demand with g++ (cached next to the source).
+Every entry point has a numpy fallback so the package works without a
+compiler; `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_HERE, "native", "packer.cpp")
+_LIB_PATH = os.path.join(_HERE, "native", "libslackenio.so")
+
+_lib = None
+_tried = False
+
+
+def _build_lib() -> Optional[str]:
+    if not os.path.exists(_SRC):
+        return None
+    if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    path = _build_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    lib.stpu_encode.argtypes = [ctypes.c_char_p, i64, p_u8]
+    lib.stpu_fastq_scan.argtypes = [ctypes.c_char_p, i64, p_i64, p_i64]
+    lib.stpu_fastq_scan.restype = i64
+    lib.stpu_fastq_fill.argtypes = [ctypes.c_char_p, i64, i64, i64, p_u8, p_i32, p_i64, p_i32]
+    lib.stpu_fastq_fill.restype = i64
+    lib.stpu_fasta_scan.argtypes = [ctypes.c_char_p, i64, p_i64, p_i64]
+    lib.stpu_fasta_scan.restype = i64
+    lib.stpu_fasta_fill.argtypes = [ctypes.c_char_p, i64, i64, i64, p_u8, p_i32, p_i64, p_i32]
+    lib.stpu_fasta_fill.restype = i64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as_ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+class PackedReads:
+    """A parsed chunk: codes [n, row_len] uint8, true lengths, titles."""
+
+    def __init__(self, codes, lengths, titles):
+        self.codes = codes
+        self.lengths = lengths
+        self.titles = titles
+
+    def __len__(self):
+        return len(self.lengths)
+
+
+def pack_fastq_chunk(buf: bytes, row_len: Optional[int] = None) -> Tuple[PackedReads, int]:
+    """Parse a FASTQ byte chunk (starting at a record boundary).
+
+    Returns (packed reads, consumed byte count); the unconsumed tail belongs
+    to the next chunk. Falls back to a pure-Python parse when the native
+    library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return _pack_fastq_py(buf, row_len)
+    n_records = ctypes.c_int64()
+    max_len = ctypes.c_int64()
+    consumed = lib.stpu_fastq_scan(buf, len(buf), ctypes.byref(n_records), ctypes.byref(max_len))
+    if consumed < 0:
+        raise ValueError("malformed FASTQ chunk")
+    n = n_records.value
+    L = row_len or _round_up(max_len.value)
+    codes = np.empty((n, L), np.uint8)
+    lengths = np.empty(n, np.int32)
+    t_off = np.empty(n, np.int64)
+    t_len = np.empty(n, np.int32)
+    if n:
+        lib.stpu_fastq_fill(
+            buf,
+            consumed,
+            n,
+            L,
+            _as_ptr(codes, ctypes.c_uint8),
+            _as_ptr(lengths, ctypes.c_int32),
+            _as_ptr(t_off, ctypes.c_int64),
+            _as_ptr(t_len, ctypes.c_int32),
+        )
+    titles = [buf[o : o + l].decode("ascii", "replace") for o, l in zip(t_off, t_len)]
+    return PackedReads(codes, lengths, titles), consumed
+
+
+def pack_fasta_chunk(buf: bytes, row_len: Optional[int] = None) -> PackedReads:
+    """Parse a whole FASTA byte buffer."""
+    lib = _load()
+    if lib is None:
+        return _pack_fasta_py(buf, row_len)
+    n_records = ctypes.c_int64()
+    max_len = ctypes.c_int64()
+    lib.stpu_fasta_scan(buf, len(buf), ctypes.byref(n_records), ctypes.byref(max_len))
+    n = n_records.value
+    L = row_len or _round_up(max_len.value)
+    codes = np.empty((n, L), np.uint8)
+    lengths = np.empty(n, np.int32)
+    t_off = np.empty(n, np.int64)
+    t_len = np.empty(n, np.int32)
+    if n:
+        rc = lib.stpu_fasta_fill(
+            buf,
+            len(buf),
+            n,
+            L,
+            _as_ptr(codes, ctypes.c_uint8),
+            _as_ptr(lengths, ctypes.c_int32),
+            _as_ptr(t_off, ctypes.c_int64),
+            _as_ptr(t_len, ctypes.c_int32),
+        )
+        if rc != 0:
+            raise ValueError("malformed FASTA buffer")
+    titles = [buf[o : o + l].decode("ascii", "replace") for o, l in zip(t_off, t_len)]
+    return PackedReads(codes, lengths, titles)
+
+
+def encode_bytes(data: bytes) -> np.ndarray:
+    lib = _load()
+    out = np.empty(len(data), np.uint8)
+    if lib is None:
+        from .ops.encode import CODE_LUT
+
+        return CODE_LUT[np.frombuffer(data, np.uint8)]
+    lib.stpu_encode(data, len(data), _as_ptr(out, ctypes.c_uint8))
+    return out
+
+
+def _round_up(n: int, m: int = 128) -> int:
+    return max(m, ((n + m - 1) // m) * m)
+
+
+# -- python fallbacks --------------------------------------------------------
+
+
+def _pack_fastq_py(buf: bytes, row_len):
+    from .ops.encode import CODE_LUT
+
+    lines = buf.split(b"\n")
+    n_complete = (len(lines) - 1) // 4  # last element may be partial
+    titles, seqs = [], []
+    consumed = 0
+    for i in range(n_complete):
+        h, s = lines[4 * i], lines[4 * i + 1]
+        titles.append(h[1:].decode("ascii", "replace"))
+        seqs.append(s)
+        consumed += len(h) + len(s) + len(lines[4 * i + 2]) + len(lines[4 * i + 3]) + 4
+    L = row_len or _round_up(max((len(s) for s in seqs), default=0))
+    codes = np.full((len(seqs), L), 4, np.uint8)
+    lengths = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        c = CODE_LUT[np.frombuffer(s, np.uint8)]
+        codes[i, : min(len(c), L)] = c[:L]
+        lengths[i] = len(c)
+    return PackedReads(codes, lengths, titles), consumed
+
+
+def _pack_fasta_py(buf: bytes, row_len):
+    from .ops.encode import CODE_LUT
+
+    titles, seqs = [], []
+    cur: List[bytes] = []
+    for line in buf.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if line.startswith(b">"):
+            if titles:
+                seqs.append(b"".join(cur))
+            titles.append(line[1:].decode("ascii", "replace"))
+            cur = []
+        elif line:
+            cur.append(line)
+    if titles:
+        seqs.append(b"".join(cur))
+    L = row_len or _round_up(max((len(s) for s in seqs), default=0))
+    codes = np.full((len(seqs), L), 4, np.uint8)
+    lengths = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        c = CODE_LUT[np.frombuffer(s, np.uint8)]
+        codes[i, : min(len(c), L)] = c[:L]
+        lengths[i] = len(c)
+    return PackedReads(codes, lengths, titles)
