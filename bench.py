@@ -38,7 +38,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/slacken_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)

@@ -134,7 +134,7 @@ def _build_parser():
 def main(argv=None):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/slacken_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     args = _build_parser().parse_args(argv)
     t0 = time.time()

@@ -107,6 +107,46 @@ def _scan_batch(codes, params: MinimizerParams):
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _build_batch_kernel(codes, taxa_rows, parents, params: MinimizerParams, max_path: int, cap: int):
+    """Fused build step on device: minimizer scan -> flatten span records ->
+    sort by (key, taxon) -> per-key LCA reduce -> compacted unique records.
+
+    Only the deduplicated (key, LCA) pairs leave the device (the reference
+    ships every raw record through a Spark shuffle; here a single chip sorts
+    and reduces its whole batch locally and the host only merges sorted
+    unique runs)."""
+    wm = window_minimizers(codes, params)
+    b, l = codes.shape
+    n = b * l
+    hi = wm.minimizer.hi.reshape(n)
+    lo = wm.minimizer.lo.reshape(n)
+    start = wm.span_start.reshape(n)
+    taxon = jnp.broadcast_to(jnp.asarray(taxa_rows, jnp.int32)[:, None], (b, l)).reshape(n)
+
+    # sentinel-key invalid entries sort to the end (real keys are <= 62 bits)
+    sent = jnp.uint32(0xFFFFFFFF)
+    khi = jnp.where(start, hi, sent)
+    klo = jnp.where(start, lo, sent)
+    ktax = jnp.where(start, taxon, 0)
+    shi, slo, stax = jax.lax.sort((khi, klo, ktax), num_keys=3)
+
+    valid = shi < jnp.uint32(0x40000000)
+    prev_hi = jnp.concatenate([sent[None], shi[:-1]])
+    prev_lo = jnp.concatenate([sent[None], slo[:-1]])
+    key_new = valid & ((shi != prev_hi) | (slo != prev_lo))
+    run_id = jnp.cumsum(key_new) - 1
+
+    red = lca_ops.segment_lca(run_id, jnp.where(valid, stax, 0), parents, max_path)
+
+    count = jnp.sum(key_new)
+    out_idx = jnp.where(key_new, run_id, cap)
+    out_hi = jnp.zeros(cap, jnp.uint32).at[out_idx].set(shi, mode="drop")
+    out_lo = jnp.zeros(cap, jnp.uint32).at[out_idx].set(slo, mode="drop")
+    out_tax = jnp.zeros(cap, jnp.int32).at[out_idx].set(red[run_id], mode="drop")
+    return out_hi, out_lo, out_tax, count
+
+
 def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams):
     """Scan packed fragments [B, L] and return (keys uint64 [R], taxa int32 [R])
     — one record per super-mer span, tagged with the fragment's taxon
@@ -269,13 +309,36 @@ class KeyValueIndex:
         collector = RecordCollector()
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
+        parents_dev = jnp.asarray(taxonomy.parents)
+        max_path = taxonomy.max_path_len
+        # spans occupy ~1/3 of positions on typical DNA; cap at 1/2 with a
+        # raw-records fallback on overflow
+        cap = (batch_rows * row_len) // 2
 
         def flush():
             if not buf_seqs:
                 return
             codes, _ = encode.pack_batch(buf_seqs, row_len)
-            k, t = spans_to_records(codes, np.array(buf_taxa, np.int32), mp)
-            collector.add(k, t)
+            taxa_rows = np.zeros(batch_rows, np.int32)
+            taxa_rows[: len(buf_taxa)] = buf_taxa
+            if codes.shape[0] < batch_rows:
+                pad = np.full(
+                    (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
+                )
+                codes = np.concatenate([codes, pad], axis=0)
+            hi, lo, tax, count = _build_batch_kernel(
+                codes, taxa_rows, parents_dev, mp, max_path, cap
+            )
+            count = int(count)
+            if count > cap:
+                # dense-span batch: fall back to raw record extraction
+                k, t = spans_to_records(codes, taxa_rows, mp)
+                collector.add(k, t)
+            else:
+                hi = np.asarray(hi[:count])
+                lo = np.asarray(lo[:count])
+                keys = (hi.astype(np.uint64) << np.uint64(32)) | lo
+                collector.add(keys, np.asarray(tax[:count]))
             buf_seqs.clear()
             buf_taxa.clear()
 
