@@ -89,9 +89,7 @@ def _classify_kernel(
     mp: MinimizerParams, max_taxa: int, max_path: int, rounds: int
 ):
     wm = window_minimizers(codes, mp)
-    looked = lookup_ops.lookup_taxa_routed(
-        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds
-    )
+    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds)
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
     # (Classifier.scala:92-95)
@@ -101,6 +99,45 @@ def _classify_kernel(
     ch = compact_hits(window_taxa, max_taxa)
     res = resolve_hits(ch.taxa, ch.counts, parents, max_path)
     return window_taxa, num_distinct, ch, res
+
+
+def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds):
+    """Probe the index once per super-mer span instead of once per window.
+
+    All windows of a span share one minimizer (by construction), so span-start
+    minimizers are compacted into a buffer of static size ~0.4*positions
+    (spans occupy ~1/3 of window positions for W = k-m+1 = 5), probed, and
+    scattered back via the span-id map. Overflowing batches (pathological
+    reads where nearly every window starts a span) fall back to probing every
+    position.
+    """
+    b, l = wm.valid.shape
+    n = b * l
+    cap = max(256, (2 * n) // 5)
+    start = wm.span_start.reshape(n)
+    hi = wm.minimizer.hi.reshape(n)
+    lo = wm.minimizer.lo.reshape(n)
+    sid = jnp.cumsum(start) - 1
+    n_spans = sid[-1] + 1
+
+    keys = u64.U64(keys_hi, keys_lo)
+
+    def compacted(_):
+        q_idx = jnp.where(start, sid, cap)
+        sent = jnp.uint32(0xFFFFFFFF)
+        q_hi = jnp.full(cap, sent).at[q_idx].set(hi, mode="drop")
+        q_lo = jnp.full(cap, sent).at[q_idx].set(lo, mode="drop")
+        probed = lookup_ops.lookup_taxa_routed(
+            keys, key_taxa, router, u64.U64(q_hi, q_lo), rounds
+        )
+        return probed[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
+
+    def full(_):
+        return lookup_ops.lookup_taxa_routed(
+            keys, key_taxa, router, wm.minimizer, rounds
+        )
+
+    return jax.lax.cond(n_spans > cap, full, compacted, operand=None)
 
 
 # ---------------------------------------------------------------------------

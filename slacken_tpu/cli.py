@@ -67,6 +67,11 @@ def _build_parser():
     b.add_argument("-s", "--spaces", type=int, default=7, help="spaced seed spaces (default 7)")
     b.add_argument("-p", "--partitions", type=int, default=200, help="shard count hint")
     b.add_argument("--check", action="store_true", help="Only check input files for consistency")
+    b.add_argument(
+        "--full-records",
+        action="store_true",
+        help="Also store the full (minimizer, taxon) records, enabling fast dynamic (classify2) rebuilds",
+    )
 
     c = sub.add_parser("classify", help="Classify genomic sequences")
     _add_classify_opts(c)
@@ -163,7 +168,9 @@ def cmd_build(args):
         return 0
 
     params = IndexParams(k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions)
-    idx = KeyValueIndex.build(lib.taxa_sequences(), params, tax)
+    idx = KeyValueIndex.build(
+        lib.taxa_sequences(), params, tax, keep_records=getattr(args, "full_records", False)
+    )
     idx.save(args.index)
     print(f"Saved {len(idx.keys)} records to {args.index}")
     _show_index_stats(idx)

@@ -262,12 +262,16 @@ class Dynamic:
             taxon_set = self.find_taxon_set(fragments, self.output + "_taxonSet.txt")
 
         t = Timer("Build dynamic index")
-        dynamic = KeyValueIndex.build(
-            self.genomes.taxa_sequences(),
-            self.base.params,
-            self.taxonomy,
-            taxon_filter=taxon_set,
-        )
+        if self.base.record_keys is not None:
+            # fast path: filter + re-reduce the base index's full records
+            dynamic = self.base.build_restricted(taxon_set)
+        else:
+            dynamic = KeyValueIndex.build(
+                self.genomes.taxa_sequences(),
+                self.base.params,
+                self.taxonomy,
+                taxon_filter=taxon_set,
+            )
         t.finish()
         return dynamic, taxon_set
 

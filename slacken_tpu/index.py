@@ -107,15 +107,15 @@ def _scan_batch(codes, params: MinimizerParams):
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _build_batch_kernel(codes, taxa_rows, parents, params: MinimizerParams, max_path: int, cap: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int):
     """Fused build step on device: minimizer scan -> flatten span records ->
-    sort by (key, taxon) -> per-key LCA reduce -> compacted unique records.
+    sort by (key, taxon) -> pair-dedup -> compacted distinct records.
 
-    Only the deduplicated (key, LCA) pairs leave the device (the reference
-    ships every raw record through a Spark shuffle; here a single chip sorts
-    and reduces its whole batch locally and the host only merges sorted
-    unique runs)."""
+    Only distinct (key, taxon) pairs leave the device (the reference ships
+    every raw record through a Spark shuffle; here the chip sorts and
+    deduplicates its whole batch locally and the host merges sorted runs).
+    The cross-taxon LCA reduction happens once, globally, in reduce_records."""
     wm = window_minimizers(codes, params)
     b, l = codes.shape
     n = b * l
@@ -134,16 +134,15 @@ def _build_batch_kernel(codes, taxa_rows, parents, params: MinimizerParams, max_
     valid = shi < jnp.uint32(0x40000000)
     prev_hi = jnp.concatenate([sent[None], shi[:-1]])
     prev_lo = jnp.concatenate([sent[None], slo[:-1]])
-    key_new = valid & ((shi != prev_hi) | (slo != prev_lo))
-    run_id = jnp.cumsum(key_new) - 1
+    prev_tax = jnp.concatenate([jnp.full((1,), -1, jnp.int32), stax[:-1]])
+    pair_new = valid & ((shi != prev_hi) | (slo != prev_lo) | (stax != prev_tax))
+    pair_id = jnp.cumsum(pair_new) - 1
 
-    red = lca_ops.segment_lca(run_id, jnp.where(valid, stax, 0), parents, max_path)
-
-    count = jnp.sum(key_new)
-    out_idx = jnp.where(key_new, run_id, cap)
+    count = jnp.sum(pair_new)
+    out_idx = jnp.where(pair_new, pair_id, cap)
     out_hi = jnp.zeros(cap, jnp.uint32).at[out_idx].set(shi, mode="drop")
     out_lo = jnp.zeros(cap, jnp.uint32).at[out_idx].set(slo, mode="drop")
-    out_tax = jnp.zeros(cap, jnp.int32).at[out_idx].set(red[run_id], mode="drop")
+    out_tax = jnp.zeros(cap, jnp.int32).at[out_idx].set(stax, mode="drop")
     return out_hi, out_lo, out_tax, count
 
 
@@ -178,6 +177,19 @@ class RecordCollector:
         if not self._keys:
             return np.zeros(0, np.uint64), np.zeros(0, np.int32)
         return np.concatenate(self._keys), np.concatenate(self._taxa)
+
+
+def dedup_pairs(keys: np.ndarray, taxa: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Globally sort and deduplicate (key, taxon) pairs."""
+    if len(keys) == 0:
+        return keys, taxa
+    order = np.lexsort((taxa, keys))
+    keys = keys[order]
+    taxa = taxa[order]
+    new = np.empty(len(keys), bool)
+    new[0] = True
+    new[1:] = (keys[1:] != keys[:-1]) | (taxa[1:] != taxa[:-1])
+    return keys[new], taxa[new]
 
 
 def reduce_records(
@@ -249,6 +261,10 @@ class KeyValueIndex:
         self._device_taxa = None
         self._device_router = None
         self._router_rounds = None
+        #: optional full (minimizer, taxon) pair sidecar enabling dynamic
+        #: rebuilds without re-scanning the genome library
+        self.record_keys: Optional[np.ndarray] = None
+        self.record_taxa: Optional[np.ndarray] = None
 
     # -- device residency ---------------------------------------------------
 
@@ -295,6 +311,7 @@ class KeyValueIndex:
         batch_rows: int = 256,
         row_len: int = 1 << 16,
         taxon_filter: Optional[set] = None,
+        keep_records: bool = False,
     ) -> "KeyValueIndex":
         """Build from an iterable of (taxon, sequence) pairs.
 
@@ -309,8 +326,6 @@ class KeyValueIndex:
         collector = RecordCollector()
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
-        parents_dev = jnp.asarray(taxonomy.parents)
-        max_path = taxonomy.max_path_len
         # spans occupy ~1/3 of positions on typical DNA; cap at 1/2 with a
         # raw-records fallback on overflow
         cap = (batch_rows * row_len) // 2
@@ -326,9 +341,7 @@ class KeyValueIndex:
                     (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
                 )
                 codes = np.concatenate([codes, pad], axis=0)
-            hi, lo, tax, count = _build_batch_kernel(
-                codes, taxa_rows, parents_dev, mp, max_path, cap
-            )
+            hi, lo, tax, count = _build_batch_kernel(codes, taxa_rows, mp, cap)
             count = int(count)
             if count > cap:
                 # dense-span batch: fall back to raw record extraction
@@ -359,9 +372,14 @@ class KeyValueIndex:
                     flush()
         flush()
 
-        keys, taxa = collector.concat()
-        keys, taxa = reduce_records(keys, taxa, taxonomy)
-        return cls(keys, taxa, params, taxonomy)
+        pair_keys, pair_taxa = collector.concat()
+        pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+        keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+        idx = cls(keys, taxa, params, taxonomy)
+        if keep_records:
+            idx.record_keys = pair_keys
+            idx.record_taxa = pair_taxa
+        return idx
 
     # -- persistence --------------------------------------------------------
 
@@ -373,6 +391,9 @@ class KeyValueIndex:
             json.dump(meta, f, indent=2)
         np.save(os.path.join(location, "keys.npy"), self.keys)
         np.save(os.path.join(location, "taxa.npy"), self.taxa)
+        if self.record_keys is not None:
+            np.save(os.path.join(location, "record_keys.npy"), self.record_keys)
+            np.save(os.path.join(location, "record_taxa.npy"), self.record_taxa)
         self.taxonomy.save(os.path.join(location, "taxonomy"))
         self.location = location
 
@@ -384,10 +405,69 @@ class KeyValueIndex:
         taxa = np.load(os.path.join(location, "taxa.npy"), mmap_mode="r")
         if taxonomy is None:
             taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
-        return cls(keys, taxa, params, taxonomy, location)
+        idx = cls(keys, taxa, params, taxonomy, location)
+        rk = os.path.join(location, "record_keys.npy")
+        if os.path.exists(rk):
+            idx.record_keys = np.load(rk, mmap_mode="r")
+            idx.record_taxa = np.load(os.path.join(location, "record_taxa.npy"), mmap_mode="r")
+        return idx
 
     def with_records(self, keys: np.ndarray, taxa: np.ndarray) -> "KeyValueIndex":
         return KeyValueIndex(keys, taxa, self.params, self.taxonomy, self.location)
+
+    def build_restricted(self, taxon_set: set) -> "KeyValueIndex":
+        """Build a restricted (dynamic) index from the full-records sidecar
+        without re-scanning genomes — the fast path for 2-step
+        classification (SURVEY §7: cache per-genome minimizer sets to make
+        dynamic builds a filter+reduce; contrast KeyValueIndex.scala:102-113
+        which rebuilds from the library)."""
+        if self.record_keys is None:
+            raise ValueError("index was built/saved without full records")
+        mask = np.isin(np.asarray(self.record_taxa), np.fromiter(taxon_set, np.int32, len(taxon_set)))
+        keys = np.asarray(self.record_keys)[mask]
+        taxa = np.asarray(self.record_taxa)[mask]
+        keys, taxa = reduce_records(keys, taxa, self.taxonomy)
+        return KeyValueIndex(keys, taxa, self.params, self.taxonomy)
+
+    def save_sharded(self, location: str, n_shards: Optional[int] = None):
+        """Persist the index as `n_shards` contiguous key-range shards
+        (keys.<i>.npy / taxa.<i>.npy) so each host of a multi-host mesh can
+        load only its ranges — the analogue of the reference's bucketed
+        Parquet layout (KeyValueIndex.scala:125-139, `buckets` =
+        IndexParams.buckets)."""
+        n_shards = n_shards or self.params.buckets
+        os.makedirs(location, exist_ok=True)
+        bounds = np.linspace(0, len(self.keys), n_shards + 1).astype(np.int64)
+        meta = self.params.to_json()
+        meta["num_records"] = int(len(self.keys))
+        meta["shards"] = [int(bounds[i + 1] - bounds[i]) for i in range(n_shards)]
+        with open(os.path.join(location, "params.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        for i in range(n_shards):
+            np.save(os.path.join(location, f"keys.{i:05d}.npy"), self.keys[bounds[i] : bounds[i + 1]])
+            np.save(os.path.join(location, f"taxa.{i:05d}.npy"), self.taxa[bounds[i] : bounds[i + 1]])
+        self.taxonomy.save(os.path.join(location, "taxonomy"))
+
+    @classmethod
+    def load_shards(
+        cls, location: str, shard_ids: Optional[List[int]] = None, taxonomy: Optional[Taxonomy] = None
+    ) -> "KeyValueIndex":
+        """Load a subset of shards (default: all) from a sharded layout.
+        Hosts in a mesh pass their own shard id ranges."""
+        with open(os.path.join(location, "params.json")) as f:
+            meta = json.load(f)
+        params = IndexParams.from_json(meta)
+        n_shards = len(meta["shards"])
+        ids = shard_ids if shard_ids is not None else list(range(n_shards))
+        keys = np.concatenate(
+            [np.load(os.path.join(location, f"keys.{i:05d}.npy"), mmap_mode="r") for i in ids]
+        ) if ids else np.zeros(0, np.uint64)
+        taxa = np.concatenate(
+            [np.load(os.path.join(location, f"taxa.{i:05d}.npy"), mmap_mode="r") for i in ids]
+        ) if ids else np.zeros(0, np.int32)
+        if taxonomy is None:
+            taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
+        return cls(keys, taxa, params, taxonomy, location)
 
     # -- tooling ------------------------------------------------------------
 

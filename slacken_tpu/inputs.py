@@ -200,14 +200,24 @@ class GenomeLibrary:
     def taxon_of(self, header: str) -> Optional[int]:
         return self.labels.get(header.split()[0] if header else header)
 
-    def sequences(self) -> Iterator[Tuple[int, str, str]]:
+    def sequences(self, max_chunk: Optional[int] = None, k: int = 35) -> Iterator[Tuple[int, str, str]]:
         """Yield (taxon, header, sequence) for labelled sequences
-        (GenomeLibrary.joinSequencesAndLabels, GenomeLibrary.scala:50-57)."""
+        (GenomeLibrary.joinSequencesAndLabels, GenomeLibrary.scala:50-57).
+        Files with a .fai index are streamed in overlapped chunks so huge
+        genomes never reside in memory whole."""
         for path in self.files:
-            for header, seq in read_fasta(path):
-                taxon = self.taxon_of(header)
-                if taxon is not None:
-                    yield taxon, header, seq
+            if has_fai(path) and not path.endswith((".gz", ".bz2")):
+                for header, seq, off in read_fasta_indexed(
+                    path, max_chunk or DEFAULT_MAX_FRAGMENT, k
+                ):
+                    taxon = self.labels.get(header)
+                    if taxon is not None:
+                        yield taxon, header, seq
+            else:
+                for header, seq in read_fasta(path):
+                    taxon = self.taxon_of(header)
+                    if taxon is not None:
+                        yield taxon, header, seq
 
     def taxa_sequences(self) -> Iterator[Tuple[int, str]]:
         for taxon, _, seq in self.sequences():
@@ -295,3 +305,45 @@ def packed_reads_from_file(path: str, chunk_bytes: int = 64 << 20, row_len: Opti
         packed = native.pack_fasta_chunk(data, row_len)
         if len(packed):
             yield packed
+
+
+def read_fai(path: str):
+    """Parse a samtools .fai index: name -> (length, offset, linebases, linewidth)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 5:
+                out[parts[0]] = (int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4]))
+    return out
+
+
+def read_fasta_indexed(path: str, max_chunk: int = DEFAULT_MAX_FRAGMENT, k: int = 35):
+    """Stream (header, sequence chunk, 0-based offset) from an indexed FASTA
+    without holding whole genomes in memory; consecutive chunks of one
+    sequence overlap by k-1 so no k-mer window is lost (the analogue of the
+    reference's overlapped fastdoop splits, IndexedFastaReader.scala:96-120).
+
+    Requires `<path>.fai`. Headers are the .fai name column (the first
+    header token).
+    """
+    fai = read_fai(path + ".fai")
+    with open(path, "rb") as f:
+        for name, (length, offset, linebases, linewidth) in fai.items():
+            start = 0
+            while start < max(length - k + 1, 1):
+                end = min(start + max_chunk, length)
+                # translate sequence coords to file coords (newline compensation)
+                fstart = offset + (start // linebases) * linewidth + (start % linebases)
+                fend = offset + ((end - 1) // linebases) * linewidth + ((end - 1) % linebases) + 1
+                f.seek(fstart)
+                raw = f.read(fend - fstart)
+                seq = raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii", "replace")
+                yield name, seq, start
+                if end >= length:
+                    break
+                start = end - (k - 1)
+
+
+def has_fai(path: str) -> bool:
+    return os.path.exists(path + ".fai")

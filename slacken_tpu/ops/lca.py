@@ -43,16 +43,22 @@ def real_depths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.n
     return jnp.sum(p != NONE, axis=-1).astype(jnp.int32) - 1
 
 
-def root_aligned_paths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
-    """rpath[..., d] = ancestor of taxon at real depth d, or -1 if the taxon
-    sits above depth d (or is NONE)."""
-    p = paths(taxa, parents, max_path)  # [..., D], self first
+def root_aligned_from_paths(p: jnp.ndarray) -> jnp.ndarray:
+    """Convert self-aligned paths [..., D] to root-aligned form without new
+    parent gathers."""
+    max_path = p.shape[-1]
     depth = jnp.sum(p != NONE, axis=-1, keepdims=True) - 1  # [..., 1]
     d = jnp.arange(max_path, dtype=jnp.int32)
     idx = depth - d  # position in self-aligned path of the depth-d ancestor
     ok = (idx >= 0) & (d <= depth)
     gathered = jnp.take_along_axis(p, jnp.clip(idx, 0, max_path - 1), axis=-1)
     return jnp.where(ok, gathered, -1)
+
+
+def root_aligned_paths(taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int) -> jnp.ndarray:
+    """rpath[..., d] = ancestor of taxon at real depth d, or -1 if the taxon
+    sits above depth d (or is NONE)."""
+    return root_aligned_from_paths(paths(taxa, parents, max_path))
 
 
 @partial(jax.jit, static_argnums=(3,))

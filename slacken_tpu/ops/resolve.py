@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .lca import NONE, lca_of_rpath_set, paths, root_aligned_paths
+from .lca import NONE, lca_of_rpath_set, paths, root_aligned_from_paths, root_aligned_paths
 
 INT_MAX = 2**31 - 1
 
@@ -88,23 +88,49 @@ class ResolveResult(NamedTuple):
 def resolve_hits(
     taxa: jnp.ndarray, counts: jnp.ndarray, parents: jnp.ndarray, max_path: int
 ) -> ResolveResult:
-    """Batched resolveTree core. taxa/counts: [B, T] (0-padded)."""
+    """Batched resolveTree core. taxa/counts: [B, T], 0-padded and sorted
+    ascending per row (compact_hits emits this layout).
+
+    score(candidate j) = sum of counts over its root path restricted to the
+    hit set; membership is a per-row binary search over the sorted taxa list
+    (O(T * D * log T) per read instead of a T x T ancestor matrix).
+    """
     taxa = jnp.asarray(taxa, jnp.int32)
     counts = jnp.asarray(counts, jnp.int32)
+    b, t = taxa.shape
+
+    # sort rows ascending with pads (NONE) pushed to the top; compact_hits
+    # already emits this layout, so for the hot path this sort is a no-op
+    # pattern the compiler can elide cheaply (T is tiny).
+    sort_key = jnp.where(taxa != NONE, taxa, INT_MAX)
+    search, counts, taxa = jax.lax.sort((sort_key, counts, taxa), num_keys=1)
     present = taxa != NONE
 
-    # self-aligned paths [B, T, D] for the ancestor matrix
+    # self-aligned paths [B, T, D]
     p = paths(taxa, parents, max_path)
-    # anc[b, i, j] = taxa[i] is ancestor-or-self of taxa[j]
-    anc = jnp.any(p[:, None, :, :] == taxa[:, :, None, None], axis=-1) & present[:, :, None]
-    # score[j] = sum_i counts[i] * anc[i, j]   (resolveTree's root-path sums)
-    scores = jnp.einsum("bi,bij->bj", counts, anc.astype(jnp.int32))
+    flat = p.reshape(b, t * max_path)
+    # unrolled per-row lower_bound (vmapped jnp.searchsorted lowers to a slow
+    # scan; t is a small static power-of-two-ish bound)
+    pos = jnp.zeros_like(flat)
+    bit = 1
+    while bit * 2 <= t:
+        bit *= 2
+    while bit:
+        cand = pos + bit
+        idx = jnp.minimum(cand - 1, t - 1)
+        less = (cand <= t) & (jnp.take_along_axis(search, idx, axis=1) < flat)
+        pos = jnp.where(less, cand, pos)
+        bit >>= 1
+    pos_c = jnp.minimum(pos, t - 1)
+    hit = (jnp.take_along_axis(search, pos_c, axis=1) == flat) & (flat != NONE)
+    term = jnp.where(hit, jnp.take_along_axis(counts, pos_c, axis=1), 0)
+    scores = term.reshape(b, t, max_path).sum(axis=-1)
     scores = jnp.where(present, scores, 0)
 
     max_score = jnp.max(scores, axis=-1)
     tied = present & (scores == max_score[:, None]) & (max_score[:, None] > 0)
 
-    rp = root_aligned_paths(taxa, parents, max_path)  # [B, T, D]
+    rp = root_aligned_from_paths(p)  # [B, T, D]
     max_taxon = lca_of_rpath_set(rp, tied)  # [B]
 
     # clade scores along max_taxon's root-aligned path: node at depth d is an

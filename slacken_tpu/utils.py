@@ -1,0 +1,79 @@
+"""Timing and profiling utilities (SURVEY §5.1: keep the reference's
+named-task timer surface — Dynamic.scala:46-54 — and add jax.profiler
+traces)."""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+from typing import Dict, Optional
+
+
+class Timer:
+    """Named task timer, printing Start/Finish lines like the reference."""
+
+    def __init__(self, task: str, quiet: bool = False):
+        self.task = task
+        self.quiet = quiet
+        self.start = time.time()
+        self.elapsed: Optional[float] = None
+        if not quiet:
+            print(f"Start task: {task}", file=sys.stderr)
+
+    def finish(self) -> float:
+        self.elapsed = time.time() - self.start
+        if not self.quiet:
+            s = int(self.elapsed)
+            print(f"Finish task: {self.task} [{s // 60} min {s % 60} s]", file=sys.stderr)
+        return self.elapsed
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.finish()
+        return False
+
+
+class PhaseTimers:
+    """Accumulating per-phase wall-clock timers."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            dt = time.time() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self, file=None):
+        file = file or sys.stderr
+        for name in sorted(self.totals, key=lambda n: -self.totals[n]):
+            print(
+                f"  {name}: {self.totals[name]:.2f}s over {self.counts[name]} calls",
+                file=file,
+            )
+
+
+@contextlib.contextmanager
+def device_trace(trace_dir: Optional[str]):
+    """Capture a jax.profiler trace (viewable in TensorBoard/Perfetto) around
+    a block, when a directory is given."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {trace_dir}", file=sys.stderr)

@@ -120,3 +120,38 @@ def test_build_skips_undefined_and_filtered(rng):
     only = {genomes[0][0]}
     idx_f = KeyValueIndex.build(genomes, IndexParams(), t, taxon_filter=only)
     assert set(np.unique(idx_f.taxa).tolist()) <= only
+
+
+def test_full_records_sidecar(rng, tmp_path):
+    from slacken_tpu.index import KeyValueIndex as KVI
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=500)
+    idx = KVI.build(genomes, IndexParams(), t, keep_records=True)
+    assert idx.record_keys is not None
+    idx.save(str(tmp_path / "idx"))
+    idx2 = KVI.load(str(tmp_path / "idx"))
+    assert idx2.record_keys is not None
+
+    subset = {genomes[0][0], genomes[1][0]}
+    fast = idx2.build_restricted(subset)
+    direct = KVI.build(genomes, IndexParams(), t, taxon_filter=subset)
+    assert np.array_equal(fast.keys, direct.keys)
+    assert np.array_equal(fast.taxa, direct.taxa)
+
+
+def test_sharded_persistence(rng, tmp_path):
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=400)
+    idx = KeyValueIndex.build(genomes, IndexParams(buckets=4), t)
+    loc = str(tmp_path / "sharded")
+    idx.save_sharded(loc)
+    full = KeyValueIndex.load_shards(loc)
+    assert np.array_equal(full.keys, idx.keys)
+    assert np.array_equal(full.taxa, idx.taxa)
+    # single-shard load is a contiguous sorted range
+    part = KeyValueIndex.load_shards(loc, [1])
+    assert len(part.keys) > 0
+    assert np.all(np.diff(part.keys.astype(np.uint64)) > 0)
+    i0 = np.searchsorted(idx.keys, part.keys[0])
+    assert np.array_equal(idx.keys[i0 : i0 + len(part.keys)], part.keys)

@@ -152,3 +152,35 @@ def test_cli_respace(library_dir, capsys):
         ri = KeyValueIndex.load(str(base / f"re_s{s}"))
         assert ri.params.spaces == s
         assert len(ri.keys) > 0
+
+
+def test_indexed_fasta_streaming(tmp_path, rng):
+    from slacken_tpu import inputs
+
+    seqs = [("chr1", random_genome(rng, 5000)), ("chr2", random_genome(rng, 301))]
+    path = tmp_path / "g.fna"
+    width = 70
+    write_fasta(path, seqs, width=width)
+    # build a .fai: name, length, offset, linebases, linewidth
+    with open(path, "rb") as f:
+        data = f.read()
+    fai_lines = []
+    pos = 0
+    for name, s in seqs:
+        hdr = f">{name}\n".encode()
+        pos = data.index(hdr, pos) + len(hdr)
+        fai_lines.append(f"{name}\t{len(s)}\t{pos}\t{width}\t{width + 1}")
+    (tmp_path / "g.fna.fai").write_text("\n".join(fai_lines) + "\n")
+
+    k = 35
+    chunks = list(inputs.read_fasta_indexed(str(path), max_chunk=1024, k=k))
+    # reassemble: chunks overlap by k-1
+    by_name = {}
+    for name, seq, off in chunks:
+        cur = by_name.get(name, "")
+        assert cur[off:] == seq[: len(cur) - off]
+        by_name[name] = cur[:off] + seq
+    assert by_name == dict(seqs)
+    # every k-window appears in some chunk
+    for name, seq, off in chunks:
+        assert len(seq) >= k or len(dict(seqs)[name]) < k
