@@ -489,18 +489,26 @@ class Classifier:
                 results[t].extend(self.finalize(batch, t, cpar))
         return results
 
+    def classify_and_write_packed(
+        self, packed_iter, output_location: str, cpar: ClassifyParams
+    ) -> Dict[float, List[str]]:
+        """classify_and_write over native-packed batches (fast path)."""
+        results = self.classify_packed(packed_iter, cpar)
+        return self._write_results(results, output_location, cpar)
+
     def classify_and_write(
         self, fragments: Iterable[Fragment], output_location: str, cpar: ClassifyParams
     ) -> Dict[float, List[str]]:
         """Classify and write per-sample outputs + kreports per threshold
         (Classifier.scala:184-251). Returns {threshold: [sample ids]}."""
         results = self.classify(fragments, cpar)
+        return self._write_results(results, output_location, cpar)
+
+    def _write_results(self, results, output_location: str, cpar: ClassifyParams):
         out = {}
         for t, reads in results.items():
             loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
-            out[t] = write_per_sample_output(
-                reads, loc, cpar, self.index.taxonomy
-            )
+            out[t] = write_per_sample_output(reads, loc, cpar, self.index.taxonomy)
         return out
 
 

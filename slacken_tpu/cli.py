@@ -186,8 +186,19 @@ def cmd_classify(args):
     cpar = _cpar(args)  # validate before any heavy work
     idx = KeyValueIndex.load(args.index)
     cls = Classifier(idx)
-    frags = fragments_from_files(args.inputs, paired=args.paired, k=idx.params.k)
-    samples = cls.classify_and_write(frags, args.output, cpar)
+    from .inputs import expand_file_list, packed_reads_from_file
+
+    files = expand_file_list(args.inputs)
+    if not args.paired:
+        # native-packed fast path (single-end)
+        def packed_stream():
+            for path in files:
+                yield from packed_reads_from_file(path)
+
+        samples = cls.classify_and_write_packed(packed_stream(), args.output, cpar)
+    else:
+        frags = fragments_from_files(files, paired=True, k=idx.params.k)
+        samples = cls.classify_and_write(frags, args.output, cpar)
     for t, ss in samples.items():
         print(f"threshold {t}: samples {ss}")
     return 0
