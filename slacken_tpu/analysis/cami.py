@@ -46,3 +46,23 @@ class CAMIToKrakenReport:
             counts[taxon] = counts.get(taxon, 0) + 1
         pairs = [(t, c // 2) for t, c in sorted(counts.items())]
         KrakenReport(self.tax, pairs).write(location)
+
+
+def main(argv=None):
+    """CLI: taxonomy_dir min_rank mapping_file output_prefix
+    (CAMIToKrakenReport.main, CAMIToKrakenReport.scala:52-61)."""
+    import sys
+
+    argv = argv if argv is not None else sys.argv[1:]
+    tax_dir, min_rank, mapping, out = argv[0], argv[1], argv[2], argv[3]
+    from ..taxonomy import RANK_DEPTH, Taxonomy
+
+    tax = Taxonomy.load(tax_dir)
+    depth = RANK_DEPTH.get(min_rank.lower()) if min_rank.lower() != "root" else None
+    c2r = CAMIToKrakenReport(mapping, tax, depth)
+    c2r.write_filtered_report(f"{out}.kreport.txt")
+    c2r.write_filtered_ids(f"{out}.ids_filtered.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,13 @@ def shard_index_by_range(keys: np.ndarray, taxa: np.ndarray, n: int):
     return keys_p.reshape(n, -1), taxa_p.reshape(n, -1)
 
 
+def shard_routers(sharded_keys: np.ndarray):
+    """Per-shard prefix routers + the worst-case round count across shards."""
+    routers = np.stack([lookup_ops.build_router(k) for k in sharded_keys])
+    rounds = max(lookup_ops.router_rounds(r) for r in routers)
+    return routers, rounds
+
+
 def _window_scan(codes, mp):
     wm = window_minimizers(codes, mp)
     return wm
@@ -98,11 +105,12 @@ def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_p
     return jax.jit(shard)
 
 
-def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int):
+def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int, rounds: int = 32):
     """Classification with a range-sharded index and ring-rotated queries.
 
     fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n], key_taxa[n,N/n],
-    parents[M]) with codes and index both sharded over 'data'.
+    routers[n,R], parents[M]) with codes and index both sharded over 'data'.
+    `rounds` comes from shard_routers.
 
     Each of the n ring steps probes the local index shard with the visiting
     chip's queries, then forwards (queries, partial answers) to the next
@@ -110,13 +118,16 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: i
     """
     n = mesh.devices.size
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, parents):
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, parents):
         wm = _window_scan(codes, mp)
         keys = u64.U64(keys_hi[0], keys_lo[0])
         kt = key_taxa[0]
+        router = routers[0]
 
         def probe(q_hi, q_lo):
-            return lookup_ops.lookup_taxa(keys, kt, u64.U64(q_hi, q_lo))
+            return lookup_ops.lookup_taxa_routed(
+                keys, kt, router, u64.U64(q_hi, q_lo), rounds
+            )
 
         q_hi, q_lo = wm.minimizer.hi, wm.minimizer.lo
         acc = probe(q_hi, q_lo)
@@ -143,7 +154,7 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: i
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
         out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )

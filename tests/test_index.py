@@ -155,3 +155,26 @@ def test_sharded_persistence(rng, tmp_path):
     assert np.all(np.diff(part.keys.astype(np.uint64)) > 0)
     i0 = np.searchsorted(idx.keys, part.keys[0])
     assert np.array_equal(idx.keys[i0 : i0 + len(part.keys)], part.keys)
+
+
+def test_merged_dmp_canonicalization(rng):
+    """Labels carrying secondary (merged) taxon IDs are canonicalised to
+    primary IDs at build time (Taxonomy.primary, Taxonomy.scala:100-103)."""
+    t = random_taxonomy(rng)
+    real = next(x for x in t.taxa() if t.is_leaf(x))
+    # create a secondary alias for `real`
+    n = t.size
+    import numpy as np
+
+    primary = np.concatenate([t.primary, np.arange(n, n + 5, dtype=np.int32)])
+    parents = np.concatenate([t.parents, np.zeros(5, np.int32)])
+    rank_depth = np.concatenate([t.rank_depth, np.full(5, -128, np.int16)])
+    primary[n + 2] = real
+    from slacken_tpu.taxonomy import Taxonomy
+
+    t2 = Taxonomy(parents, rank_depth, t.names + [None] * 5, primary, None)
+    g = random_genome(rng, 400)
+    via_alias = KeyValueIndex.build([(n + 2, g)], IndexParams(), t2)
+    via_real = KeyValueIndex.build([(int(real), g)], IndexParams(), t2)
+    assert np.array_equal(via_alias.keys, via_real.keys)
+    assert np.array_equal(via_alias.taxa, via_real.taxa)

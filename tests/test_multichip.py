@@ -47,9 +47,11 @@ def test_ring_matches_single_device(rng):
     wt_p, nd_p, ch_p, res_p, counts_p = rep(codes, kh, kl, idx.taxa, t.parents)
 
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
-    ring = pmesh.classify_ring_fn(m, mp, 16, max_path)
+    routers, rounds = pmesh.shard_routers(sk)
+    ring = pmesh.classify_ring_fn(m, mp, 16, max_path, rounds)
     wt_r, nd_r, ch_r, res_r, counts_r = ring(
-        codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st, t.parents
+        codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
+        routers, t.parents
     )
 
     # single-device reference
