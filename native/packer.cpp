@@ -175,3 +175,131 @@ int64_t stpu_fasta_fill(const char* buf, int64_t n, int64_t n_records, int64_t r
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Per-read Kraken output strings (classify detailed mode).
+// Replicates classify.mate_hits + hits_to_strings: ordered (taxon, count)
+// runs with adjacent-equal merging, 'A' pseudo-hits for ambiguous char runs
+// >= k, the |:| mate border, and the "len" / "len1|len2" length string.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct HitWriter {
+    char* p;
+    char* start;
+    explicit HitWriter(char* dst) : p(dst), start(dst) {}
+    void put_ch(char c) { *p++ = c; }
+    void put_str(const char* s) { while (*s) *p++ = *s++; }
+    void put_int(int64_t v) {
+        if (v < 0) { *p++ = '-'; v = -v; }
+        char tmp[24];
+        int n = 0;
+        do { tmp[n++] = static_cast<char>('0' + v % 10); v /= 10; } while (v);
+        while (n) *p++ = tmp[--n];
+    }
+};
+
+// Emit hits for one mate slice [a, b); returns k-mer count of the mate.
+// `last_taxon`/`last_count` carry the pending run (for adjacent merging).
+int64_t emit_mate(const uint8_t* codes, const int32_t* wt, int64_t a, int64_t b,
+                  int64_t k, HitWriter& w, int64_t& last_taxon, int64_t& last_count,
+                  bool& have_last) {
+    int64_t mate_kmers = 0;
+    auto flush = [&]() {
+        if (have_last) {
+            if (w.p != w.start && w.p[-1] != '\t') w.put_ch(' ');
+            if (last_taxon == -1) w.put_ch('A');
+            else w.put_int(last_taxon);
+            w.put_ch(':');
+            w.put_int(last_count);
+            have_last = false;
+        }
+    };
+    auto add = [&](int64_t taxon, int64_t count) {
+        if (have_last && last_taxon == taxon) {
+            last_count += count;
+        } else {
+            flush();
+            last_taxon = taxon;
+            last_count = count;
+            have_last = true;
+        }
+    };
+    int64_t i = a;
+    while (i < b) {
+        bool valid = codes[i] < 4;
+        int64_t j = i;
+        while (j < b && (codes[j] < 4) == valid) j++;
+        int64_t run = j - i;
+        if (run >= k) {
+            if (valid) {
+                for (int64_t wpos = i; wpos <= j - k; wpos++) {
+                    add(wt[wpos], 1);
+                    mate_kmers++;
+                }
+            } else {
+                add(-1, run - k + 1);
+                mate_kmers += run - k + 1;
+            }
+        }
+        i = j;
+    }
+    flush();
+    return mate_kmers;
+}
+
+}  // namespace
+
+extern "C" {
+
+// For each row: write "<length_string>\t<hit_details>\n" into `out`.
+// splits[r] = -1 for single reads, else the R1 length (separator column at
+// that index). Returns total bytes written; offsets[r] = start of row r,
+// offsets[n_rows] = end.
+int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
+                       int64_t row_stride, const int64_t* splits,
+                       const int64_t* row_lens, int64_t k,
+                       char* out, int64_t* offsets) {
+    HitWriter w(out);
+    for (int64_t r = 0; r < n_rows; r++) {
+        offsets[r] = w.p - out;
+        w.start = w.p;
+        const uint8_t* c = codes + r * row_stride;
+        const int32_t* t = wt + r * row_stride;
+        int64_t last_taxon = 0, last_count = 0;
+        bool have_last = false;
+        int64_t len1, len2 = -1;
+        if (splits[r] < 0) {
+            len1 = emit_mate(c, t, 0, row_lens[r], k, w, last_taxon, last_count, have_last);
+        } else {
+            len1 = emit_mate(c, t, 0, splits[r], k, w, last_taxon, last_count, have_last);
+            // mate border: flush pending run, then emit |:|
+            if (have_last) {
+                if (w.p != w.start) w.put_ch(' ');
+                if (last_taxon == -1) w.put_ch('A'); else w.put_int(last_taxon);
+                w.put_ch(':'); w.put_int(last_count); have_last = false;
+            }
+            if (w.p != w.start) w.put_ch(' ');
+            w.put_str("|:|");
+            len2 = emit_mate(c, t, splits[r] + 1, row_lens[r], k, w, last_taxon, last_count, have_last);
+        }
+        // prepend-style: we must place length string BEFORE details; emit into
+        // a temp zone instead: simpler to append details first then lengths
+        // would break format. So: we wrote details already — relocate.
+        // To avoid memmove we write "<details>" first and store lengths at end
+        // separated by \x01; Python reorders. Simpler: write lengths after a
+        // \t marker; the Python wrapper splits on the LAST \t.
+        w.put_ch('\t');
+        w.put_int(len1 + (k - 1));
+        if (splits[r] >= 0) {
+            w.put_ch('|');
+            w.put_int(len2 + (k - 1));
+        }
+        w.put_ch('\n');
+    }
+    offsets[n_rows] = w.p - out;
+    return w.p - out;
+}
+
+}  // extern "C"

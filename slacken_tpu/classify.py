@@ -452,24 +452,32 @@ class Classifier:
 
         k = self.index.params.k
         if cpar.per_read_output:
-            wt_host = np.asarray(batch.window_taxa)
-            out = []
-            for i in range(n):
-                parts = _row_hit_parts(
-                    batch.codes[i], wt_host[i], batch.mate_split[i], batch.row_lens[i], k
-                )
-                details, length_string = hits_to_strings(parts, k)
-                out.append(
-                    ClassifiedRead(
-                        samples[i],
-                        bool(classified[i]),
-                        batch.titles[i],
-                        int(report_taxon[i]),
-                        length_string,
-                        details,
+            wt_host = np.asarray(batch.window_taxa)[:n]
+            from . import native
+
+            splits = np.array(
+                [-1 if s is None else s for s in batch.mate_split], np.int64
+            )
+            pairs = native.hit_lines(batch.codes[:n], wt_host, splits, batch.row_lens, k)
+            if pairs is None:
+                pairs = []
+                for i in range(n):
+                    parts = _row_hit_parts(
+                        batch.codes[i], wt_host[i], batch.mate_split[i], batch.row_lens[i], k
                     )
+                    details, length_string = hits_to_strings(parts, k)
+                    pairs.append((details, length_string))
+            return [
+                ClassifiedRead(
+                    samples[i],
+                    bool(classified[i]),
+                    batch.titles[i],
+                    int(report_taxon[i]),
+                    pairs[i][1],
+                    pairs[i][0],
                 )
-            return out
+                for i in range(n)
+            ]
         return [
             ClassifiedRead(samples[i], bool(classified[i]), batch.titles[i], int(report_taxon[i]), "", "")
             for i in range(n)

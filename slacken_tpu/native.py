@@ -63,6 +63,8 @@ def _load():
     lib.stpu_fasta_scan.restype = i64
     lib.stpu_fasta_fill.argtypes = [ctypes.c_char_p, i64, i64, i64, p_u8, p_i32, p_i64, p_i32]
     lib.stpu_fasta_fill.restype = i64
+    lib.stpu_hit_lines.argtypes = [p_u8, p_i32, i64, i64, p_i64, p_i64, i64, ctypes.c_char_p, p_i64]
+    lib.stpu_hit_lines.restype = i64
     _lib = lib
     return _lib
 
@@ -218,3 +220,39 @@ def _pack_fasta_py(buf: bytes, row_len):
         codes[i, : min(len(c), L)] = c[:L]
         lengths[i] = len(c)
     return PackedReads(codes, lengths, titles)
+
+
+def hit_lines(codes, window_taxa, splits, row_lens, k):
+    """Per-read (hit_details, length_string) pairs, C++-accelerated.
+    Returns None when the native library is unavailable (caller falls back).
+    codes: [B, L] uint8; window_taxa: [B, L] int32; splits: -1 or R1 length.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    wt = np.ascontiguousarray(window_taxa, np.int32)
+    b, l = codes.shape
+    splits_arr = np.asarray(splits, np.int64)
+    lens_arr = np.asarray(row_lens, np.int64)
+    cap = b * (l * 14 + 64)
+    out = ctypes.create_string_buffer(cap)
+    offsets = np.empty(b + 1, np.int64)
+    lib.stpu_hit_lines(
+        _as_ptr(codes, ctypes.c_uint8),
+        _as_ptr(wt, ctypes.c_int32),
+        b,
+        l,
+        _as_ptr(splits_arr, ctypes.c_int64),
+        _as_ptr(lens_arr, ctypes.c_int64),
+        k,
+        out,
+        _as_ptr(offsets, ctypes.c_int64),
+    )
+    raw = out.raw
+    result = []
+    for r in range(b):
+        row = raw[offsets[r] : offsets[r + 1] - 1].decode("ascii")  # strip \n
+        details, _, length = row.rpartition("\t")
+        result.append((details, length))
+    return result

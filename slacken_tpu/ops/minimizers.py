@@ -234,6 +234,11 @@ def window_minimizers(codes: jnp.ndarray, params: MinimizerParams) -> WindowMini
     not update lastMinimizer).
     """
     params.validate()
+    return window_minimizers_impl(codes, params)
+
+
+def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams) -> WindowMinimizers:
+    """Unjitted body of window_minimizers (shared with the Pallas kernel)."""
     prio, mmer_valid = priorities_at_starts(codes, params)
     win_min = sliding_min_u64(prio, params.window)
     win_valid = sliding_all(jnp.asarray(codes) < 4, params.k)
@@ -247,10 +252,9 @@ def window_minimizers(codes: jnp.ndarray, params: MinimizerParams) -> WindowMini
     span_start = win_valid & (~prev_valid | value_change)
 
     # distinct: compare with last valid window value strictly before i
-    # (carry-forward scan of the last valid minimizer value)
-    carry_hi, carry_lo, carry_has = jax.lax.associative_scan(
-        _carry_combine, (win_min.hi, win_min.lo, win_valid), axis=-1
-    )
+    # (carry-forward scan of the last valid minimizer value, implemented by
+    # doubling so it also lowers inside Pallas kernels)
+    carry_hi, carry_lo, carry_has = _carry_forward(win_min.hi, win_min.lo, win_valid)
     # shift right: state strictly before i
     before_hi = _unshift1(carry_hi)
     before_lo = _unshift1(carry_lo)
@@ -273,12 +277,30 @@ def _unshift_pair(x: U64) -> U64:
     return U64(_unshift1(x.hi), _unshift1(x.lo))
 
 
-def _carry_combine(a, b):
-    """Associative combine for 'last valid value' scan."""
-    a_hi, a_lo, a_has = a
-    b_hi, b_lo, b_has = b
-    return (
-        jnp.where(b_has, b_hi, a_hi),
-        jnp.where(b_has, b_lo, a_lo),
-        a_has | b_has,
-    )
+def _carry_forward(hi: jnp.ndarray, lo: jnp.ndarray, has: jnp.ndarray):
+    """Inclusive 'last valid value' scan along the last axis via doubling:
+    after ceil(log2 L) steps, position i holds the most recent (hi, lo) where
+    `has` was True at or before i."""
+    n = hi.shape[-1]
+    step = 1
+    while step < n:
+        ph = _shift_back(hi, step)
+        plo = _shift_back(lo, step)
+        phas = _shift_back_bool(has, step)
+        take_prev = ~has & phas
+        hi = jnp.where(take_prev, ph, hi)
+        lo = jnp.where(take_prev, plo, lo)
+        has = has | phas
+        step *= 2
+    return hi, lo, has
+
+
+def _shift_back(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """out[..., i] = x[..., i-d] (zero fill)."""
+    pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+
+def _shift_back_bool(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    pad = jnp.zeros(x.shape[:-1] + (d,), bool)
+    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
