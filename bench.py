@@ -82,8 +82,10 @@ def main():
     from slacken_tpu.inputs import packed_reads_from_file
 
     packed = list(packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq"))
+    # replicate the 10k-read sample for a steady-state throughput measurement
+    packed = packed * 8
     n_reads = sum(len(p) for p in packed)
-    print(f"{n_reads} reads loaded (native parse)", file=sys.stderr)
+    print(f"{n_reads} reads loaded (native parse, 8x replicated sample)", file=sys.stderr)
 
     cls = Classifier(idx, target_batch_bp=1 << 20)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)

@@ -83,10 +83,10 @@ class ClassifiedRead:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8))
 def _classify_kernel(
-    codes, keys_hi, keys_lo, key_taxa, router, parents,
-    mp: MinimizerParams, max_taxa: int, max_path: int, rounds: int
+    codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, rounds: int
 ):
     wm = window_minimizers(codes, mp)
     looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds)
@@ -97,7 +97,7 @@ def _classify_kernel(
         wm.span_start & wm.distinct & (looked > 0) & wm.valid, axis=-1
     ).astype(jnp.int32)
     ch = compact_hits(window_taxa, max_taxa)
-    res = resolve_hits(ch.taxa, ch.counts, parents, max_path)
+    res = resolve_hits(ch.taxa, ch.counts, rpath_table)
     return window_taxa, num_distinct, ch, res
 
 
@@ -275,7 +275,7 @@ class Classifier:
         self.index = index
         self.max_taxa = max_taxa_per_read
         self.target_batch_bp = target_batch_bp
-        self._parents_dev = jnp.asarray(index.taxonomy.parents)
+        self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
 
     # -- batching -----------------------------------------------------------
@@ -317,6 +317,18 @@ class Classifier:
         splits: List[Optional[int]],
         row_lens: List[int],
     ) -> _BatchResult:
+        return self._harvest(self._dispatch_codes(codes, titles, splits, row_lens))
+
+    def _dispatch_codes(
+        self,
+        codes: np.ndarray,
+        titles: List[str],
+        splits: List[Optional[int]],
+        row_lens: List[int],
+    ):
+        """Asynchronously dispatch one batch to the device; pair with
+        _harvest. jax dispatch is non-blocking, so a second batch can be in
+        flight while the host post-processes the previous one."""
         bucket = codes.shape[1]
         # pad the row count to a power of two (full batches arrive at the
         # fixed rows_target already) so only O(log) shapes ever compile
@@ -334,12 +346,17 @@ class Classifier:
             dk.lo,
             idx.device_taxa,
             idx.device_router,
-            self._parents_dev,
+            self._table_dev,
             idx.params.minimizer_params,
             self.max_taxa,
-            self.max_path,
             idx.router_rounds,
         )
+        return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+
+    def _harvest(self, dispatched) -> _BatchResult:
+        window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens = dispatched
+        bucket = codes.shape[1]
+        idx = self.index
         n = len(titles)
         k = idx.params.k
         # ambiguous pseudo-kmer accounting: only rows that actually contain
@@ -389,18 +406,26 @@ class Classifier:
 
     def packed_batches(self, packed_iter):
         """Run pre-packed code batches (native.PackedReads) through the
-        device pipeline — the zero-copy fast path fed by the C++ parser."""
+        device pipeline — the zero-copy fast path fed by the C++ parser.
+        Double-buffered: one batch computes on device while the host
+        post-processes the previous one."""
+        pending = None
         for packed in packed_iter:
             rows = self._rows_target(packed.codes.shape[1])
             n = len(packed)
             for start in range(0, n, rows):
                 end = min(start + rows, n)
-                yield self._run_codes(
+                dispatched = self._dispatch_codes(
                     np.ascontiguousarray(packed.codes[start:end]),
                     packed.titles[start:end],
                     [None] * (end - start),
                     [int(x) for x in packed.lengths[start:end]],
                 )
+                if pending is not None:
+                    yield self._harvest(pending)
+                pending = dispatched
+        if pending is not None:
+            yield self._harvest(pending)
 
     def classify_packed(self, packed_iter, cpar: ClassifyParams):
         results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}

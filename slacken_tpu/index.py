@@ -213,8 +213,7 @@ def reduce_records(
     uniq_keys = keys[boundary]
 
     out_taxa = np.empty(num_runs, np.int32)
-    parents = jnp.asarray(taxonomy.parents)
-    max_path = taxonomy.max_path_len
+    table = jnp.asarray(taxonomy.rpath_table())
 
     run_starts = np.flatnonzero(boundary)
     start = 0
@@ -229,8 +228,8 @@ def reduce_records(
                 end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys)
         rid = run_of[start:end] - run_of[start]
         red = np.asarray(
-            lca_ops.segment_lca(
-                jnp.asarray(rid, jnp.int32), jnp.asarray(taxa[start:end]), parents, max_path
+            lca_ops.segment_lca_table(
+                jnp.asarray(rid, jnp.int32), jnp.asarray(taxa[start:end]), table
             )
         )
         r0 = int(run_of[start])

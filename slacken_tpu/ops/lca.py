@@ -97,18 +97,70 @@ def lca_of_rpath_set(rpaths: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(best >= 0, val, NONE).astype(jnp.int32)
 
 
+def table_from_parents(parents: "np.ndarray", max_path: int = None):
+    """Host-side root-aligned path table from a bare parents array (for toy
+    problems/tests without a full Taxonomy; Taxonomy.rpath_table is the
+    production path)."""
+    import numpy as np
+
+    parents = np.asarray(parents, np.int32)
+    n = len(parents)
+    # real depths by repeated lifting
+    depth = np.full(n, -1, np.int64)
+    node = np.arange(n)
+    cur = node.copy()
+    d = 0
+    alive = np.ones(n, bool)
+    alive[NONE] = False
+    while alive.any():
+        at_root = alive & (cur == ROOT)
+        depth[at_root & (depth < 0)] = d
+        # taxa whose chain hits NONE without passing ROOT: isolated, depth 0
+        dead = alive & (cur == NONE)
+        depth[dead & (depth < 0)] = 0
+        alive &= ~(at_root | dead)
+        cur = parents[np.clip(cur, 0, n - 1)]
+        d += 1
+        if d > n:
+            break
+    D = max_path or max(int(depth.max()) + 1, 1)
+    table = np.full((n, D), -1, np.int32)
+    order = np.argsort(depth)
+    for t in order:
+        if t == NONE or depth[t] < 0:
+            continue
+        dd = int(depth[t])
+        if dd > 0 and parents[t] != NONE:
+            table[t, :dd] = table[parents[t], :dd]
+        if dd < D:
+            table[t, dd] = t
+    return table
+
+
 @partial(jax.jit, static_argnums=(3,))
 def segment_lca(
     run_ids: jnp.ndarray, taxa: jnp.ndarray, parents: jnp.ndarray, max_path: int
 ) -> jnp.ndarray:
-    """LCA-reduce taxa within each run (the index build's groupBy+LCA-UDAF,
-    KeyValueIndex.scala:85-93). `run_ids` must be sorted, contiguous from 0.
-
-    Returns an array of length len(taxa) where entry r < num_runs holds the
-    LCA of run r (the tail is ROOT-filled garbage).
-    """
-    n = taxa.shape[0]
+    """LCA-reduce via on-device path walks (compat path; segment_lca_table
+    with a precomputed table is the fast path)."""
     rp = root_aligned_paths(taxa, parents, max_path)  # [N, D]
+    return _segment_lca_rp(run_ids, taxa, rp)
+
+
+@jax.jit
+def segment_lca_table(run_ids: jnp.ndarray, taxa: jnp.ndarray, rpath_table: jnp.ndarray) -> jnp.ndarray:
+    """LCA-reduce taxa within each run using the precomputed root-aligned
+    path table — one contiguous row gather per record (the index build's
+    groupBy+LCA-UDAF, KeyValueIndex.scala:85-93). `run_ids` must be sorted,
+    contiguous from 0. Entry r < num_runs of the result holds run r's LCA.
+    """
+    rp = rpath_table[jnp.asarray(taxa, jnp.int32)]
+    return _segment_lca_rp(run_ids, taxa, rp)
+
+
+def _segment_lca_rp(run_ids, taxa, rp):
+    n = taxa.shape[0]
+    max_path = rp.shape[-1]
     # NONE taxa act as the aggregation identity (TaxonLCA.zero,
     # LowestCommonAncestor.scala:153): exclude them from the reduction.
     defined = (jnp.asarray(taxa, jnp.int32) != NONE)[:, None]

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .lca import NONE, lca_of_rpath_set, paths, root_aligned_from_paths, root_aligned_paths
+from .lca import NONE, lca_of_rpath_set
 
 INT_MAX = 2**31 - 1
 
@@ -84,33 +84,34 @@ class ResolveResult(NamedTuple):
     clade: jnp.ndarray  # [B, D] int32 clade scores along that path
 
 
-@partial(jax.jit, static_argnums=(3,))
+@jax.jit
 def resolve_hits(
-    taxa: jnp.ndarray, counts: jnp.ndarray, parents: jnp.ndarray, max_path: int
+    taxa: jnp.ndarray, counts: jnp.ndarray, rpath_table: jnp.ndarray
 ) -> ResolveResult:
-    """Batched resolveTree core. taxa/counts: [B, T], 0-padded and sorted
-    ascending per row (compact_hits emits this layout).
+    """Batched resolveTree core. taxa/counts: [B, T], 0-padded.
 
-    score(candidate j) = sum of counts over its root path restricted to the
-    hit set; membership is a per-row binary search over the sorted taxa list
-    (O(T * D * log T) per read instead of a T x T ancestor matrix).
+    rpath_table: precomputed root-aligned ancestor table [n_taxa, D]
+    (Taxonomy.rpath_table) replicated in HBM — every tree walk becomes one
+    contiguous row gather. score(candidate j) = sum of counts over j's root
+    path restricted to the hit set; membership is a per-row binary search
+    over the sorted taxa list (O(T * D * log T) per read).
     """
     taxa = jnp.asarray(taxa, jnp.int32)
     counts = jnp.asarray(counts, jnp.int32)
     b, t = taxa.shape
+    max_path = rpath_table.shape[-1]
 
     # sort rows ascending with pads (NONE) pushed to the top; compact_hits
-    # already emits this layout, so for the hot path this sort is a no-op
-    # pattern the compiler can elide cheaply (T is tiny).
+    # already emits this layout, so for the hot path this sort is cheap.
     sort_key = jnp.where(taxa != NONE, taxa, INT_MAX)
     search, counts, taxa = jax.lax.sort((sort_key, counts, taxa), num_keys=1)
     present = taxa != NONE
 
-    # self-aligned paths [B, T, D]
-    p = paths(taxa, parents, max_path)
-    flat = p.reshape(b, t * max_path)
+    rp = rpath_table[taxa]  # [B, T, D]: ancestors-or-self by real depth
+
+    flat = rp.reshape(b, t * max_path)
     # unrolled per-row lower_bound (vmapped jnp.searchsorted lowers to a slow
-    # scan; t is a small static power-of-two-ish bound)
+    # scan; t is a small static bound)
     pos = jnp.zeros_like(flat)
     bit = 1
     while bit * 2 <= t:
@@ -122,7 +123,7 @@ def resolve_hits(
         pos = jnp.where(less, cand, pos)
         bit >>= 1
     pos_c = jnp.minimum(pos, t - 1)
-    hit = (jnp.take_along_axis(search, pos_c, axis=1) == flat) & (flat != NONE)
+    hit = (jnp.take_along_axis(search, pos_c, axis=1) == flat) & (flat > 0)
     term = jnp.where(hit, jnp.take_along_axis(counts, pos_c, axis=1), 0)
     scores = term.reshape(b, t, max_path).sum(axis=-1)
     scores = jnp.where(present, scores, 0)
@@ -130,13 +131,12 @@ def resolve_hits(
     max_score = jnp.max(scores, axis=-1)
     tied = present & (scores == max_score[:, None]) & (max_score[:, None] > 0)
 
-    rp = root_aligned_from_paths(p)  # [B, T, D]
     max_taxon = lca_of_rpath_set(rp, tied)  # [B]
 
     # clade scores along max_taxon's root-aligned path: node at depth d is an
     # ancestor of taxa[i] iff rp[i, d] equals it (root-aligned paths share
     # depth indexing).
-    pm = root_aligned_paths(max_taxon, parents, max_path)  # [B, D]
+    pm = rpath_table[max_taxon]  # [B, D]
     in_clade = (rp == pm[:, None, :]) & (pm[:, None, :] != -1)  # [B, T, D]
     clade = jnp.einsum("bi,bid->bd", counts, in_clade.astype(jnp.int32))
     clade = jnp.where(pm != -1, clade, 0)

@@ -67,17 +67,17 @@ def _window_scan(codes, mp):
     return wm
 
 
-def _postprocess(wm, looked, parents, max_taxa, max_path):
+def _postprocess(wm, looked, rpath_table, max_taxa):
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     num_distinct = jnp.sum(
         wm.span_start & wm.distinct & (looked > 0) & wm.valid, axis=-1
     ).astype(jnp.int32)
     ch = compact_hits(window_taxa, max_taxa)
-    res = resolve_hits(ch.taxa, ch.counts, parents, max_path)
+    res = resolve_hits(ch.taxa, ch.counts, rpath_table)
     return window_taxa, num_distinct, ch, res
 
 
-def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int):
+def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int):
     """Data-parallel classification with a fully replicated index.
 
     Returns a jitted fn(codes[B,L], keys_hi[N], keys_lo[N], key_taxa[N],
@@ -86,12 +86,12 @@ def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_p
     per-taxon report count vector is psum-reduced across the mesh.
     """
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, parents):
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, rpath_table):
         wm = _window_scan(codes, mp)
         looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
-        window_taxa, num_distinct, ch, res = _postprocess(wm, looked, parents, max_taxa, max_path)
+        window_taxa, num_distinct, ch, res = _postprocess(wm, looked, rpath_table, max_taxa)
         # per-taxon counts of winning taxa (report aggregation): psum over mesh
-        counts = jnp.zeros(parents.shape[0], jnp.int32).at[res.max_taxon].add(1)
+        counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, counts
 
@@ -105,7 +105,7 @@ def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_p
     return jax.jit(shard)
 
 
-def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: int, rounds: int = 32):
+def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int = 32):
     """Classification with a range-sharded index and ring-rotated queries.
 
     fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n], key_taxa[n,N/n],
@@ -118,7 +118,7 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: i
     """
     n = mesh.devices.size
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, parents):
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, rpath_table):
         wm = _window_scan(codes, mp)
         keys = u64.U64(keys_hi[0], keys_lo[0])
         kt = key_taxa[0]
@@ -146,8 +146,8 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, max_path: i
         if n > 1:
             acc = jax.lax.ppermute(acc, "data", perm)
 
-        window_taxa, num_distinct, ch, res = _postprocess(wm, acc, parents, max_taxa, max_path)
-        counts = jnp.zeros(parents.shape[0], jnp.int32).at[res.max_taxon].add(1)
+        window_taxa, num_distinct, ch, res = _postprocess(wm, acc, rpath_table, max_taxa)
+        counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, counts
 

@@ -72,6 +72,7 @@ class Taxonomy:
         # raw rank titles (for round-tripping nodes.dmp); optional
         self.rank_titles = rank_titles
         self._children: Optional[List[List[int]]] = None
+        self._rpath_table: Optional[np.ndarray] = None
         self._depth_std: Optional[np.ndarray] = None
         self._max_path: Optional[int] = None
 
@@ -336,6 +337,42 @@ class Taxonomy:
     def missing_steps_to_root(self, taxon: int) -> List[int]:
         found = {self.depth(t) for t in self.path_to_root(taxon)}
         return [d for d in range(1, 9) if d not in found]
+
+    def rpath_table(self, max_path: Optional[int] = None) -> np.ndarray:
+        """Root-aligned ancestor path table [size, D] int32: row t holds the
+        ancestors of t indexed by real depth (root at column 0), -1 padded.
+
+        Replicated to device HBM, this turns every tree walk (resolveTree
+        scoring, LCA, segment-LCA) into a single contiguous row gather
+        instead of D dependent pointer-chasing gathers.
+        """
+        D = max_path or self.max_path_len
+        if getattr(self, "_rpath_table", None) is not None and self._rpath_table.shape[1] >= D:
+            return self._rpath_table[:, :D]
+        n = self.size
+        table = np.full((n, D), -1, dtype=np.int32)
+        # real depth per taxon
+        depth = np.full(n, -1, dtype=np.int32)
+        order = list(self._toposort())
+        for t in order:
+            depth[t] = 0 if t == ROOT else depth[self.parents[t]] + 1
+        # undefined non-NONE taxa sit alone at depth 0 (their path is [t])
+        undefined = np.ones(n, bool)
+        undefined[[t for t in order]] = False
+        undefined[NONE] = False
+        depth[undefined] = 0
+        # fill level by level: copy the parent's prefix, then set own entry
+        order_arr = np.array(order + list(np.flatnonzero(undefined)), dtype=np.int64)
+        for d in range(0, int(depth.max()) + 1 if n > 1 else 1):
+            nodes = order_arr[depth[order_arr] == d]
+            if len(nodes) == 0:
+                continue
+            if d > 0:
+                table[nodes, :d] = table[self.parents[nodes], :d]
+            if d < D:
+                table[nodes, d] = nodes
+        self._rpath_table = table
+        return table
 
     # -- device export ------------------------------------------------------
 

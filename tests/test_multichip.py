@@ -43,22 +43,23 @@ def test_ring_matches_single_device(rng):
     kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
     kl = idx.keys.astype(np.uint32)
 
-    rep = pmesh.classify_replicated_fn(m, mp, 16, max_path)
-    wt_p, nd_p, ch_p, res_p, counts_p = rep(codes, kh, kl, idx.taxa, t.parents)
+    table = t.rpath_table()
+    rep = pmesh.classify_replicated_fn(m, mp, 16)
+    wt_p, nd_p, ch_p, res_p, counts_p = rep(codes, kh, kl, idx.taxa, table)
 
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
     routers, rounds = pmesh.shard_routers(sk)
-    ring = pmesh.classify_ring_fn(m, mp, 16, max_path, rounds)
+    ring = pmesh.classify_ring_fn(m, mp, 16, rounds)
     wt_r, nd_r, ch_r, res_r, counts_r = ring(
         codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
-        routers, t.parents
+        routers, table
     )
 
     # single-device reference
     from slacken_tpu.classify import _classify_kernel
 
     wt_1, nd_1, ch_1, res_1 = _classify_kernel(
-        codes, kh, kl, idx.taxa, idx.device_router, t.parents, mp, 16, max_path,
+        codes, kh, kl, idx.taxa, idx.device_router, table, mp, 16,
         idx.router_rounds,
     )
 

@@ -103,7 +103,7 @@ def test_resolve_tree_vs_oracle(rng):
         # unknown (NONE) and ambiguous k-mers inflate the denominator
         totals[b] = counts[b].sum() + int(rng.integers(0, 30))
 
-    res = dresolve.resolve_hits(taxa, counts, t.parents, t.max_path_len)
+    res = dresolve.resolve_hits(taxa, counts, t.rpath_table())
 
     import math
 
@@ -128,7 +128,7 @@ def test_resolve_with_ties(rng):
         a, c = rng.choice(leaves, 2, replace=False)
         taxa[b, 0], taxa[b, 1] = a, c
         counts[b, 0] = counts[b, 1] = 5
-    res = dresolve.resolve_hits(taxa, counts, t.parents, t.max_path_len)
+    res = dresolve.resolve_hits(taxa, counts, t.rpath_table())
     got = dresolve.pick_threshold_host(res, np.zeros(B))
     for b in range(B):
         hits = {int(taxa[b, 0]): 5, int(taxa[b, 1]): 5}
