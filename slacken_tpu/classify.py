@@ -415,10 +415,14 @@ class Classifier:
             n = len(packed)
             for start in range(0, n, rows):
                 end = min(start + rows, n)
+                if getattr(packed, "splits", None) is not None:
+                    splits = [int(x) for x in packed.splits[start:end]]
+                else:
+                    splits = [None] * (end - start)
                 dispatched = self._dispatch_codes(
                     np.ascontiguousarray(packed.codes[start:end]),
                     packed.titles[start:end],
-                    [None] * (end - start),
+                    splits,
                     [int(x) for x in packed.lengths[start:end]],
                 )
                 if pending is not None:

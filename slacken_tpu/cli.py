@@ -197,8 +197,18 @@ def cmd_classify(args):
 
         samples = cls.classify_and_write_packed(packed_stream(), args.output, cpar)
     else:
-        frags = fragments_from_files(files, paired=True, k=idx.params.k)
-        samples = cls.classify_and_write(frags, args.output, cpar)
+        from .inputs import packed_pairs_from_files
+
+        def paired_stream():
+            for f1, f2 in zip(files[0::2], files[1::2]):
+                yield from packed_pairs_from_files(f1, f2)
+
+        try:
+            samples = cls.classify_and_write_packed(paired_stream(), args.output, cpar)
+        except ValueError:
+            # mates out of order: fall back to the id-joining reader
+            frags = fragments_from_files(files, paired=True, k=idx.params.k)
+            samples = cls.classify_and_write(frags, args.output, cpar)
     for t, ss in samples.items():
         print(f"threshold {t}: samples {ss}")
     return 0

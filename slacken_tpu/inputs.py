@@ -347,3 +347,34 @@ def read_fasta_indexed(path: str, max_chunk: int = DEFAULT_MAX_FRAGMENT, k: int 
 
 def has_fai(path: str) -> bool:
     return os.path.exists(path + ".fai")
+
+
+def packed_pairs_from_files(path1: str, path2: str, chunk_bytes: int = 64 << 20):
+    """Stream paired FASTQ files as native-packed paired rows. Mates are
+    matched positionally (the near-universal layout); a header check guards
+    the pairing and falls back to the id-join reader on mismatch."""
+    from . import native
+
+    gen1 = packed_reads_from_file(path1, chunk_bytes)
+    gen2 = packed_reads_from_file(path2, chunk_bytes)
+    buf1 = buf2 = None
+    while True:
+        if buf1 is None or len(buf1) == 0:
+            buf1 = next(gen1, None)
+        if buf2 is None or len(buf2) == 0:
+            buf2 = next(gen2, None)
+        if buf1 is None or buf2 is None:
+            break
+        n = min(len(buf1), len(buf2))
+        head1 = _strip_pair_suffix(buf1.titles[0])
+        head2 = _strip_pair_suffix(buf2.titles[0])
+        if head1 != head2:
+            raise ValueError(
+                f"paired files disagree in record order ({head1!r} vs {head2!r}); "
+                "use fragments_from_files(paired=True) for id-joined pairing"
+            )
+        p1 = native.PackedReads(buf1.codes[:n], buf1.lengths[:n], buf1.titles[:n])
+        p2 = native.PackedReads(buf2.codes[:n], buf2.lengths[:n], buf2.titles[:n])
+        yield native.pack_pairs(p1, p2)
+        buf1 = native.PackedReads(buf1.codes[n:], buf1.lengths[n:], buf1.titles[n:])
+        buf2 = native.PackedReads(buf2.codes[n:], buf2.lengths[n:], buf2.titles[n:])

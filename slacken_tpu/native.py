@@ -78,15 +78,43 @@ def _as_ptr(arr, ctype):
 
 
 class PackedReads:
-    """A parsed chunk: codes [n, row_len] uint8, true lengths, titles."""
+    """A parsed chunk: codes [n, row_len] uint8, true lengths, titles.
 
-    def __init__(self, codes, lengths, titles):
+    For paired reads, `splits` holds the R1 length per row (the row layout is
+    R1 + one INVALID separator + R2) and `lengths` the combined row length.
+    """
+
+    def __init__(self, codes, lengths, titles, splits=None):
         self.codes = codes
         self.lengths = lengths
         self.titles = titles
+        self.splits = splits
 
     def __len__(self):
         return len(self.lengths)
+
+
+def pack_pairs(p1: "PackedReads", p2: "PackedReads") -> "PackedReads":
+    """Combine two mate chunks (same record order) into paired rows:
+    R1 + INVALID separator + R2."""
+    n = min(len(p1), len(p2))
+    l1 = int(p1.codes.shape[1])
+    l2 = int(p2.codes.shape[1])
+    out = np.full((n, l1 + 1 + l2), 4, np.uint8)
+    out[:, :l1] = p1.codes[:n]
+    # place R2 right after each row's true R1 end + separator
+    len1 = np.asarray(p1.lengths[:n], np.int64)
+    len2 = np.asarray(p2.lengths[:n], np.int64)
+    # vectorised ragged copy via flat indexing
+    rows = np.repeat(np.arange(n), len2)
+    src_cols = np.concatenate([np.arange(x) for x in len2]) if n else np.zeros(0, np.int64)
+    dst_cols = src_cols + np.repeat(len1 + 1, len2)
+    out[rows, dst_cols] = p2.codes[:n][rows, src_cols]
+    # clear everything between true R1 end and separator (R1 rows are padded
+    # to l1 with INVALID already, so only ensure separator region is INVALID)
+    out[np.arange(n), np.minimum(len1, l1)] = 4
+    lengths = (len1 + 1 + len2).astype(np.int32)
+    return PackedReads(out, lengths, p1.titles[:n], splits=len1)
 
 
 def pack_fastq_chunk(buf: bytes, row_len: Optional[int] = None) -> Tuple[PackedReads, int]:

@@ -119,3 +119,48 @@ def test_hit_lines_matches_python(rng):
         parts = _row_hit_parts(codes[i], wt[i], split, int(row_lens[i]), k)
         details, length = hits_to_strings(parts, k)
         assert got[i] == (details, length), f"row {i}: {got[i]} != {(details, length)}"
+
+
+def test_packed_pairs_match_fragment_path(rng, tmp_path):
+    """Paired packed fast path must classify identically to the Fragment
+    path."""
+    import jax
+
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.inputs import packed_pairs_from_files
+    from test_taxonomy import random_taxonomy
+    from test_index import make_genomes
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=600)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+
+    r1, r2 = [], []
+    for i in range(25):
+        taxon, seq = genomes[i % 3]
+        s = int(rng.integers(0, len(seq) - 150))
+        a, b = seq[s : s + 70], seq[s + 80 : s + 150]
+        if i % 5 == 0:
+            a = a[:30] + "N" * 3 + a[33:]
+        r1.append((f"pair{i}/1", a))
+        r2.append((f"pair{i}/2", b))
+    f1, f2 = tmp_path / "r1.fastq", tmp_path / "r2.fastq"
+    for path, recs in ((f1, r1), (f2, r2)):
+        with open(path, "w") as fh:
+            for h, s in recs:
+                fh.write(f"@{h}\n{s}\n+\n{'I' * len(s)}\n")
+
+    cls = Classifier(idx)
+    cpar = ClassifyParams(thresholds=[0.0, 0.1])
+    fast = cls.classify_packed(packed_pairs_from_files(str(f1), str(f2)), cpar)
+    frags = [Fragment(h1, s1, s2) for (h1, s1), (_, s2) in zip(r1, r2)]
+    slow = cls.classify(frags, cpar)
+    for conf in (0.0, 0.1):
+        for a, b in zip(fast[conf], slow[conf]):
+            assert (a.classified, a.taxon, a.length_string, a.hit_details) == (
+                b.classified,
+                b.taxon,
+                b.length_string,
+                b.hit_details,
+            )
