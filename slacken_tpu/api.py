@@ -10,7 +10,7 @@ Example:
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Iterable, List, Optional, Tuple, Union
 
 from .classify import (
     Classifier,

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 from functools import partial
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 import jax
 import numpy as np
@@ -35,7 +35,7 @@ from .index import KeyValueIndex
 from .ops import encode, u64
 from .ops import lookup as lookup_ops
 from .ops.minimizers import window_minimizers
-from .taxonomy import NONE, Taxonomy
+from .taxonomy import NONE
 
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:303
 

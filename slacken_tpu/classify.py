@@ -18,10 +18,9 @@ for output (the |:| marker, TaxonCounts.scala:94-110).
 from __future__ import annotations
 
 import gzip
-import math
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence, Tuple
 

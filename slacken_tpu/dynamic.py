@@ -9,23 +9,22 @@ reads against it.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import jax
 import numpy as np
 
 from .classify import Classifier, ClassifyParams, Fragment
-from .index import IndexParams, KeyValueIndex
+from .index import KeyValueIndex
 from .ops import encode, u64
 from .ops import lookup as lookup_ops
 from .ops.minimizers import window_minimizers
-from .report import KrakenReport, TreeAggregator
-from .taxonomy import NONE, Taxonomy
+from .report import TreeAggregator
+from .taxonomy import Taxonomy
 
 
 @dataclass(frozen=True)

@@ -9,7 +9,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .report import KrakenReport
-from .taxonomy import Taxonomy, depth_to_title
+from .taxonomy import depth_to_title
 
 
 def depth_histograms(idx) -> Tuple[List[Tuple[int, str, int]], List[Tuple[int, str, int]]]:
@@ -97,11 +97,8 @@ def write_inspect_reports(idx, output: str, labels: Optional[str] = None, librar
 from functools import partial as _partial
 
 import jax as _jax
-import jax.numpy as _jnp
-
 from .ops import encode as _encode
 from .ops import lookup as _lookup_ops
-from .ops import u64 as _u64
 from .ops.minimizers import window_minimizers as _window_minimizers
 
 

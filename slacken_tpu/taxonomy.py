@@ -13,7 +13,7 @@ KeyValueIndex.scala:44-47).
 from __future__ import annotations
 
 import os
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 

@@ -16,6 +16,9 @@ import jax
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache makes repeated suite runs much faster.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np
 import pytest
