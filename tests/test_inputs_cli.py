@@ -184,3 +184,46 @@ def test_indexed_fasta_streaming(tmp_path, rng):
     # every k-window appears in some chunk
     for name, seq, off in chunks:
         assert len(seq) >= k or len(dict(seqs)[name]) < k
+
+
+def test_real_testdata_readers():
+    """Parse the reference's bundled real read files (InputReaderProps
+    analogue against testData)."""
+    import os
+
+    base = "/root/reference/testData"
+    if not os.path.isdir(base):
+        import pytest
+
+        pytest.skip("reference testData not available")
+    fq = list(inputs.read_fastq(os.path.join(base, "ERR599052_10k.fastq")))
+    assert len(fq) == 10000
+    assert all(s and set(s) <= set("ACGTN") for _, s in fq[:100])
+
+    fa = list(inputs.read_fasta(os.path.join(base, "SRR094926_10k.fasta")))
+    assert len(fa) == 9845  # actual record count of the bundled file
+
+    # Akashinriki is a single genome sequence with a .fai; exercise both the
+    # whole-file reader and the indexed chunked reader
+    aka = os.path.join(base, "Akashinriki_10k.fasta")
+    fa2 = list(inputs.read_fasta(aka))
+    assert len(fa2) == 1
+    chunks = list(inputs.read_fasta_indexed(aka, max_chunk=100_000, k=35))
+    reassembled = ""
+    for name, seq, off in chunks:
+        reassembled = reassembled[:off] + seq
+    assert reassembled == fa2[0][1]
+
+    # native parser agrees with the python reader on real data
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode
+
+    with open(os.path.join(base, "ERR599052_10k.fastq"), "rb") as f:
+        packed, consumed = native.pack_fastq_chunk(f.read())
+    assert len(packed) == 10000
+    for i in (0, 123, 9999):
+        assert packed.titles[i] == fq[i][0]
+        assert packed.lengths[i] == len(fq[i][1])
+        assert np.array_equal(
+            packed.codes[i, : packed.lengths[i]], encode.encode_seq(fq[i][1])
+        )
