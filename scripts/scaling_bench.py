@@ -57,8 +57,8 @@ def main():
         codes = np.concatenate([codes_all] * reps)[:rows]
         m = pmesh.make_mesh(n)
         sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
-        routers, rounds = pmesh.shard_routers(sk)
-        ring = pmesh.classify_ring_fn(m, mp, 32, rounds)
+        routers, rounds, rbits = pmesh.shard_routers(sk)
+        ring = pmesh.classify_ring_fn(m, mp, 32, rounds, rbits)
         args_dev = (
             codes,
             (sk >> np.uint64(32)).astype(np.uint32),

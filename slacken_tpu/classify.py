@@ -82,13 +82,13 @@ class ClassifiedRead:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def _classify_kernel(
     codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, rounds: int
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int
 ):
     wm = window_minimizers(codes, mp)
-    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds)
+    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits)
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
     # (Classifier.scala:92-95)
@@ -100,7 +100,7 @@ def _classify_kernel(
     return window_taxa, num_distinct, ch, res
 
 
-def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds):
+def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits):
     """Probe the index once per super-mer span instead of once per window.
 
     All windows of a span share one minimizer (by construction), so span-start
@@ -127,13 +127,13 @@ def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds):
         q_hi = jnp.full(cap, sent).at[q_idx].set(hi, mode="drop")
         q_lo = jnp.full(cap, sent).at[q_idx].set(lo, mode="drop")
         probed = lookup_ops.lookup_taxa_routed(
-            keys, key_taxa, router, u64.U64(q_hi, q_lo), rounds
+            keys, key_taxa, router, u64.U64(q_hi, q_lo), rounds, bits
         )
         return probed[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
 
     def full(_):
         return lookup_ops.lookup_taxa_routed(
-            keys, key_taxa, router, wm.minimizer, rounds
+            keys, key_taxa, router, wm.minimizer, rounds, bits
         )
 
     return jax.lax.cond(n_spans > cap, full, compacted, operand=None)
@@ -349,6 +349,7 @@ class Classifier:
             idx.params.minimizer_params,
             self.max_taxa,
             idx.router_rounds,
+            idx.router_bits,
         )
         return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
 

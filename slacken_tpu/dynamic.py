@@ -129,6 +129,7 @@ class Dynamic:
                 idx.device_router,
                 mp,
                 idx.router_rounds,
+                idx.router_bits,
             )
             hi, lo = np.asarray(hi), np.asarray(lo)
             starts = np.asarray(starts)
@@ -312,11 +313,11 @@ class Dynamic:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits):
     wm = window_minimizers(codes, mp)
     looked = lookup_ops.lookup_taxa_routed(
-        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
     )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 

@@ -260,6 +260,7 @@ class KeyValueIndex:
         self._device_taxa = None
         self._device_router = None
         self._router_rounds = None
+        self._router_bits = None
         #: optional full (minimizer, taxon) pair sidecar enabling dynamic
         #: rebuilds without re-scanning the genome library
         self.record_keys: Optional[np.ndarray] = None
@@ -282,7 +283,8 @@ class KeyValueIndex:
     @property
     def device_router(self):
         if self._device_router is None:
-            router = lookup_ops.build_router(self.keys)
+            self._router_bits = lookup_ops.adaptive_router_bits(len(self.keys))
+            router = lookup_ops.build_router(self.keys, self._router_bits)
             self._router_rounds = lookup_ops.router_rounds(router)
             self._device_router = jnp.asarray(router)
         return self._device_router
@@ -292,11 +294,16 @@ class KeyValueIndex:
         self.device_router
         return self._router_rounds
 
+    @property
+    def router_bits(self) -> int:
+        self.device_router
+        return self._router_bits
+
     def lookup(self, q_hi, q_lo):
         """Device lookup of query minimizers -> LCA taxa (0 = miss)."""
         return lookup_ops.lookup_taxa_routed(
             self.device_keys, self.device_taxa, self.device_router,
-            u64.U64(q_hi, q_lo), self.router_rounds,
+            u64.U64(q_hi, q_lo), self.router_rounds, self.router_bits,
         )
 
     # -- construction -------------------------------------------------------

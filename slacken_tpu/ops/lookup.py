@@ -33,6 +33,14 @@ def keys_from_numpy(keys: np.ndarray) -> U64:
 ROUTER_BITS = 16
 
 
+def adaptive_router_bits(n_keys: int, max_bits: int = 24) -> int:
+    """Router sized ~2x the key count: average bucket < 1 key, so the
+    residual binary search is 1-4 rounds. 2^bits+1 int32 entries of HBM."""
+    if n_keys <= 1:
+        return 12
+    return min(max_bits, max(12, int(np.ceil(np.log2(n_keys))) + 1))
+
+
 def build_router(keys: np.ndarray, bits: int = ROUTER_BITS, key_bits: int = 62) -> np.ndarray:
     """Prefix router: entry p = index of the first key whose top `bits` bits
     (of the key_bits-wide keyspace) are >= p. Shrinks the binary search from
@@ -108,15 +116,16 @@ def lookup_taxa(keys: U64, taxa: jnp.ndarray, q: U64) -> jnp.ndarray:
     return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(4,))
+@partial(jax.jit, static_argnums=(4, 5))
 def lookup_taxa_routed(
-    keys: U64, taxa: jnp.ndarray, router: jnp.ndarray, q: U64, rounds: int
+    keys: U64, taxa: jnp.ndarray, router: jnp.ndarray, q: U64, rounds: int,
+    bits: int = ROUTER_BITS,
 ) -> jnp.ndarray:
     """Router-accelerated lookup_taxa."""
     n = keys.hi.shape[0]
     if n == 0:
         return jnp.zeros(q.hi.shape, jnp.int32)
-    pos = lower_bound_routed(keys, router, q, rounds)
+    pos = lower_bound_routed(keys, router, q, rounds, bits)
     idx = jnp.minimum(pos, n - 1)
     k_at = U64(keys.hi[idx], keys.lo[idx])
     found = (pos < n) & u64.eq(k_at, q)

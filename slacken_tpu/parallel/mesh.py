@@ -56,10 +56,12 @@ def shard_index_by_range(keys: np.ndarray, taxa: np.ndarray, n: int):
 
 
 def shard_routers(sharded_keys: np.ndarray):
-    """Per-shard prefix routers + the worst-case round count across shards."""
-    routers = np.stack([lookup_ops.build_router(k) for k in sharded_keys])
+    """Per-shard prefix routers + worst-case rounds + bits (adaptive to the
+    per-shard key count)."""
+    bits = lookup_ops.adaptive_router_bits(sharded_keys.shape[1])
+    routers = np.stack([lookup_ops.build_router(k, bits) for k in sharded_keys])
     rounds = max(lookup_ops.router_rounds(r) for r in routers)
-    return routers, rounds
+    return routers, rounds, bits
 
 
 def _window_scan(codes, mp):
@@ -105,7 +107,7 @@ def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int):
     return jax.jit(shard)
 
 
-def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int = 32):
+def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int = 32, bits: int = lookup_ops.ROUTER_BITS):
     """Classification with a range-sharded index and ring-rotated queries.
 
     fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n], key_taxa[n,N/n],
@@ -126,7 +128,7 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
 
         def probe(q_hi, q_lo):
             return lookup_ops.lookup_taxa_routed(
-                keys, kt, router, u64.U64(q_hi, q_lo), rounds
+                keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
             )
 
         q_hi, q_lo = wm.minimizer.hi, wm.minimizer.lo

@@ -48,8 +48,8 @@ def test_ring_matches_single_device(rng):
     wt_p, nd_p, ch_p, res_p, counts_p = rep(codes, kh, kl, idx.taxa, table)
 
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
-    routers, rounds = pmesh.shard_routers(sk)
-    ring = pmesh.classify_ring_fn(m, mp, 16, rounds)
+    routers, rounds, rbits = pmesh.shard_routers(sk)
+    ring = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits)
     wt_r, nd_r, ch_r, res_r, counts_r = ring(
         codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
         routers, table
@@ -60,7 +60,7 @@ def test_ring_matches_single_device(rng):
 
     wt_1, nd_1, ch_1, res_1 = _classify_kernel(
         codes, kh, kl, idx.taxa, idx.device_router, table, mp, 16,
-        idx.router_rounds,
+        idx.router_rounds, idx.router_bits,
     )
 
     assert np.array_equal(np.asarray(wt_p), np.asarray(wt_1))
