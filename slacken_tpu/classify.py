@@ -446,28 +446,7 @@ class Classifier:
         """Apply one confidence threshold to a batch's device results
         (host-exact, float64 ceil — Classifier.scala:439-467)."""
         n = len(batch.titles)
-        required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
-        # deepest node on winning path with clade >= required
-        path = batch.res_path
-        clade = batch.res_clade
-        ok = (path != -1) & (clade.astype(np.float64) >= required[:, None])
-        dsel = ok.shape[1] - 1 - np.argmax(ok[:, ::-1], axis=1)
-        any_ok = ok.any(axis=1)
-        taxon = np.where(
-            any_ok, np.take_along_axis(path, dsel[:, None], axis=1)[:, 0], NONE
-        )
-        taxon = np.where(batch.res_max_taxon == NONE, NONE, taxon).astype(np.int64)
-
-        overflow_rows = np.flatnonzero(batch.overflow)
-        if len(overflow_rows):
-            parents = self.index.taxonomy.parents
-            wt_host = np.asarray(batch.window_taxa)
-            for i in overflow_rows:
-                # host-exact fallback for reads with too many distinct taxa
-                counts = _window_taxa_counts(wt_host[i])
-                taxon[i] = _resolve_host(parents, counts, required[i])
-
-        classified = (taxon != NONE) & (batch.num_distinct >= cpar.min_hit_groups)
+        taxon, classified = self._finalize_taxa(batch, threshold, cpar)
         report_taxon = np.where(classified, taxon, NONE)
 
         if cpar.sample_regex:
@@ -529,9 +508,85 @@ class Classifier:
     def classify_and_write_packed(
         self, packed_iter, output_location: str, cpar: ClassifyParams
     ) -> Dict[float, List[str]]:
-        """classify_and_write over native-packed batches (fast path)."""
+        """classify_and_write over native-packed batches (fast path).
+
+        In reports-only mode per-read results are never materialised: per
+        (sample, taxon) counts are aggregated streaming, like the reference's
+        SQL classifier (Classifier.scala:259-410)."""
+        if not cpar.per_read_output:
+            return self._aggregate_and_write(packed_iter, output_location, cpar)
         results = self.classify_packed(packed_iter, cpar)
         return self._write_results(results, output_location, cpar)
+
+    def _aggregate_and_write(self, packed_iter, output_location, cpar):
+        counts: Dict[float, Dict[str, Dict[int, int]]] = {
+            t: {} for t in cpar.thresholds
+        }
+        sre = re.compile(cpar.sample_regex) if cpar.sample_regex else None
+        for batch in self.packed_batches(packed_iter):
+            n = len(batch.titles)
+            if sre is not None:
+                samples = np.array(
+                    [
+                        (m.group(1) if (m := sre.search(t)) else "other")
+                        for t in batch.titles
+                    ]
+                )
+            else:
+                samples = None
+            for t in cpar.thresholds:
+                taxon, classified = self._finalize_taxa(batch, t, cpar)
+                report_taxon = np.where(classified, taxon, NONE)
+                if not cpar.with_unclassified:
+                    keep = classified
+                else:
+                    keep = np.ones(n, bool)
+                per_sample = counts[t]
+                if samples is None:
+                    agg = per_sample.setdefault("all", {})
+                    vals, cts = np.unique(report_taxon[keep], return_counts=True)
+                    for v, c in zip(vals.tolist(), cts.tolist()):
+                        agg[v] = agg.get(v, 0) + c
+                else:
+                    for s in np.unique(samples[keep]):
+                        sel = keep & (samples == s)
+                        agg = per_sample.setdefault(str(s), {})
+                        vals, cts = np.unique(report_taxon[sel], return_counts=True)
+                        for v, c in zip(vals.tolist(), cts.tolist()):
+                            agg[v] = agg.get(v, 0) + c
+        out = {}
+        for t, per_sample in counts.items():
+            loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
+            os.makedirs(loc, exist_ok=True)
+            names = []
+            for sample, agg in per_sample.items():
+                KrakenReport(self.index.taxonomy, sorted(agg.items())).write(
+                    os.path.join(loc, f"{sample}_kreport.txt")
+                )
+                names.append(sample)
+            out[t] = names
+        return out
+
+    def _finalize_taxa(self, batch: _BatchResult, threshold: float, cpar: ClassifyParams):
+        """Vectorised (taxon, classified) for one threshold (no objects)."""
+        required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
+        path = batch.res_path
+        clade = batch.res_clade
+        ok = (path != -1) & (clade.astype(np.float64) >= required[:, None])
+        dsel = ok.shape[1] - 1 - np.argmax(ok[:, ::-1], axis=1)
+        any_ok = ok.any(axis=1)
+        taxon = np.where(
+            any_ok, np.take_along_axis(path, dsel[:, None], axis=1)[:, 0], NONE
+        )
+        taxon = np.where(batch.res_max_taxon == NONE, NONE, taxon).astype(np.int64)
+        overflow_rows = np.flatnonzero(batch.overflow)
+        if len(overflow_rows):
+            parents = self.index.taxonomy.parents
+            wt_host = np.asarray(batch.window_taxa)
+            for i in overflow_rows:
+                taxon[i] = _resolve_host(parents, _window_taxa_counts(wt_host[i]), required[i])
+        classified = (taxon != NONE) & (batch.num_distinct >= cpar.min_hit_groups)
+        return taxon, classified
 
     def classify_and_write(
         self, fragments: Iterable[Fragment], output_location: str, cpar: ClassifyParams

@@ -219,3 +219,53 @@ def test_write_outputs(rng, tmp_path):
         report = open(os.path.join(d, "all_kreport.txt")).read().splitlines()
         assert report[0].startswith("#Perc")
         assert any("\tR\t1\t" in line for line in report)
+
+
+def test_aggregated_reports_match_per_read(rng, tmp_path):
+    """Streaming reports-only aggregation must produce the same kreports as
+    the per-read path."""
+    from slacken_tpu import native
+
+    t, parents, genomes, idx, idx_map = setup(rng)
+    reads = []
+    for i in range(60):
+        _, seq = sample_read(rng, genomes)
+        reads.append((f"s{i % 3}|read{i}", seq))
+    packed = native.PackedReads(
+        *(lambda rows: (rows[0], rows[1], rows[2]))(
+            (
+                __import__("numpy").stack(
+                    [
+                        __import__("numpy").pad(
+                            __import__("slacken_tpu.ops.encode", fromlist=["encode_seq"]).encode_seq(s),
+                            (0, 128 - len(s)),
+                            constant_values=4,
+                        )
+                        for _, s in reads
+                    ]
+                ),
+                __import__("numpy").array([len(s) for _, s in reads], "int32"),
+                [h for h, _ in reads],
+            )
+        )
+    )
+    cls = Classifier(idx)
+    cpar = ClassifyParams(
+        thresholds=[0.0, 0.1], per_read_output=False, sample_regex=r"(s\d+)\|.*"
+    )
+    out_a = str(tmp_path / "agg")
+    cls.classify_and_write_packed([packed], out_a, cpar)
+
+    cpar_pr = ClassifyParams(
+        thresholds=[0.0, 0.1], per_read_output=True, sample_regex=r"(s\d+)\|.*"
+    )
+    out_b = str(tmp_path / "perread")
+    cls.classify_and_write_packed([packed], out_b, cpar_pr)
+
+    import os
+
+    for th in ("_c0.0", "_c0.1"):
+        for s in ("s0", "s1", "s2"):
+            a = open(out_a + th + f"/{s}_kreport.txt").read()
+            b = open(out_b + th + f"/{s}_kreport.txt").read()
+            assert a == b, f"{th}/{s}"
