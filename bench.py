@@ -38,8 +38,14 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persistent compile cache: TPU only (XLA:CPU AOT cache entries can load
+    # across machine-feature mismatches and silently corrupt results)
+    try:
+        if jax.devices()[0].platform != "cpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except RuntimeError:
+        pass
     try:
         dev = jax.devices()[0]
     except RuntimeError as e:

@@ -22,7 +22,6 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 
     from slacken_tpu.analysis.mapping_comparison import MappingComparison
     from slacken_tpu.classify import Classifier, ClassifyParams, Fragment

@@ -31,7 +31,6 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     devs = jax.devices()

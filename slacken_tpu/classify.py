@@ -390,19 +390,21 @@ class Classifier:
 
     def batches(self, fragments: Iterable[Fragment]):
         """Group fragments into shape-bucketed batches and run the device
-        pipeline, yielding _BatchResults."""
-        pending: Dict[int, List[Fragment]] = {}
-        for f in fragments:
+        pipeline, yielding (_BatchResult, input positions). Mixed-length
+        inputs are regrouped by bucket, so callers needing input order use
+        the positions (classify() restores it)."""
+        pending: Dict[int, List] = {}
+        for pos, f in enumerate(fragments):
             n = len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0)
             bucket = self._row_length_bucket(n)
             lst = pending.setdefault(bucket, [])
-            lst.append(f)
+            lst.append((pos, f))
             if len(lst) >= self._rows_target(bucket):
-                yield self._run_batch(lst, bucket)
+                yield self._run_batch([x[1] for x in lst], bucket), [x[0] for x in lst]
                 pending[bucket] = []
         for bucket, lst in pending.items():
             if lst:
-                yield self._run_batch(lst, bucket)
+                yield self._run_batch([x[1] for x in lst], bucket), [x[0] for x in lst]
 
     def packed_batches(self, packed_iter):
         """Run pre-packed code batches (native.PackedReads) through the
@@ -498,12 +500,16 @@ class Classifier:
     ) -> Dict[float, List[ClassifiedRead]]:
         """Classify all fragments at every threshold (one device pass total,
         generalising the reference's multi-threshold cache,
-        Classifier.scala:156-170)."""
-        results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
-        for batch in self.batches(fragments):
+        Classifier.scala:156-170). Results preserve input order."""
+        acc: Dict[float, List] = {t: [] for t in cpar.thresholds}
+        for batch, positions in self.batches(fragments):
             for t in cpar.thresholds:
-                results[t].extend(self.finalize(batch, t, cpar))
-        return results
+                for pos, read in zip(positions, self.finalize(batch, t, cpar)):
+                    acc[t].append((pos, read))
+        return {
+            t: [read for _, read in sorted(pairs, key=lambda x: x[0])]
+            for t, pairs in acc.items()
+        }
 
     def classify_and_write_packed(
         self, packed_iter, output_location: str, cpar: ClassifyParams

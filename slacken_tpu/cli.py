@@ -139,8 +139,14 @@ def _build_parser():
 def main(argv=None):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persistent compile cache: TPU only (XLA:CPU AOT cache entries can load
+    # across machine-feature mismatches and silently corrupt results)
+    try:
+        if jax.devices()[0].platform != "cpu":
+            jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except RuntimeError:
+        pass
     args = _build_parser().parse_args(argv)
     t0 = time.time()
     rc = COMMANDS[args.command](args)

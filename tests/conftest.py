@@ -16,9 +16,10 @@ import jax
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
-# Persistent compile cache makes repeated suite runs much faster.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# NOTE: do NOT enable the persistent compile cache for CPU runs — XLA:CPU
+# AOT cache entries have been observed to load across host-feature detection
+# differences (+prefer-no-scatter/+prefer-no-gather) and SILENTLY COMPUTE
+# WRONG RESULTS. The cache is only safe for the TPU backend.
 
 import numpy as np
 import pytest

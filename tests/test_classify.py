@@ -269,3 +269,18 @@ def test_aggregated_reports_match_per_read(rng, tmp_path):
             a = open(out_a + th + f"/{s}_kreport.txt").read()
             b = open(out_b + th + f"/{s}_kreport.txt").read()
             assert a == b, f"{th}/{s}"
+
+
+def test_classify_preserves_input_order(rng):
+    """Mixed-length inputs must come back in input order despite bucket
+    regrouping."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(30):
+        _, seq = genomes[i % len(genomes)]
+        L = [60, 101, 140, 200][i % 4]
+        s = int(rng.integers(0, len(seq) - L))
+        frags.append(Fragment(f"read{i}", seq[s : s + L]))
+    cls = Classifier(idx)
+    res = cls.classify(frags, ClassifyParams())[0.0]
+    assert [r.title for r in res] == [f.title for f in frags]
