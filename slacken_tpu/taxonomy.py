@@ -347,6 +347,13 @@ class Taxonomy:
         instead of D dependent pointer-chasing gathers.
         """
         D = max_path or self.max_path_len
+        if D > 256:
+            # the reference bounds taxonomy paths at 256
+            # (LowestCommonAncestor.scala:34); deeper chains indicate corrupt
+            # input and would explode the table (size x D x 4 bytes)
+            raise ValueError(
+                f"taxonomy path length {D} exceeds the supported bound of 256"
+            )
         if getattr(self, "_rpath_table", None) is not None and self._rpath_table.shape[1] >= D:
             return self._rpath_table[:, :D]
         n = self.size
