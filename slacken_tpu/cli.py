@@ -241,8 +241,10 @@ def cmd_classify2(args):
         gold,
         args.output,
     )
-    frags = list(fragments_from_files(args.inputs, paired=args.paired, k=idx.params.k))
-    dyn.two_step_classify_and_write(frags, args.index_reports, args.bracken_length)
+    files_factory = lambda: fragments_from_files(
+        args.inputs, paired=args.paired, k=idx.params.k
+    )
+    dyn.two_step_classify_and_write(files_factory, args.index_reports, args.bracken_length)
     return 0
 
 

@@ -10,7 +10,6 @@ reads against it.
 from __future__ import annotations
 
 import os
-import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Set, Tuple
@@ -69,15 +68,7 @@ def criteria_from_args(args):
     return ClassifiedReadCount(100, getattr(args, "init_confidence", 0.15))
 
 
-class Timer:
-    def __init__(self, task: str):
-        self.task = task
-        self.start = time.time()
-        print(f"Start task: {task}")
-
-    def finish(self):
-        s = int(time.time() - self.start)
-        print(f"Finish task: {self.task} [{s // 60} min {s % 60} s]")
+from .utils import Timer  # noqa: E402  (named-task timers, utils.py)
 
 
 class Dynamic:
@@ -277,12 +268,20 @@ class Dynamic:
 
     def two_step_classify_and_write(
         self,
-        fragments: Sequence[Fragment],
+        fragments,
         dynamic_reports: bool = False,
         bracken_read_length: Optional[int] = None,
     ):
-        fragments = list(fragments)
-        dynamic_index, used_taxa = self.make_records(fragments)
+        """fragments: a sequence of Fragments, or a zero-arg callable
+        returning a fresh iterator (streaming mode — reads are re-read for
+        each of the two passes instead of being held in memory, like the
+        reference re-evaluating its reads Dataset, Dynamic.scala:320-324)."""
+        if callable(fragments):
+            factory = fragments
+        else:
+            frags_list = list(fragments)
+            factory = lambda: iter(frags_list)
+        dynamic_index, used_taxa = self.make_records(factory())
         print(f"Dynamic index: {len(dynamic_index.keys)} records, {len(used_taxa)} taxa")
 
         if dynamic_reports:
@@ -305,7 +304,7 @@ class Dynamic:
 
         t = Timer("Classify reads")
         cls = Classifier(dynamic_index)
-        cls.classify_and_write(fragments, self.output, self.cpar)
+        cls.classify_and_write(factory(), self.output, self.cpar)
         t.finish()
         return dynamic_index
 
