@@ -166,3 +166,38 @@ def test_taxonomy_save_load(tmp_path, rng):
     assert np.array_equal(t2.rank_depth, t.rank_depth)
     for x in t.taxa():
         assert t2.get_name(x) == t.get_name(x)
+
+
+def test_clade_closures(rng):
+    t = random_taxonomy(rng)
+    taxa = list(t.taxa())
+    picks = [int(x) for x in rng.choice(taxa, 5, replace=False)]
+    up = t.taxa_with_ancestors(picks)
+    # closure contains picks, root, and every member's parent
+    assert set(picks) <= up and 1 in up
+    for x in up:
+        if x != 1:
+            assert int(t.parents[x]) in up
+    down = t.taxa_with_descendants(picks)
+    assert set(picks) <= down
+    for x in down:
+        for c in t.children[x]:
+            assert c in down
+    assert t.count_distinct_taxa_with_ancestors(picks) == len(up)
+
+
+def test_ancestor_levels(rng):
+    t = random_taxonomy(rng)
+    for x in list(t.taxa())[:30]:
+        d = t.depth(x)
+        # ancestor at own level is itself (or a same-depth ancestor)
+        a = t.ancestor_at_level(x, d)
+        assert a is not None and t.depth(a) == d and t.has_ancestor(x, a)
+        sa = t.standard_ancestor_at_level(x, d)
+        assert sa is not None and t.has_ancestor(x, sa)
+        # at root level we always find ROOT
+        assert t.ancestor_at_level(x, 0) == 1
+        # standard steps consistent with depths
+        anc = t.ancestor_at_level(x, max(0, d - 2))
+        if anc is not None:
+            assert t.standard_steps_to_ancestor(x, anc) == d - t.depth(anc)
