@@ -166,3 +166,30 @@ def test_display_filter():
     filter_report(report, clades={10}, out=buf)
     out = buf.getvalue().splitlines()
     assert [l.split("\t")[4] for l in out] == ["10", "100", "101"]
+
+
+def test_mapping_comparison_multi_dirs(tmp_path):
+    t = small_tax()
+    # two samples, classified dirs in the reference's multi-sample layout
+    for sample, taxon in (("0", 100), ("1", 110)):
+        d = tmp_path / "run_c0.00" / f"sample={sample}"
+        d.mkdir(parents=True)
+        with open(d / "part-00000.txt", "w") as f:
+            for i in range(15):
+                f.write(f"C\ts{sample}r{i}\t{taxon}\t101\t{taxon}:67\n")
+        ref = tmp_path / "refs" / f"sample{sample}"
+        ref.mkdir(parents=True)
+        with open(ref / "reads_mapping.tsv", "w") as f:
+            for i in range(15):
+                f.write(f"x\ts{sample}r{i}\t{taxon}\n")
+
+    mc = MappingComparison(t, 2, 3, False, min_count_taxon=1, multi_sample=True)
+    mc.process_directories(
+        [str(tmp_path / "run_c0.00")], str(tmp_path / "out"), str(tmp_path / "refs")
+    )
+    lines = (tmp_path / "out_metrics.tsv").read_text().splitlines()
+    assert len(lines) == 1 + 2 * 2  # header + 2 samples x 2 ranks
+    for line in lines[1:]:
+        cols = line.split("\t")
+        # perfect classification: tp = total, ppv = sensitivity = 1.0
+        assert cols[-3] == "1.0" and cols[-2] == "1.0"
