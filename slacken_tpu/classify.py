@@ -665,9 +665,11 @@ def write_per_sample_output(
         if cpar.per_read_output:
             d = os.path.join(location, f"sample={sample}")
             os.makedirs(d, exist_ok=True)
-            with gzip.open(os.path.join(d, "part-00000.txt.gz"), "wt") as f:
-                for r in rs:
-                    f.write(r.output_line() + "\n")
+            # compresslevel 1: per-read outputs are write-throughput-bound
+            with gzip.open(os.path.join(d, "part-00000.txt.gz"), "wt", compresslevel=1) as f:
+                chunk = 1 << 14
+                for i in range(0, len(rs), chunk):
+                    f.write("\n".join(r.output_line() for r in rs[i : i + chunk]) + "\n")
         counts: Dict[int, int] = {}
         for r in rs:
             counts[r.taxon] = counts.get(r.taxon, 0) + 1
