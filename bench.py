@@ -88,10 +88,34 @@ def main():
     from slacken_tpu.inputs import packed_reads_from_file
 
     packed = list(packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq"))
-    # replicate the 10k-read sample for a steady-state throughput measurement
-    packed = packed * 8
+    # add an equal volume of reads simulated from the library so the
+    # resolve/report paths see realistic classified fractions, then replicate
+    # for a steady-state throughput measurement
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode as enc
+
+    sim_rng = np.random.default_rng(7)
+    sim = []
+    for taxon, seq in synthetic_library(np.random.default_rng(20260816)):
+        codes_full = enc.encode_seq(seq)
+        starts = sim_rng.integers(0, len(codes_full) - 101, 3334)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = sim_rng.random(rows.shape) < 0.01
+        rows[mut] = sim_rng.integers(0, 4, mut.sum())
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(
+            native.PackedReads(
+                rows,
+                np.full(len(rows), 101, np.int32),
+                [f"sim{taxon}_{j}" for j in range(len(rows))],
+            )
+        )
+    packed = (packed + sim) * 4
     n_reads = sum(len(p) for p in packed)
-    print(f"{n_reads} reads loaded (native parse, 8x replicated sample)", file=sys.stderr)
+    print(
+        f"{n_reads} reads loaded (10k real + 10k simulated, 4x replicated)",
+        file=sys.stderr,
+    )
 
     cls = Classifier(idx, target_batch_bp=1 << 20)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)

@@ -79,18 +79,27 @@ def _postprocess(wm, looked, rpath_table, max_taxa):
     return window_taxa, num_distinct, ch, res
 
 
-def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int):
+def classify_replicated_fn(
+    mesh: Mesh,
+    mp: MinimizerParams,
+    max_taxa: int,
+    rounds: int = 32,
+    bits: int = lookup_ops.ROUTER_BITS,
+):
     """Data-parallel classification with a fully replicated index.
 
     Returns a jitted fn(codes[B,L], keys_hi[N], keys_lo[N], key_taxa[N],
-    parents[M]) -> (window_taxa, num_distinct, hits, resolve, report_counts)
-    with codes sharded over 'data' and everything else replicated; the
-    per-taxon report count vector is psum-reduced across the mesh.
+    router[R], rpath_table[M,D]) -> (window_taxa, num_distinct, hits,
+    resolve, report_counts) with codes sharded over 'data' and everything
+    else replicated; the per-taxon report count vector is psum-reduced
+    across the mesh.
     """
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, rpath_table):
+    def local_fn(codes, keys_hi, keys_lo, key_taxa, router, rpath_table):
         wm = _window_scan(codes, mp)
-        looked = lookup_ops.lookup_taxa(u64.U64(keys_hi, keys_lo), key_taxa, wm.minimizer)
+        looked = lookup_ops.lookup_taxa_routed(
+            u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
+        )
         window_taxa, num_distinct, ch, res = _postprocess(wm, looked, rpath_table, max_taxa)
         # per-taxon counts of winning taxa (report aggregation): psum over mesh
         counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)
@@ -100,7 +109,7 @@ def classify_replicated_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int):
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("data"), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )

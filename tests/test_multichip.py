@@ -44,8 +44,10 @@ def test_ring_matches_single_device(rng):
     kl = idx.keys.astype(np.uint32)
 
     table = t.rpath_table()
-    rep = pmesh.classify_replicated_fn(m, mp, 16)
-    wt_p, nd_p, ch_p, res_p, counts_p = rep(codes, kh, kl, idx.taxa, table)
+    rep = pmesh.classify_replicated_fn(m, mp, 16, idx.router_rounds, idx.router_bits)
+    wt_p, nd_p, ch_p, res_p, counts_p = rep(
+        codes, kh, kl, idx.taxa, np.asarray(idx.device_router), table
+    )
 
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
     routers, rounds, rbits = pmesh.shard_routers(sk)
