@@ -409,27 +409,65 @@ class Classifier:
     def packed_batches(self, packed_iter):
         """Run pre-packed code batches (native.PackedReads) through the
         device pipeline — the zero-copy fast path fed by the C++ parser.
-        Double-buffered: one batch computes on device while the host
+        Same-width chunks are coalesced into full device batches across the
+        stream (no per-chunk tail padding), and the pipeline is
+        double-buffered: one batch computes on device while the host
         post-processes the previous one."""
         pending = None
-        for packed in packed_iter:
-            rows = self._rows_target(packed.codes.shape[1])
-            n = len(packed)
-            for start in range(0, n, rows):
-                end = min(start + rows, n)
-                if getattr(packed, "splits", None) is not None:
-                    splits = [int(x) for x in packed.splits[start:end]]
-                else:
-                    splits = [None] * (end - start)
+        buffers: Dict[int, list] = {}  # width -> [(codes, titles, splits, lens)]
+
+        def emit(width, force=False):
+            nonlocal pending
+            rows_target = self._rows_target(width)
+            buf = buffers.get(width, [])
+            count = sum(len(x[1]) for x in buf)
+            while count >= rows_target or (force and count > 0):
+                take = min(count, rows_target)
+                codes_parts, titles, splits, lens = [], [], [], []
+                got = 0
+                while got < take:
+                    c, t, s, l = buf[0]
+                    need = take - got
+                    if len(t) <= need:
+                        codes_parts.append(c)
+                        titles += t
+                        splits += s
+                        lens += l
+                        got += len(t)
+                        buf.pop(0)
+                    else:
+                        codes_parts.append(c[:need])
+                        titles += t[:need]
+                        splits += s[:need]
+                        lens += l[:need]
+                        buf[0] = (c[need:], t[need:], s[need:], l[need:])
+                        got = take
+                count -= take
                 dispatched = self._dispatch_codes(
-                    np.ascontiguousarray(packed.codes[start:end]),
-                    packed.titles[start:end],
+                    np.ascontiguousarray(np.concatenate(codes_parts))
+                    if len(codes_parts) > 1
+                    else np.ascontiguousarray(codes_parts[0]),
+                    titles,
                     splits,
-                    [int(x) for x in packed.lengths[start:end]],
+                    lens,
                 )
                 if pending is not None:
                     yield self._harvest(pending)
                 pending = dispatched
+            buffers[width] = buf
+
+        for packed in packed_iter:
+            width = packed.codes.shape[1]
+            if getattr(packed, "splits", None) is not None:
+                splits = [int(x) for x in packed.splits]
+            else:
+                splits = [None] * len(packed)
+            buffers.setdefault(width, []).append(
+                (packed.codes, list(packed.titles), splits, [int(x) for x in packed.lengths])
+            )
+            yield from emit(width)
+        for width in list(buffers):
+            yield from emit(width, force=True)
         if pending is not None:
             yield self._harvest(pending)
 

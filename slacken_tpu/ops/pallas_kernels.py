@@ -66,3 +66,144 @@ def window_minimizers_pallas(
         span_start=start.astype(bool),
         distinct=distinct.astype(bool),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experimental: block-DMA index probe
+# ---------------------------------------------------------------------------
+
+import jax.numpy as _jnp
+import numpy as _np
+from jax.experimental.pallas import tpu as pltpu
+
+PROBE_BLOCK = 128  # keys per DMA block (1 KB of key limbs)
+
+
+def build_fence(keys_hi: _np.ndarray, keys_lo: _np.ndarray, block: int = PROBE_BLOCK):
+    """VMEM-resident fence: the first key of every `block`-aligned run of the
+    sorted key array (padded with the max key). N/block entries — ~64K u64
+    for an 8M-key shard, comfortably within VMEM."""
+    n = len(keys_hi)
+    n_blocks = -(-n // block)
+    idx = _np.minimum(_np.arange(n_blocks) * block, n - 1)
+    return keys_hi[idx].astype(_np.uint32), keys_lo[idx].astype(_np.uint32), n_blocks
+
+
+def _probe_kernel(
+    q_hi_ref, q_lo_ref, fence_hi_ref, fence_lo_ref, keys_hi_hbm, keys_lo_hbm,
+    taxa_hbm, out_ref, scratch_hi, scratch_lo, scratch_tax, sems, *, n_keys, block
+):
+    """For each query in the block: binary-search the fence (VMEM) for its
+    key block, DMA the block's keys + taxa from HBM, and scan it vectorised.
+    DMAs are pipelined across a small slot ring."""
+    nq = q_hi_ref.shape[0]
+    n_blocks = fence_hi_ref.shape[0]
+    n_slots = scratch_hi.shape[0]
+
+    def fence_search(qh, ql):
+        # last fence entry <= query  (entries sorted ascending)
+        lo = jnp.int32(0)
+        hi = jnp.int32(n_blocks)
+        # ceil(log2(n_blocks)) rounds; static bound
+        rounds = max(1, int(_np.ceil(_np.log2(max(2, n_blocks)))))
+        def body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi + 1) // 2
+            m = jnp.minimum(mid, n_blocks - 1)
+            fh = fence_hi_ref[m]
+            fl = fence_lo_ref[m]
+            le = (fh < qh) | ((fh == qh) & (fl <= ql))
+            return jax.lax.cond(
+                le & (mid < n_blocks), lambda: (mid, hi), lambda: (lo, mid - 1)
+            )
+        lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+        return lo
+
+    def start_dma(qi, slot):
+        qh = q_hi_ref[qi]
+        ql = q_lo_ref[qi]
+        b = fence_search(qh, ql)
+        start = b * block
+        pltpu.make_async_copy(
+            keys_hi_hbm.at[pl.ds(start, block)], scratch_hi.at[slot], sems.at[slot, 0]
+        ).start()
+        pltpu.make_async_copy(
+            keys_lo_hbm.at[pl.ds(start, block)], scratch_lo.at[slot], sems.at[slot, 1]
+        ).start()
+        pltpu.make_async_copy(
+            taxa_hbm.at[pl.ds(start, block)], scratch_tax.at[slot], sems.at[slot, 2]
+        ).start()
+        return start
+
+    def wait_dma(slot, start):
+        pltpu.make_async_copy(
+            keys_hi_hbm.at[pl.ds(start, block)], scratch_hi.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            keys_lo_hbm.at[pl.ds(start, block)], scratch_lo.at[slot], sems.at[slot, 1]
+        ).wait()
+        pltpu.make_async_copy(
+            taxa_hbm.at[pl.ds(start, block)], scratch_tax.at[slot], sems.at[slot, 2]
+        ).wait()
+
+    # warm up the slot ring
+    starts0 = jnp.zeros((n_slots,), jnp.int32)
+    def warm(i, starts):
+        s = start_dma(jnp.minimum(i, nq - 1), i)
+        return starts.at[i].set(s)
+    starts0 = jax.lax.fori_loop(0, n_slots, warm, starts0)
+
+    def body(qi, starts):
+        slot = qi % n_slots
+        wait_dma(slot, starts[slot])
+        qh = q_hi_ref[qi]
+        ql = q_lo_ref[qi]
+        kh = scratch_hi[slot]
+        kl = scratch_lo[slot]
+        tx = scratch_tax[slot]
+        eq = (kh == qh) & (kl == ql)
+        taxon = jnp.max(jnp.where(eq, tx, 0))
+        out_ref[qi] = taxon
+        nxt = qi + n_slots
+        s = jax.lax.cond(
+            nxt < nq, lambda: start_dma(nxt, slot), lambda: starts[slot]
+        )
+        return starts.at[slot].set(s)
+
+    jax.lax.fori_loop(0, nq, body, starts0)
+
+
+def lookup_taxa_dma(
+    keys_hi, keys_lo, taxa, fence_hi, fence_lo, q_hi, q_lo,
+    block: int = PROBE_BLOCK, n_slots: int = 8, interpret: bool = False
+):
+    """EXPERIMENTAL Pallas probe: per-query block DMA instead of per-round
+    gathers. Correctness is locked by tests in interpret mode; compiled-path
+    benchmarking against the gather-based probe is pending real-TPU access
+    (see STATUS.md). Misses return 0.
+    """
+    n_keys = keys_hi.shape[0]
+    nq = q_hi.shape[0]
+    kernel = partial(_probe_kernel, n_keys=n_keys, block=block)
+    return pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # queries hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # queries lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fence hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fence lo
+            pl.BlockSpec(memory_space=pl.ANY),  # keys hi (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # keys lo (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # taxa (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nq,), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, block), jnp.uint32),
+            pltpu.VMEM((n_slots, block), jnp.uint32),
+            pltpu.VMEM((n_slots, block), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_slots, 3)),
+        ],
+        interpret=interpret,
+    )(q_hi, q_lo, fence_hi, fence_lo, keys_hi, keys_lo, taxa)
