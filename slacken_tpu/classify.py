@@ -559,8 +559,55 @@ class Classifier:
         SQL classifier (Classifier.scala:259-410)."""
         if not cpar.per_read_output:
             return self._aggregate_and_write(packed_iter, output_location, cpar)
-        results = self.classify_packed(packed_iter, cpar)
-        return self._write_results(results, output_location, cpar)
+        return self._stream_detailed_and_write(packed_iter, output_location, cpar)
+
+    def _stream_detailed_and_write(self, packed_iter, output_location, cpar):
+        """Detailed mode, streaming: write each batch's per-read lines as
+        device results arrive (constant memory; writing overlaps the next
+        batch's device compute via the double-buffered batcher)."""
+        writers: Dict[tuple, object] = {}
+        counts: Dict[float, Dict[str, Dict[int, int]]] = {t: {} for t in cpar.thresholds}
+
+        def writer_for(t, sample):
+            key = (t, sample)
+            if key not in writers:
+                loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
+                d = os.path.join(loc, f"sample={sample}")
+                os.makedirs(d, exist_ok=True)
+                writers[key] = gzip.open(
+                    os.path.join(d, "part-00000.txt.gz"), "wt", compresslevel=1
+                )
+            return writers[key]
+
+        try:
+            for batch in self.packed_batches(packed_iter):
+                for t in cpar.thresholds:
+                    reads = self.finalize(batch, t, cpar)
+                    by_sample: Dict[str, List[str]] = {}
+                    for r in reads:
+                        if not cpar.with_unclassified and not r.classified:
+                            continue
+                        by_sample.setdefault(r.sample_id, []).append(r.output_line())
+                        agg = counts[t].setdefault(r.sample_id, {})
+                        agg[r.taxon] = agg.get(r.taxon, 0) + 1
+                    for sample, lines in by_sample.items():
+                        writer_for(t, sample).write("\n".join(lines) + "\n")
+        finally:
+            for f in writers.values():
+                f.close()
+
+        out = {}
+        for t, per_sample in counts.items():
+            loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
+            os.makedirs(loc, exist_ok=True)
+            names = []
+            for sample, agg in per_sample.items():
+                KrakenReport(self.index.taxonomy, sorted(agg.items())).write(
+                    os.path.join(loc, f"{sample}_kreport.txt")
+                )
+                names.append(sample)
+            out[t] = names
+        return out
 
     def _aggregate_and_write(self, packed_iter, output_location, cpar):
         counts: Dict[float, Dict[str, Dict[int, int]]] = {
