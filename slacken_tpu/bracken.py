@@ -51,9 +51,16 @@ def _fragment_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits
 
 
 class BrackenWeights:
-    def __init__(self, index: KeyValueIndex, read_len: int):
+    def __init__(self, index: KeyValueIndex, read_len: int, use_device: bool = False):
         self.index = index
         self.read_len = read_len
+        #: classify read windows on device (prefix sums + MXU scoring); the
+        #: fixed per-fragment taxa budget makes this SLOWER than the adaptive
+        #: numpy path on the CPU backend (5x), so it is opt-in until
+        #: benchmarked on real TPU hardware. Rows overflowing the budget fall
+        #: back to the exact numpy path either way.
+        self.use_device = use_device
+        self.device_max_taxa = 64
         if read_len < index.params.k:
             raise ValueError(f"read length {read_len} must be >= k {index.params.k}")
 
@@ -188,22 +195,42 @@ class BrackenWeights:
         # batch fragments by padded length for stable jit shapes
         pend: Dict[int, List[Tuple[int, np.ndarray]]] = {}
 
+        table = jnp.asarray(idx.taxonomy.rpath_table())
+        R = self.read_len
+        k = idx.params.k
+
         def flush(bucket, items):
             codes, _ = encode.pack_batch([c for _, c in items], bucket)
             looked, valid, span_start, distinct = _fragment_kernel(
                 codes, dk.hi, dk.lo, idx.device_taxa, idx.device_router, mp,
                 idx.router_rounds, idx.router_bits,
             )
-            looked = np.asarray(looked)
-            valid = np.asarray(valid)
-            span_start = np.asarray(span_start)
-            distinct = np.asarray(distinct)
-            for row, (source, c) in enumerate(items):
-                dc = self._fragment_dest_counts(
-                    looked[row], valid[row], span_start[row], distinct[row], len(c)
+            if self.use_device and bucket >= R:
+                dest, overflow = _window_classify_kernel(
+                    looked, valid, span_start, distinct, table, R, k, self.device_max_taxa
                 )
-                for dest, n in dc.items():
-                    key = (dest, source)
+                dest = np.asarray(dest)
+                overflow = np.asarray(overflow)
+            else:
+                dest = None
+                overflow = np.ones(len(items), bool)
+            looked_h = valid_h = start_h = dist_h = None
+            for row, (source, c) in enumerate(items):
+                n_windows = len(c) - R + 1
+                if dest is not None and not overflow[row] and n_windows > 0:
+                    vals, cts = np.unique(dest[row, :n_windows], return_counts=True)
+                    dc = dict(zip(vals.tolist(), cts.tolist()))
+                else:
+                    if looked_h is None:
+                        looked_h = np.asarray(looked)
+                        valid_h = np.asarray(valid)
+                        start_h = np.asarray(span_start)
+                        dist_h = np.asarray(distinct)
+                    dc = self._fragment_dest_counts(
+                        looked_h[row], valid_h[row], start_h[row], dist_h[row], len(c)
+                    )
+                for dest_t, n in dc.items():
+                    key = (int(dest_t), source)
                     out[key] = out.get(key, 0) + n
 
         for taxon, codes in self._iter_fragments(library, taxa):
@@ -279,3 +306,109 @@ def write_kmer_distrib(counts: Dict[Tuple[int, int], int], output_location: str)
                 f"{s}:{c}:{totals[s]}" for s, c in sorted(by_dest[dest])
             )
             f.write(f"{dest}\t{parts}\n")
+
+
+# ---------------------------------------------------------------------------
+# Device window classification (per-read simulation on TPU)
+# ---------------------------------------------------------------------------
+
+import jax.numpy as jnp
+from functools import partial as _partial
+
+from .ops.lca import lca_of_rpath_set
+from .ops.resolve import INVALID_WINDOW, compact_hits
+
+
+@_partial(jax.jit, static_argnums=(5, 6, 7))
+def _window_classify_kernel(
+    window_taxa, valid, span_start, distinct, rpath_table, read_len: int, k: int, max_taxa: int
+):
+    """Classify every read window of genome-fragment rows on device.
+
+    Implements FragmentWindow semantics (BrackenWeights.scala:46-137) as
+    prefix sums: per-taxon k-mer counts over each window are cumsum
+    differences, candidate scores are one [S, S] x [S, W] matmul per row
+    (MXU), the winner's tie set is reduced by LCA, and the min-hit-groups
+    gate uses span prefix sums. Returns (dest [B, L] int32 valid at window
+    starts 0..L-read_len, window_valid mask, overflow flag per row).
+    """
+    b, l = window_taxa.shape
+    w_kmers = read_len - k + 1
+
+    t = jnp.where(valid, window_taxa, 0).astype(jnp.int32)  # NONE where invalid
+    ch = compact_hits(jnp.where(valid, window_taxa, INVALID_WINDOW), max_taxa)
+    taxa_list = ch.taxa  # [B, S] sorted ascending, 0-padded
+    present = taxa_list != 0
+
+    # per-taxon prefix sums over k-mer positions
+    onehot = (t[:, None, :] == taxa_list[:, :, None]) & present[:, :, None]
+    pref = jnp.cumsum(onehot.astype(jnp.int32), axis=-1)
+    zero = jnp.zeros((b, taxa_list.shape[1], 1), jnp.int32)
+    pref = jnp.concatenate([zero, pref], axis=-1)  # [B, S, L+1]
+    # window starting at position w covers k-mer positions [w, w+w_kmers)
+    n_windows = l - read_len + 1
+    starts = jnp.arange(n_windows)
+    cnt = pref[:, :, starts + w_kmers] - pref[:, :, starts]  # [B, S, W]
+
+    # candidate scores: anc[i, j] = taxa[i] is ancestor-or-self of taxa[j]
+    rp = rpath_table[taxa_list]  # [B, S, D]
+    anc = (
+        jnp.any(rp[:, None, :, :] == taxa_list[:, :, None, None], axis=-1)
+        & present[:, :, None]
+    )
+    scores = jnp.einsum(
+        "bij,biw->bjw", anc.astype(jnp.float32), cnt.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # [B, S, W]
+    scores = jnp.where(present[:, :, None], scores, 0)
+
+    max_scores = jnp.max(scores, axis=1)  # [B, W]
+    any_hit = jnp.sum(cnt, axis=1) > 0
+    tied = (scores == max_scores[:, None, :]) & present[:, :, None] & any_hit[:, None, :]
+    n_tied = jnp.sum(tied, axis=1)
+
+    # single-winner fast path: argmax; multi-winner windows -> LCA of the set
+    j_star = jnp.argmax(tied, axis=1)  # [B, W] first tied index
+    dest_single = jnp.take_along_axis(taxa_list, j_star, axis=1)
+
+    # LCA over the tied set per window, via per-level min/max (D small):
+    rp_w = rp[:, :, None, :]  # [B, S, 1, D]
+    big = jnp.int32(2**31 - 1)
+    mn = jnp.min(jnp.where(tied[:, :, :, None], rp_w, big), axis=1)  # [B, W, D]
+    mx = jnp.max(jnp.where(tied[:, :, :, None], rp_w, jnp.int32(-2)), axis=1)
+    agree = (mn == mx) & (mn != -1) & (mn != big)
+    d = jnp.arange(rp.shape[-1], dtype=jnp.int32)
+    best = jnp.max(jnp.where(agree, d, -1), axis=-1)
+    dest_lca = jnp.take_along_axis(mn, jnp.maximum(best, 0)[..., None], axis=-1)[..., 0]
+    dest_lca = jnp.where(best >= 0, dest_lca, 0)
+    dest = jnp.where(n_tied > 1, dest_lca, jnp.where(n_tied == 1, dest_single, 0))
+
+    # hit-group gate: qualifying spans overlapping the window
+    qual = (span_start & distinct & (window_taxa > 0) & valid).astype(jnp.int32)
+    start_cum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(qual, axis=-1)], axis=-1
+    )
+    # span end marks: a span's last k-mer is the position before the next
+    # boundary (next span start or validity end)
+    boundary = span_start | ~valid
+    # for each qualifying span start p, find next boundary > p via reverse
+    # carry of boundary positions
+    idx = jnp.arange(l, dtype=jnp.int32)
+    next_b = jax.lax.associative_scan(
+        lambda a, b_: jnp.minimum(a, b_),
+        jnp.where(boundary, idx, l),
+        reverse=True,
+        axis=1,
+    )
+    # next boundary STRICTLY after p: shift left by one
+    nb_after = jnp.concatenate([next_b[:, 1:], jnp.full((b, 1), l, jnp.int32)], axis=-1)
+    ends = jnp.zeros((b, l + 1), jnp.int32)
+    end_pos = jnp.where(qual > 0, nb_after, l)
+    ends = ends.at[jnp.arange(b)[:, None], end_pos].add(qual)
+    passed_cum = jnp.cumsum(ends, axis=-1)
+    hit_groups = (
+        jnp.take_along_axis(start_cum, starts[None, :] + w_kmers, axis=-1)
+        - jnp.take_along_axis(passed_cum, starts[None, :], axis=-1)
+    )
+    dest = jnp.where(hit_groups >= 2, dest, 0)
+    return dest, ch.overflow

@@ -117,3 +117,20 @@ def test_gradual_and_write(rng, tmp_path):
         n_reads = len(seq) - 100 + 1
         assert per_source[taxon][0] == n_reads
         assert per_source[taxon][1] == n_reads
+
+
+def test_device_path_matches_numpy(rng):
+    """The device window classifier must agree with the numpy path exactly
+    (and actually take the device path, not the overflow fallback)."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=2000)
+    genomes.append((genomes[0][0], genomes[1][1][:900]))  # shared content
+    g0 = genomes[2]
+    genomes[2] = (g0[0], g0[1][:700] + "N" * 50 + g0[1][750:])  # ambiguity
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    lib = FakeLibrary(genomes)
+    taxa = {g[0] for g in genomes}
+
+    dev = BrackenWeights(idx, 100, use_device=True).build_weights(lib, taxa)
+    cpu = BrackenWeights(idx, 100, use_device=False).build_weights(lib, taxa)
+    assert dev == cpu
