@@ -302,12 +302,15 @@ class Classifier:
         return codes, splits
 
     def _run_batch(self, frags: List[Fragment], bucket: int) -> _BatchResult:
+        return self._harvest(self._dispatch_batch(frags, bucket))
+
+    def _dispatch_batch(self, frags: List[Fragment], bucket: int):
         codes, splits = self._pack_rows(frags, bucket)
         titles = [f.title for f in frags]
         row_lens = [
             len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0) for f in frags
         ]
-        return self._run_codes(codes, titles, splits, row_lens)
+        return self._dispatch_codes(codes, titles, splits, row_lens)
 
     def _run_codes(
         self,
@@ -394,17 +397,34 @@ class Classifier:
         inputs are regrouped by bucket, so callers needing input order use
         the positions (classify() restores it)."""
         pending: Dict[int, List] = {}
+        in_flight = None  # (dispatched device batch, positions)
+
+        def submit(lst, bucket):
+            nonlocal in_flight
+            dispatched = self._dispatch_batch([x[1] for x in lst], bucket)
+            out = None
+            if in_flight is not None:
+                out = (self._harvest(in_flight[0]), in_flight[1])
+            in_flight = (dispatched, [x[0] for x in lst])
+            return out
+
         for pos, f in enumerate(fragments):
             n = len(f.seq) + (len(f.seq2) + 1 if f.seq2 is not None else 0)
             bucket = self._row_length_bucket(n)
             lst = pending.setdefault(bucket, [])
             lst.append((pos, f))
             if len(lst) >= self._rows_target(bucket):
-                yield self._run_batch([x[1] for x in lst], bucket), [x[0] for x in lst]
+                done = submit(lst, bucket)
                 pending[bucket] = []
+                if done is not None:
+                    yield done
         for bucket, lst in pending.items():
             if lst:
-                yield self._run_batch([x[1] for x in lst], bucket), [x[0] for x in lst]
+                done = submit(lst, bucket)
+                if done is not None:
+                    yield done
+        if in_flight is not None:
+            yield (self._harvest(in_flight[0]), in_flight[1])
 
     def packed_batches(self, packed_iter):
         """Run pre-packed code batches (native.PackedReads) through the
