@@ -28,11 +28,15 @@ def _build_lib() -> Optional[str]:
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
         return _LIB_PATH
     try:
+        # build to a unique temp path and rename atomically (parallel test
+        # workers may compile concurrently)
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
         return None
