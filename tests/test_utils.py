@@ -1,0 +1,36 @@
+import io
+import time
+
+from slacken_tpu.utils import PhaseTimers, Timer, device_trace
+
+
+def test_timer_and_phases(capsys):
+    t = Timer("demo")
+    time.sleep(0.01)
+    elapsed = t.finish()
+    assert elapsed >= 0.01
+    err = capsys.readouterr().err
+    assert "Start task: demo" in err and "Finish task: demo" in err
+
+    with Timer("ctx", quiet=True) as t2:
+        pass
+    assert t2.elapsed is not None
+
+    pt = PhaseTimers()
+    with pt.phase("a"):
+        time.sleep(0.005)
+    with pt.phase("a"):
+        pass
+    with pt.phase("b"):
+        pass
+    assert pt.counts["a"] == 2 and pt.counts["b"] == 1
+    buf = io.StringIO()
+    pt.report(buf)
+    assert "a:" in buf.getvalue()
+
+
+def test_device_trace_noop():
+    # no directory -> pure no-op (the jax.profiler path needs a real backend)
+    with device_trace(None):
+        x = 1
+    assert x == 1
