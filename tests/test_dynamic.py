@@ -97,3 +97,63 @@ def test_gold_set(rng, tmp_path):
     dynamic_index = dyn.two_step_classify_and_write(frags)
     stored_leaves = {x for x in np.unique(dynamic_index.taxa).tolist() if t.is_leaf(x)}
     assert stored_leaves <= {genomes[2][0], genomes[3][0]}
+
+
+def test_gold_set_promotion(rng, tmp_path):
+    """Gold taxa missing from the library promote up the lineage; the
+    promote-rank filter keeps only promotions at/below the given rank
+    (Dynamic.scala:284-312)."""
+    from slacken_tpu.taxonomy import Taxonomy
+
+    nodes = [
+        (1, 1, "root"),
+        (10, 1, "genus"),
+        (100, 10, "species"),
+        (200, 100, "no rank"),  # strain under species, NOT in library
+        (11, 1, "genus"),
+        (110, 11, "species"),
+        (210, 110, "no rank"),
+    ]
+    t = Taxonomy.from_nodes_and_names(nodes, [(x, f"n{x}") for x, _, _ in nodes])
+
+    class Lib:
+        def taxon_set(self, tax):
+            return tax.taxa_with_ancestors([100])  # only species 100 present
+
+        def taxa_sequences(self):
+            return iter([])
+
+    gold_file = tmp_path / "gold.txt"
+    gold_file.write_text("200\n210\n")  # two strains, neither in library
+
+    from slacken_tpu.classify import ClassifyParams
+    from slacken_tpu.dynamic import ClassifiedReadCount, Dynamic, GoldSetOptions
+
+    # no promote rank: promoted set dropped; strains filtered at species rank
+    # (depth of strain inherits species depth 8, so they pass the rank filter)
+    dyn = Dynamic(
+        _FakeBase(t), Lib(), 8, ClassifiedReadCount(1, 0.0),
+        ClassifyParams(), GoldSetOptions(str(gold_file), None, True), str(tmp_path / "o"),
+    )
+    got = dyn.read_gold_set()
+    # strain 200's nearest library ancestor is species 100 -> promoted;
+    # strain 210 promotes to nothing below the library set except root path...
+    # 210 -> 110 -> 11 -> 1; none in library except root chain via 100? No:
+    # lib set = {100, 10, 1}; 210's path hits 1 -> promoted to 1 (root).
+    # gold entries themselves (depth 8 via inheritance) stay.
+    assert 200 in got and 210 in got
+    assert 100 in got  # promoted
+    assert 1 not in got  # root is depth 0 < species, dropped without promote rank
+
+    # promote rank genus: promotions at genus depth and below are kept
+    dyn2 = Dynamic(
+        _FakeBase(t), Lib(), 8, ClassifiedReadCount(1, 0.0),
+        ClassifyParams(), GoldSetOptions(str(gold_file), 7, True), str(tmp_path / "o2"),
+    )
+    got2 = dyn2.read_gold_set()
+    assert 100 in got2 and 1 not in got2
+
+
+class _FakeBase:
+    def __init__(self, t):
+        self.taxonomy = t
