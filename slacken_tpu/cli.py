@@ -72,6 +72,10 @@ def _build_parser():
         action="store_true",
         help="Also store the full (minimizer, taxon) records, enabling fast dynamic (classify2) rebuilds",
     )
+    b.add_argument(
+        "--spill-dir",
+        help="Range-partitioned on-disk spill directory for beyond-RAM builds",
+    )
 
     c = sub.add_parser("classify", help="Classify genomic sequences")
     _add_classify_opts(c)
@@ -175,7 +179,11 @@ def cmd_build(args):
 
     params = IndexParams(k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions)
     idx = KeyValueIndex.build(
-        lib.taxa_sequences(), params, tax, keep_records=getattr(args, "full_records", False)
+        lib.taxa_sequences(),
+        params,
+        tax,
+        keep_records=getattr(args, "full_records", False),
+        spill_dir=getattr(args, "spill_dir", None),
     )
     idx.save(args.index)
     print(f"Saved {len(idx.keys)} records to {args.index}")

@@ -159,6 +159,89 @@ def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParam
     return keys[rows, cols], np.asarray(taxa, np.int32)[rows]
 
 
+class SpillCollector:
+    """Range-partitioned on-disk record collector for beyond-RAM builds.
+
+    Each device batch's (sorted) records are split at fixed key-range
+    boundaries and appended to per-range files; the final reduce then
+    processes one bounded range at a time. This is the single-host form of
+    the multi-host range-sharded build (each host owns a set of ranges —
+    the TPU-native analogue of the reference's shuffle to bucketed Parquet,
+    KeyValueIndex.scala:125-139).
+    """
+
+    def __init__(self, directory: str, n_ranges: int = 64):
+        os.makedirs(directory, exist_ok=True)
+        self.dir = directory
+        self.n_ranges = n_ranges
+        # uniform boundaries over the 62-bit priority space (XOR-scrambled
+        # keys are uniform)
+        self.bounds = (np.arange(1, n_ranges) * ((1 << 62) // n_ranges)).astype(np.uint64)
+        self._files = {}
+
+    def add(self, keys: np.ndarray, taxa: np.ndarray):
+        keys = np.asarray(keys, np.uint64)
+        taxa = np.asarray(taxa, np.int32)
+        part = np.searchsorted(self.bounds, keys, side="right")
+        order = np.argsort(part, kind="stable")
+        keys, taxa, part = keys[order], taxa[order], part[order]
+        edges = np.searchsorted(part, np.arange(self.n_ranges + 1))
+        for r in range(self.n_ranges):
+            a, b = edges[r], edges[r + 1]
+            if a == b:
+                continue
+            kf, tf = self._open(r)
+            kf.write(keys[a:b].tobytes())
+            tf.write(taxa[a:b].tobytes())
+
+    def _open(self, r):
+        if r not in self._files:
+            self._files[r] = (
+                open(os.path.join(self.dir, f"k{r:04d}.bin"), "ab"),
+                open(os.path.join(self.dir, f"t{r:04d}.bin"), "ab"),
+            )
+        return self._files[r]
+
+    def close(self):
+        for kf, tf in self._files.values():
+            kf.close()
+            tf.close()
+        self._files = {}
+
+    def reduce(self, taxonomy: Taxonomy, keep_records: bool = False):
+        """Per-range dedup + LCA reduce; ranges concatenate in key order."""
+        self.close()
+        out_keys, out_taxa = [], []
+        rec_keys, rec_taxa = [], []
+        for r in range(self.n_ranges):
+            kp = os.path.join(self.dir, f"k{r:04d}.bin")
+            if not os.path.exists(kp):
+                continue
+            keys = np.fromfile(kp, dtype=np.uint64)
+            taxa = np.fromfile(os.path.join(self.dir, f"t{r:04d}.bin"), dtype=np.int32)
+            pk, pt = dedup_pairs(keys, taxa)
+            if keep_records:
+                rec_keys.append(pk)
+                rec_taxa.append(pt)
+            k2, t2 = reduce_records(pk, pt, taxonomy)
+            out_keys.append(k2)
+            out_taxa.append(t2)
+        keys = np.concatenate(out_keys) if out_keys else np.zeros(0, np.uint64)
+        taxa = np.concatenate(out_taxa) if out_taxa else np.zeros(0, np.int32)
+        recs = (
+            (np.concatenate(rec_keys), np.concatenate(rec_taxa))
+            if keep_records and rec_keys
+            else None
+        )
+        return keys, taxa, recs
+
+    def cleanup(self):
+        self.close()
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
 class RecordCollector:
     """Accumulates (minimizer, taxon) record chunks on host during a build."""
 
@@ -318,6 +401,7 @@ class KeyValueIndex:
         row_len: int = 1 << 16,
         taxon_filter: Optional[set] = None,
         keep_records: bool = False,
+        spill_dir: Optional[str] = None,
     ) -> "KeyValueIndex":
         """Build from an iterable of (taxon, sequence) pairs.
 
@@ -329,7 +413,7 @@ class KeyValueIndex:
         KeyValueIndex.scala:102-113).
         """
         mp = params.minimizer_params.validate()
-        collector = RecordCollector()
+        collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
         # spans occupy ~1/3 of positions on typical DNA; cap at 1/2 with a
@@ -377,6 +461,14 @@ class KeyValueIndex:
                 if len(buf_seqs) >= batch_rows:
                     flush()
         flush()
+
+        if spill_dir:
+            keys, taxa, recs = collector.reduce(taxonomy, keep_records)
+            collector.cleanup()
+            idx = cls(keys, taxa, params, taxonomy)
+            if recs is not None:
+                idx.record_keys, idx.record_taxa = recs
+            return idx
 
         pair_keys, pair_taxa = collector.concat()
         pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)

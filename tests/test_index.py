@@ -178,3 +178,21 @@ def test_merged_dmp_canonicalization(rng):
     via_real = KeyValueIndex.build([(int(real), g)], IndexParams(), t2)
     assert np.array_equal(via_alias.keys, via_real.keys)
     assert np.array_equal(via_alias.taxa, via_real.taxa)
+
+
+def test_spilled_build_matches_in_memory(rng, tmp_path):
+    """Out-of-core (range-spilled) build must produce the identical index."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=700)
+    genomes.append((genomes[0][0], genomes[1][1]))  # cross-taxon duplicates
+    mem = KeyValueIndex.build(genomes, IndexParams(), t, keep_records=True)
+    spill = KeyValueIndex.build(
+        genomes, IndexParams(), t, keep_records=True, spill_dir=str(tmp_path / "spill")
+    )
+    assert np.array_equal(mem.keys, spill.keys)
+    assert np.array_equal(mem.taxa, spill.taxa)
+    assert np.array_equal(mem.record_keys, spill.record_keys)
+    assert np.array_equal(mem.record_taxa, spill.record_taxa)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "spill"))  # cleaned up
