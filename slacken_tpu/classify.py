@@ -520,21 +520,7 @@ class Classifier:
 
         k = self.index.params.k
         if cpar.per_read_output:
-            wt_host = np.asarray(batch.window_taxa)[:n]
-            from . import native
-
-            splits = np.array(
-                [-1 if s is None else s for s in batch.mate_split], np.int64
-            )
-            pairs = native.hit_lines(batch.codes[:n], wt_host, splits, batch.row_lens, k)
-            if pairs is None:
-                pairs = []
-                for i in range(n):
-                    parts = _row_hit_parts(
-                        batch.codes[i], wt_host[i], batch.mate_split[i], batch.row_lens[i], k
-                    )
-                    details, length_string = hits_to_strings(parts, k)
-                    pairs.append((details, length_string))
+            pairs = self._hit_pairs(batch)
             return [
                 ClassifiedRead(
                     samples[i],
@@ -550,6 +536,30 @@ class Classifier:
             ClassifiedRead(samples[i], bool(classified[i]), batch.titles[i], int(report_taxon[i]), "", "")
             for i in range(n)
         ]
+
+    def _hit_pairs(self, batch: _BatchResult):
+        """(hit_details, length_string) per read, memoised on the batch —
+        identical across thresholds, so multi-threshold runs format once."""
+        cached = getattr(batch, "_hit_pairs_cache", None)
+        if cached is not None:
+            return cached
+        n = len(batch.titles)
+        k = self.index.params.k
+        wt_host = np.asarray(batch.window_taxa)[:n]
+        from . import native
+
+        splits = np.array([-1 if s is None else s for s in batch.mate_split], np.int64)
+        pairs = native.hit_lines(batch.codes, wt_host, splits, batch.row_lens, k)
+        if pairs is None:
+            pairs = []
+            for i in range(n):
+                parts = _row_hit_parts(
+                    batch.codes[i], wt_host[i], batch.mate_split[i], batch.row_lens[i], k
+                )
+                details, length_string = hits_to_strings(parts, k)
+                pairs.append((details, length_string))
+        batch._hit_pairs_cache = pairs
+        return pairs
 
     # -- high level ----------------------------------------------------------
 
