@@ -191,3 +191,102 @@ def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def build_shuffle_fn(mesh: Mesh, mp: MinimizerParams, cap_per_dest: int):
+    """Distributed index build step: the TPU-native equivalent of the
+    reference's hash-shuffle + groupBy/LCA (KeyValueIndex.scala:85-93,
+    125-139), entirely on device.
+
+    Each device scans its shard of genome fragment rows, partitions the
+    resulting (minimizer, taxon) span records by key range (top bits of the
+    62-bit priority), and exchanges them with jax.lax.all_to_all so device r
+    receives every record in range r. Each device then sorts and pair-dedups
+    its range locally. The host concatenates the per-device outputs in rank
+    order to obtain the globally sorted distinct record set (feeding
+    reduce_records for the final cross-taxon LCA).
+
+    fn(codes[B, L] sharded, taxa_rows[B] sharded) ->
+        (hi[n, cap], lo[n, cap], taxon[n, cap], counts[n], overflow[n])
+    where row r holds device r's deduplicated range records (sentinel-padded).
+    """
+    n = mesh.devices.size
+    range_bits = max(1, (n - 1).bit_length())
+
+    def local_fn(codes, taxa_rows):
+        wm = window_minimizers(codes, mp)
+        b, l = codes.shape
+        m_ = b * l
+        hi = wm.minimizer.hi.reshape(m_)
+        lo = wm.minimizer.lo.reshape(m_)
+        start = wm.span_start.reshape(m_)
+        taxon = jnp.broadcast_to(
+            jnp.asarray(taxa_rows, jnp.int32)[:, None], (b, l)
+        ).reshape(m_)
+
+        # destination range = top bits of the 62-bit key (hi holds bits 32..61)
+        dest = (hi >> (30 - range_bits)).astype(jnp.int32)
+        dest = jnp.minimum(dest, n - 1)
+        sent = jnp.uint32(0xFFFFFFFF)
+        khi = jnp.where(start, hi, sent)
+        klo = jnp.where(start, lo, sent)
+        kdest = jnp.where(start, dest, n)  # invalid -> beyond last range
+        ktax = jnp.where(start, taxon, 0)
+
+        # sort by (dest, key) so each destination's records are contiguous
+        sdest, shi, slo, stax = jax.lax.sort((kdest, khi, klo, ktax), num_keys=3)
+        # slot each record within its destination bucket
+        idx = jnp.arange(m_, dtype=jnp.int32)
+        first_of_dest = jnp.searchsorted(sdest, jnp.arange(n + 1, dtype=jnp.int32))
+        offset_in_dest = idx - first_of_dest[jnp.minimum(sdest, n)]
+        sizes = first_of_dest[1:] - first_of_dest[:-1]
+        overflow = jnp.any(sizes > cap_per_dest)
+
+        out_idx = jnp.where(
+            (sdest < n) & (offset_in_dest < cap_per_dest),
+            sdest * cap_per_dest + offset_in_dest,
+            n * cap_per_dest,
+        )
+        buf_hi = jnp.full(n * cap_per_dest, sent).at[out_idx].set(shi, mode="drop")
+        buf_lo = jnp.full(n * cap_per_dest, sent).at[out_idx].set(slo, mode="drop")
+        buf_tax = jnp.zeros(n * cap_per_dest, jnp.int32).at[out_idx].set(stax, mode="drop")
+
+        # exchange: device d sends chunk r to device r
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x.reshape(n, cap_per_dest), "data", split_axis=0, concat_axis=0, tiled=False
+            ).reshape(n * cap_per_dest)
+
+        rhi = a2a(buf_hi)
+        rlo = a2a(buf_lo)
+        rtax = a2a(buf_tax)
+
+        # local sort + pair dedup of this device's range
+        shi2, slo2, stax2 = jax.lax.sort((rhi, rlo, rtax), num_keys=3)
+        valid = shi2 != sent
+        prev_hi = jnp.concatenate([sent[None], shi2[:-1]])
+        prev_lo = jnp.concatenate([sent[None], slo2[:-1]])
+        prev_tax = jnp.concatenate([jnp.full((1,), -1, jnp.int32), stax2[:-1]])
+        new = valid & ((shi2 != prev_hi) | (slo2 != prev_lo) | (stax2 != prev_tax))
+        pos = jnp.cumsum(new) - 1
+        count = jnp.sum(new)
+        o_idx = jnp.where(new, pos, n * cap_per_dest)
+        out_hi = jnp.full(n * cap_per_dest, sent).at[o_idx].set(shi2, mode="drop")
+        out_lo = jnp.full(n * cap_per_dest, sent).at[o_idx].set(slo2, mode="drop")
+        out_tax = jnp.zeros(n * cap_per_dest, jnp.int32).at[o_idx].set(stax2, mode="drop")
+        return (
+            out_hi[None, :],
+            out_lo[None, :],
+            out_tax[None, :],
+            count[None],
+            overflow[None],
+        )
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(shard)

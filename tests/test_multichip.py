@@ -74,3 +74,48 @@ def test_ring_matches_single_device(rng):
     want_counts = np.bincount(np.asarray(res_1.max_taxon), minlength=t.size)
     assert np.array_equal(np.asarray(counts_r), want_counts)
     assert np.array_equal(np.asarray(counts_p), want_counts)
+
+
+def test_build_shuffle_matches_single_device(rng):
+    """The all_to_all range shuffle must produce exactly the global sorted
+    distinct (minimizer, taxon) record set, partitioned by key range in mesh
+    rank order (TPU-native analogue of the reference's hash-shuffle build)."""
+    import jax.numpy as jnp
+
+    from slacken_tpu.ops import encode
+    from slacken_tpu.ops.minimizers import window_minimizers
+
+    mp = MinimizerParams(k=35, m=31, spaces=7)
+    seqs = [random_genome(rng, 480) for _ in range(16)]
+    taxa_rows = rng.integers(1, 60, size=16).astype(np.int32)
+    codes, _ = encode.pack_batch(seqs, 512)
+
+    n = 8
+    m = pmesh.make_mesh(n)
+    cap = 2048
+    fn = pmesh.build_shuffle_fn(m, mp, cap)
+    hi, lo, tax, counts, ovf = fn(codes, taxa_rows)
+    hi, lo, tax, counts, ovf = (np.asarray(x) for x in (hi, lo, tax, counts, ovf))
+    assert not ovf.any()
+
+    got = []
+    for r in range(n):
+        c = int(counts[r])
+        keys_r = (hi[r, :c].astype(np.uint64) << np.uint64(32)) | lo[r, :c]
+        # sorted within the shard, and shard ranges ascend with rank
+        assert np.all(np.diff(keys_r.astype(np.int64)) >= 0)
+        got.append(np.stack([keys_r, tax[r, :c].astype(np.uint64)], axis=1))
+    got = np.concatenate(got)
+
+    # expected: single-device scan -> global sorted distinct pairs
+    wm = window_minimizers(jnp.asarray(codes), mp)
+    start = np.asarray(wm.span_start)
+    whi = np.asarray(wm.minimizer.hi)
+    wlo = np.asarray(wm.minimizer.lo)
+    keys = (whi.astype(np.uint64) << np.uint64(32)) | wlo
+    trow = np.broadcast_to(taxa_rows[:, None], keys.shape)
+    pairs = np.stack([keys[start], trow[start].astype(np.uint64)], axis=1)
+    expected = np.unique(pairs, axis=0)
+
+    assert got.shape == expected.shape
+    assert np.array_equal(got, expected)
