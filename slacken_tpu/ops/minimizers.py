@@ -152,17 +152,32 @@ def canonical_mmer(x: U64, m: int) -> U64:
     return u64.minu(x, revcomp_mmer(x, m))
 
 
-def priorities_at_starts(codes: jnp.ndarray, params: MinimizerParams):
+def priorities_at_starts(codes: jnp.ndarray, params: MinimizerParams, lut=None):
     """Per-position minimizer priority and validity.
 
     Returns (prio: U64[..., L], mmer_valid: bool[..., L]) where position i
     refers to the m-mer starting at i. Invalid positions contain garbage in
     `prio`; consult the mask.
+
+    When `lut` is given (an explicit-ordering rank table from
+    `ops.ordering`, reference MinTable — MinimizerPriorities.scala:181-271),
+    the priority is `lut[spaced-masked canonical m-mer]` instead of the
+    XOR-mask formula; requires m <= ordering.MAX_LUT_M.
     """
     m = params.m
     mm = mmer_at_starts(codes, m)
     if params.canonical:
         mm = canonical_mmer(mm, m)
+    if lut is not None:
+        masked = mm
+        if params.spaces > 0:
+            masked = u64.band(
+                masked, u64.from_int(space_mask_int(m, params.spaces), mm.hi.shape)
+            )
+        # m <= 12 => the (masked) m-mer fits in lo; rank is a uint32
+        prio = U64(jnp.zeros_like(mm.hi), jnp.asarray(lut)[masked.lo])
+        valid1 = jnp.asarray(codes) < 4
+        return prio, sliding_all(valid1, m)
     toggle = params.toggle_mask & ((1 << (2 * m)) - 1)
     prio = u64.bxor(mm, u64.from_int(toggle, mm.hi.shape))
     if params.spaces > 0:
@@ -222,7 +237,7 @@ class WindowMinimizers(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def window_minimizers(codes: jnp.ndarray, params: MinimizerParams) -> WindowMinimizers:
+def window_minimizers(codes: jnp.ndarray, params: MinimizerParams, lut=None) -> WindowMinimizers:
     """Compute per-window minimizers + span structure for a code batch.
 
     Semantics match getSpans/Supermers.spans (KeyValueIndex.scala:163-173,
@@ -234,12 +249,12 @@ def window_minimizers(codes: jnp.ndarray, params: MinimizerParams) -> WindowMini
     not update lastMinimizer).
     """
     params.validate()
-    return window_minimizers_impl(codes, params)
+    return window_minimizers_impl(codes, params, lut)
 
 
-def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams) -> WindowMinimizers:
+def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams, lut=None) -> WindowMinimizers:
     """Unjitted body of window_minimizers (shared with the Pallas kernel)."""
-    prio, mmer_valid = priorities_at_starts(codes, params)
+    prio, mmer_valid = priorities_at_starts(codes, params, lut)
     win_min = sliding_min_u64(prio, params.window)
     win_valid = sliding_all(jnp.asarray(codes) < 4, params.k)
 

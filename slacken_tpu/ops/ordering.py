@@ -1,0 +1,104 @@
+"""Explicit minimizer orderings via rank lookup tables.
+
+TPU-native equivalent of the reference's MinTable family
+(MinimizerPriorities.scala:181-271) and the MinimizerOrdering ADT
+(minimizer/package.scala:35-56): instead of the XOR-mask priority formula,
+the priority of an m-mer is a rank read from a dense `uint32[4^m]` table —
+one HBM gather per position on device.
+
+Like the reference (MinTable requires small m; Slacken's own CLI registry
+exposes only randomXOR — SlackenMinimizerFormats.scala:24-42), explicit
+orderings are bounded to small m: we require m <= MAX_LUT_M so the table
+(4^m entries) stays a modest device array. Orderings provided:
+
+  * lexicographic  — rank(x) = x (reference Lexicographic)
+  * given          — explicit motif list in priority order (reference Given)
+  * frequency      — rarest-first by sampled counts, ties lexicographic
+                     (reference Frequency: orderings/package semantics)
+
+The Signature ordering belongs to the Discount k-mer counter lineage and is
+not reachable from Slacken's CLI; it is intentionally not provided.
+
+Spacing composes the same way as the reference's SpacedSeed wrapper
+(MinimizerPriorities.scala:274-321): the m-mer is masked first, then ranked,
+so the table only needs ranks for masked motifs (unmasked entries are unused).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .minimizers import MinimizerParams, space_mask_int
+
+#: largest m for which a dense rank table is allowed (4^12 = 16.7M entries,
+#: 67 MB as uint32 — comfortably HBM-resident)
+MAX_LUT_M = 12
+
+
+def _check_m(m: int) -> int:
+    if not (1 <= m <= MAX_LUT_M):
+        raise ValueError(
+            f"explicit-ordering tables require 1 <= m <= {MAX_LUT_M}, got {m}"
+        )
+    return 1 << (2 * m)
+
+
+def lexicographic_lut(m: int) -> np.ndarray:
+    """Rank = m-mer value (reference Lexicographic ordering)."""
+    n = _check_m(m)
+    return np.arange(n, dtype=np.uint32)
+
+
+def given_lut(motifs: np.ndarray, m: int) -> np.ndarray:
+    """Explicit priority list: motifs[i] gets rank i; absent motifs rank last
+    (in lexicographic order), mirroring MinTable.byPriority semantics."""
+    n = _check_m(m)
+    motifs = np.asarray(motifs, dtype=np.int64)
+    if motifs.size and (motifs.min() < 0 or motifs.max() >= n):
+        raise ValueError("motif out of range for m")
+    if np.unique(motifs).size != motifs.size:
+        raise ValueError("duplicate motifs in priority list")
+    lut = np.full(n, np.iinfo(np.uint32).max, np.uint32)
+    lut[motifs] = np.arange(motifs.size, dtype=np.uint32)
+    absent = np.flatnonzero(lut == np.iinfo(np.uint32).max)
+    lut[absent] = np.arange(motifs.size, motifs.size + absent.size, dtype=np.uint32)
+    return lut
+
+
+def frequency_lut(counts: np.ndarray, m: int) -> np.ndarray:
+    """Rarest-first ordering from sampled m-mer counts (reference Frequency
+    ordering): lower count => lower rank => preferred as minimizer; ties
+    break lexicographically (stable argsort)."""
+    n = _check_m(m)
+    counts = np.asarray(counts)
+    if counts.shape != (n,):
+        raise ValueError(f"counts must have shape ({n},), got {counts.shape}")
+    order = np.argsort(counts, kind="stable")
+    lut = np.empty(n, np.uint32)
+    lut[order] = np.arange(n, dtype=np.uint32)
+    return lut
+
+
+def sample_mmer_counts(code_rows, params: MinimizerParams) -> np.ndarray:
+    """Count spaced-masked canonical m-mer occurrences over sample sequences
+    (host-side; feeds frequency_lut). code_rows: iterable of uint8 arrays."""
+    m = params.m
+    n = _check_m(m)
+    mask = space_mask_int(m, params.spaces) if params.spaces > 0 else (1 << (2 * m)) - 1
+    counts = np.zeros(n, np.int64)
+    for row in code_rows:
+        row = np.asarray(row)
+        for i in range(len(row) - m + 1):
+            w = row[i : i + m]
+            if (w >= 4).any():
+                continue
+            v = 0
+            for c in w:
+                v = (v << 2) | int(c)
+            if params.canonical:
+                rc = 0
+                for c in w[::-1]:
+                    rc = (rc << 2) | (int(c) ^ 3)
+                v = min(v, rc)
+            counts[v & mask] += 1
+    return counts
