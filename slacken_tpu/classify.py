@@ -432,7 +432,12 @@ class Classifier:
         Same-width chunks are coalesced into full device batches across the
         stream (no per-chunk tail padding), and the pipeline is
         double-buffered: one batch computes on device while the host
-        post-processes the previous one."""
+        post-processes the previous one. The input iterator itself runs in a
+        background thread (the C++ parser releases the GIL), so file parse,
+        host post-processing and device compute all overlap."""
+        from .utils import prefetch_iterator
+
+        packed_iter = prefetch_iterator(packed_iter, depth=2)
         pending = None
         buffers: Dict[int, list] = {}  # width -> [(codes, titles, splits, lens)]
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -55,6 +56,11 @@ def _build_parser():
     ap = argparse.ArgumentParser(
         prog="slacken_tpu",
         description="TPU-native metagenomic classifier (Kraken 2 algorithm)",
+    )
+    ap.add_argument(
+        "--platform",
+        help="Force a JAX platform (e.g. 'cpu', 'tpu') before backend init; "
+        "also settable via STPU_PLATFORM",
     )
     sub = ap.add_subparsers(dest="command", required=True)
 
@@ -141,7 +147,15 @@ def _build_parser():
 
 
 def main(argv=None):
+    args = _build_parser().parse_args(argv)
+
     import jax
+
+    # explicit platform override (flag or env) BEFORE any backend init: lets
+    # users escape a hung remote-TPU connection (e.g. `--platform cpu`)
+    platform = getattr(args, "platform", None) or os.environ.get("STPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     # persistent compile cache: TPU only (XLA:CPU AOT cache entries can load
     # across machine-feature mismatches and silently corrupt results)
@@ -151,7 +165,6 @@ def main(argv=None):
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except RuntimeError:
         pass
-    args = _build_parser().parse_args(argv)
     t0 = time.time()
     rc = COMMANDS[args.command](args)
     print(f"Total time: {time.time() - t0:.1f} s", file=sys.stderr)

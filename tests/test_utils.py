@@ -34,3 +34,21 @@ def test_device_trace_noop():
     with device_trace(None):
         x = 1
     assert x == 1
+
+
+def test_prefetch_iterator_order_and_errors():
+    from slacken_tpu.utils import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(100)), depth=3)) == list(range(100))
+    assert list(prefetch_iterator(iter([]), depth=1)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="producer failed"):
+        list(it)
