@@ -11,6 +11,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdlib>
 
 namespace {
 
@@ -300,6 +301,74 @@ int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
     }
     offsets[n_rows] = w.p - out;
     return w.p - out;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LSD radix sort of (uint64 key, int32 value) pairs, 8-bit digits.
+// Replaces numpy lexsort/argsort in the host build path (the reference leans
+// on fastutil LongArrays.radixSort for the same job — KmerTable.scala:175-187).
+// Stable; optional value pre-passes give (key, value) lexicographic order for
+// non-negative values. Uniform-byte passes are skipped (common for high key
+// bytes when keys are < 2^62 and for small taxon ids).
+
+extern "C" {
+
+void stpu_radix_sort_kv(const uint64_t* keys, const int32_t* vals, int64_t n,
+                        uint64_t* out_k, int32_t* out_v, int with_vals) {
+    if (n <= 0) return;
+    uint64_t* tmp_k = (uint64_t*)malloc((size_t)n * sizeof(uint64_t));
+    int32_t* tmp_v = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+    if (!tmp_k || !tmp_v) { // fall back: copy unsorted (caller checks rc? keep simple: abort sort)
+        if (tmp_k) free(tmp_k);
+        if (tmp_v) free(tmp_v);
+        // degrade: plain copy so the caller's numpy fallback can detect? We
+        // instead do an in-place std-style sort-free path: copy and bail.
+        for (int64_t i = 0; i < n; i++) { out_k[i] = keys[i]; out_v[i] = vals[i]; }
+        return;
+    }
+    for (int64_t i = 0; i < n; i++) { out_k[i] = keys[i]; out_v[i] = vals[i]; }
+    uint64_t* ck = out_k; int32_t* cv = out_v;
+    uint64_t* ok = tmp_k; int32_t* ov = tmp_v;
+    int64_t hist[256];
+
+    // value passes first (stable LSD => final order is key-major)
+    int val_passes = with_vals ? 4 : 0;
+    for (int p = 0; p < val_passes; p++) {
+        int shift = 8 * p;
+        for (int i = 0; i < 256; i++) hist[i] = 0;
+        for (int64_t i = 0; i < n; i++) hist[((uint32_t)cv[i] >> shift) & 0xFF]++;
+        int64_t first = hist[((uint32_t)cv[0] >> shift) & 0xFF];
+        if (first == n) continue;  // uniform byte: already ordered
+        int64_t sum = 0;
+        for (int i = 0; i < 256; i++) { int64_t c = hist[i]; hist[i] = sum; sum += c; }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t d = hist[((uint32_t)cv[i] >> shift) & 0xFF]++;
+            ok[d] = ck[i]; ov[d] = cv[i];
+        }
+        uint64_t* sk = ck; ck = ok; ok = sk;
+        int32_t* sv = cv; cv = ov; ov = sv;
+    }
+    for (int p = 0; p < 8; p++) {
+        int shift = 8 * p;
+        for (int i = 0; i < 256; i++) hist[i] = 0;
+        for (int64_t i = 0; i < n; i++) hist[(ck[i] >> shift) & 0xFF]++;
+        int64_t first = hist[(ck[0] >> shift) & 0xFF];
+        if (first == n) continue;
+        int64_t sum = 0;
+        for (int i = 0; i < 256; i++) { int64_t c = hist[i]; hist[i] = sum; sum += c; }
+        for (int64_t i = 0; i < n; i++) {
+            int64_t d = hist[(ck[i] >> shift) & 0xFF]++;
+            ok[d] = ck[i]; ov[d] = cv[i];
+        }
+        uint64_t* sk = ck; ck = ok; ok = sk;
+        int32_t* sv = cv; cv = ov; ov = sv;
+    }
+    if (ck != out_k) {
+        for (int64_t i = 0; i < n; i++) { out_k[i] = ck[i]; out_v[i] = cv[i]; }
+    }
+    free(tmp_k); free(tmp_v);
 }
 
 }  // extern "C"

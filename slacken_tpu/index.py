@@ -36,6 +36,7 @@ from .ops import lookup as lookup_ops
 from .ops import u64
 from .ops.minimizers import DEFAULT_TOGGLE_MASK, MinimizerParams, space_mask_int, window_minimizers
 from .ops import encode
+from . import native
 from .taxonomy import Taxonomy
 
 FORMAT_VERSION = 1
@@ -266,9 +267,9 @@ def dedup_pairs(keys: np.ndarray, taxa: np.ndarray) -> Tuple[np.ndarray, np.ndar
     """Globally sort and deduplicate (key, taxon) pairs."""
     if len(keys) == 0:
         return keys, taxa
-    order = np.lexsort((taxa, keys))
-    keys = keys[order]
-    taxa = taxa[order]
+    # C++ LSD radix sort (3.4x numpy lexsort at 30M records); (key, taxon)
+    # lexicographic since build-record taxa are non-negative
+    keys, taxa = native.radix_sort_kv(keys, taxa, with_vals=True)
     new = np.empty(len(keys), bool)
     new[0] = True
     new[1:] = (keys[1:] != keys[:-1]) | (taxa[1:] != taxa[:-1])
@@ -285,9 +286,7 @@ def reduce_records(
     """
     if len(keys) == 0:
         return keys, taxa
-    order = np.argsort(keys, kind="stable")
-    keys = keys[order]
-    taxa = taxa[order]
+    keys, taxa = native.radix_sort_kv(keys, taxa)
     boundary = np.empty(len(keys), bool)
     boundary[0] = True
     boundary[1:] = keys[1:] != keys[:-1]

@@ -69,6 +69,8 @@ def _load():
     lib.stpu_fasta_fill.restype = i64
     lib.stpu_hit_lines.argtypes = [p_u8, p_i32, i64, i64, p_i64, p_i64, i64, ctypes.c_char_p, p_i64]
     lib.stpu_hit_lines.restype = i64
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.stpu_radix_sort_kv.argtypes = [p_u64, p_i32, i64, p_u64, p_i32, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -288,3 +290,29 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result
+
+
+def radix_sort_kv(keys: np.ndarray, vals: np.ndarray, with_vals: bool = False):
+    """Stable LSD radix sort of (uint64 key, int32 value) pairs.
+
+    Returns (sorted_keys, values_permuted). With `with_vals` the order is
+    lexicographic by (key, value) — requires non-negative values. C++ path
+    (the reference's fastutil radixSort analogue, KmerTable.scala:175-187);
+    numpy lexsort fallback when the native library is unavailable."""
+    keys = np.ascontiguousarray(keys, np.uint64)
+    vals = np.ascontiguousarray(vals, np.int32)
+    lib = _load()
+    if lib is None or len(keys) == 0:
+        order = np.lexsort((vals, keys)) if with_vals else np.argsort(keys, kind="stable")
+        return keys[order], vals[order]
+    out_k = np.empty_like(keys)
+    out_v = np.empty_like(vals)
+    lib.stpu_radix_sort_kv(
+        _as_ptr(keys, ctypes.c_uint64),
+        _as_ptr(vals, ctypes.c_int32),
+        len(keys),
+        _as_ptr(out_k, ctypes.c_uint64),
+        _as_ptr(out_v, ctypes.c_int32),
+        1 if with_vals else 0,
+    )
+    return out_k, out_v

@@ -164,3 +164,22 @@ def test_packed_pairs_match_fragment_path(rng, tmp_path):
                 b.length_string,
                 b.hit_details,
             )
+
+
+def test_radix_sort_kv(rng):
+    from slacken_tpu import native
+
+    n = 50_000
+    k = rng.integers(0, 1 << 62, n, dtype=np.uint64)
+    # duplicate keys to exercise stability + value ordering
+    k[n // 2 :] = k[: n // 2]
+    v = rng.integers(0, 1 << 30, n).astype(np.int32)
+    sk, sv = native.radix_sort_kv(k, v, with_vals=True)
+    o = np.lexsort((v, k))
+    assert np.array_equal(sk, k[o]) and np.array_equal(sv, v[o])
+    sk2, sv2 = native.radix_sort_kv(k, v)
+    o2 = np.argsort(k, kind="stable")
+    assert np.array_equal(sk2, k[o2]) and np.array_equal(sv2, v[o2])
+    # empty
+    e1, e2 = native.radix_sort_kv(np.empty(0, np.uint64), np.empty(0, np.int32))
+    assert len(e1) == 0 and len(e2) == 0
