@@ -12,6 +12,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <vector>
 
 namespace {
 
@@ -311,7 +312,79 @@ int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
 // on fastutil LongArrays.radixSort for the same job — KmerTable.scala:175-187).
 // Stable; optional value pre-passes give (key, value) lexicographic order for
 // non-negative values. Uniform-byte passes are skipped (common for high key
-// bytes when keys are < 2^62 and for small taxon ids).
+// bytes when keys are < 2^62 and for small taxon ids). Passes are
+// OpenMP-parallel when compiled with -fopenmp: per-thread histograms over
+// contiguous slices, exclusive scan over (digit, thread) in thread order so
+// stability is preserved, then independent scatters.
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+namespace {
+
+struct KV { uint64_t* k; int32_t* v; };
+
+// one stable counting pass on 8-bit digit `shift` of key (or value when
+// on_val). Returns false if the digit was uniform (pass skipped, no copy).
+template <bool ON_VAL>
+bool radix_pass(const KV src, KV dst, int64_t n, int shift) {
+#ifdef _OPENMP
+    int nt = omp_get_max_threads();
+#else
+    int nt = 1;
+#endif
+    if (nt > 64) nt = 64;
+    if (n < (int64_t)1 << 16) nt = 1;
+    std::vector<int64_t> hist((size_t)nt * 256, 0);
+    int64_t chunk = (n + nt - 1) / nt;
+
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+#endif
+    for (int t = 0; t < nt; t++) {
+        int64_t a = t * chunk, b = a + chunk < n ? a + chunk : n;
+        int64_t* h = &hist[(size_t)t * 256];
+        if (ON_VAL)
+            for (int64_t i = a; i < b; i++) h[((uint32_t)src.v[i] >> shift) & 0xFF]++;
+        else
+            for (int64_t i = a; i < b; i++) h[(src.k[i] >> shift) & 0xFF]++;
+    }
+    // uniform-digit check on the combined histogram
+    {
+        int d0 = ON_VAL ? (((uint32_t)src.v[0] >> shift) & 0xFF)
+                        : ((src.k[0] >> shift) & 0xFF);
+        int64_t c = 0;
+        for (int t = 0; t < nt; t++) c += hist[(size_t)t * 256 + d0];
+        if (c == n) return false;
+    }
+    // exclusive scan in (digit, thread) order => stability across slices
+    int64_t sum = 0;
+    for (int d = 0; d < 256; d++)
+        for (int t = 0; t < nt; t++) {
+            int64_t c = hist[(size_t)t * 256 + d];
+            hist[(size_t)t * 256 + d] = sum;
+            sum += c;
+        }
+
+#ifdef _OPENMP
+#pragma omp parallel for num_threads(nt) schedule(static, 1)
+#endif
+    for (int t = 0; t < nt; t++) {
+        int64_t a = t * chunk, b = a + chunk < n ? a + chunk : n;
+        int64_t* h = &hist[(size_t)t * 256];
+        for (int64_t i = a; i < b; i++) {
+            int d = ON_VAL ? (((uint32_t)src.v[i] >> shift) & 0xFF)
+                           : ((src.k[i] >> shift) & 0xFF);
+            int64_t o = h[d]++;
+            dst.k[o] = src.k[i];
+            dst.v[o] = src.v[i];
+        }
+    }
+    return true;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -320,53 +393,21 @@ void stpu_radix_sort_kv(const uint64_t* keys, const int32_t* vals, int64_t n,
     if (n <= 0) return;
     uint64_t* tmp_k = (uint64_t*)malloc((size_t)n * sizeof(uint64_t));
     int32_t* tmp_v = (int32_t*)malloc((size_t)n * sizeof(int32_t));
-    if (!tmp_k || !tmp_v) { // fall back: copy unsorted (caller checks rc? keep simple: abort sort)
+    for (int64_t i = 0; i < n; i++) { out_k[i] = keys[i]; out_v[i] = vals[i]; }
+    if (!tmp_k || !tmp_v) {  // OOM: leave input copied; caller gets unsorted
         if (tmp_k) free(tmp_k);
         if (tmp_v) free(tmp_v);
-        // degrade: plain copy so the caller's numpy fallback can detect? We
-        // instead do an in-place std-style sort-free path: copy and bail.
-        for (int64_t i = 0; i < n; i++) { out_k[i] = keys[i]; out_v[i] = vals[i]; }
         return;
     }
-    for (int64_t i = 0; i < n; i++) { out_k[i] = keys[i]; out_v[i] = vals[i]; }
-    uint64_t* ck = out_k; int32_t* cv = out_v;
-    uint64_t* ok = tmp_k; int32_t* ov = tmp_v;
-    int64_t hist[256];
-
-    // value passes first (stable LSD => final order is key-major)
-    int val_passes = with_vals ? 4 : 0;
-    for (int p = 0; p < val_passes; p++) {
-        int shift = 8 * p;
-        for (int i = 0; i < 256; i++) hist[i] = 0;
-        for (int64_t i = 0; i < n; i++) hist[((uint32_t)cv[i] >> shift) & 0xFF]++;
-        int64_t first = hist[((uint32_t)cv[0] >> shift) & 0xFF];
-        if (first == n) continue;  // uniform byte: already ordered
-        int64_t sum = 0;
-        for (int i = 0; i < 256; i++) { int64_t c = hist[i]; hist[i] = sum; sum += c; }
-        for (int64_t i = 0; i < n; i++) {
-            int64_t d = hist[((uint32_t)cv[i] >> shift) & 0xFF]++;
-            ok[d] = ck[i]; ov[d] = cv[i];
-        }
-        uint64_t* sk = ck; ck = ok; ok = sk;
-        int32_t* sv = cv; cv = ov; ov = sv;
-    }
-    for (int p = 0; p < 8; p++) {
-        int shift = 8 * p;
-        for (int i = 0; i < 256; i++) hist[i] = 0;
-        for (int64_t i = 0; i < n; i++) hist[(ck[i] >> shift) & 0xFF]++;
-        int64_t first = hist[(ck[0] >> shift) & 0xFF];
-        if (first == n) continue;
-        int64_t sum = 0;
-        for (int i = 0; i < 256; i++) { int64_t c = hist[i]; hist[i] = sum; sum += c; }
-        for (int64_t i = 0; i < n; i++) {
-            int64_t d = hist[(ck[i] >> shift) & 0xFF]++;
-            ok[d] = ck[i]; ov[d] = cv[i];
-        }
-        uint64_t* sk = ck; ck = ok; ok = sk;
-        int32_t* sv = cv; cv = ov; ov = sv;
-    }
-    if (ck != out_k) {
-        for (int64_t i = 0; i < n; i++) { out_k[i] = ck[i]; out_v[i] = cv[i]; }
+    KV cur{out_k, out_v}, oth{tmp_k, tmp_v};
+    if (with_vals)
+        for (int p = 0; p < 4; p++)
+            if (radix_pass<true>(cur, oth, n, 8 * p)) { KV s = cur; cur = oth; oth = s; }
+    for (int p = 0; p < 8; p++)
+        if (radix_pass<false>(cur, oth, n, 8 * p)) { KV s = cur; cur = oth; oth = s; }
+    if (cur.k != out_k) {
+        memcpy(out_k, cur.k, (size_t)n * sizeof(uint64_t));
+        memcpy(out_v, cur.v, (size_t)n * sizeof(int32_t));
     }
     free(tmp_k); free(tmp_v);
 }

@@ -31,11 +31,19 @@ def _build_lib() -> Optional[str]:
         # build to a unique temp path and rename atomically (parallel test
         # workers may compile concurrently)
         tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
-            check=True,
-            capture_output=True,
-        )
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        except subprocess.CalledProcessError:
+            # toolchains without OpenMP: the pragmas compile away harmlessly
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+            )
         os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
