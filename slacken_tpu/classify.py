@@ -396,16 +396,20 @@ class Classifier:
         pipeline, yielding (_BatchResult, input positions). Mixed-length
         inputs are regrouped by bucket, so callers needing input order use
         the positions (classify() restores it)."""
+        import collections
+        import os as _os
+
+        depth = max(1, int(_os.environ.get("STPU_PIPELINE_DEPTH", "3")))
         pending: Dict[int, List] = {}
-        in_flight = None  # (dispatched device batch, positions)
+        in_flight = collections.deque()  # (dispatched device batch, positions)
 
         def submit(lst, bucket):
-            nonlocal in_flight
             dispatched = self._dispatch_batch([x[1] for x in lst], bucket)
-            out = None
-            if in_flight is not None:
-                out = (self._harvest(in_flight[0]), in_flight[1])
-            in_flight = (dispatched, [x[0] for x in lst])
+            in_flight.append((dispatched, [x[0] for x in lst]))
+            out = []
+            while len(in_flight) > depth:
+                d, p = in_flight.popleft()
+                out.append((self._harvest(d), p))
             return out
 
         for pos, f in enumerate(fragments):
@@ -414,31 +418,33 @@ class Classifier:
             lst = pending.setdefault(bucket, [])
             lst.append((pos, f))
             if len(lst) >= self._rows_target(bucket):
-                done = submit(lst, bucket)
+                yield from submit(lst, bucket)
                 pending[bucket] = []
-                if done is not None:
-                    yield done
         for bucket, lst in pending.items():
             if lst:
-                done = submit(lst, bucket)
-                if done is not None:
-                    yield done
-        if in_flight is not None:
-            yield (self._harvest(in_flight[0]), in_flight[1])
+                yield from submit(lst, bucket)
+        while in_flight:
+            d, p = in_flight.popleft()
+            yield (self._harvest(d), p)
 
     def packed_batches(self, packed_iter):
         """Run pre-packed code batches (native.PackedReads) through the
         device pipeline — the zero-copy fast path fed by the C++ parser.
         Same-width chunks are coalesced into full device batches across the
         stream (no per-chunk tail padding), and the pipeline is
-        double-buffered: one batch computes on device while the host
-        post-processes the previous one. The input iterator itself runs in a
-        background thread (the C++ parser releases the GIL), so file parse,
-        host post-processing and device compute all overlap."""
+        pipelined: up to `STPU_PIPELINE_DEPTH` (default 2) batches compute
+        on device while the host post-processes earlier ones. The input
+        iterator itself runs in a background thread (the C++ parser releases
+        the GIL), so file parse, host post-processing and device compute all
+        overlap."""
+        import collections
+        import os as _os
+
         from .utils import prefetch_iterator
 
+        depth = max(1, int(_os.environ.get("STPU_PIPELINE_DEPTH", "3")))
         packed_iter = prefetch_iterator(packed_iter, depth=2)
-        pending = None
+        pending = collections.deque()
         buffers: Dict[int, list] = {}  # width -> [(codes, titles, splits, lens)]
 
         def emit(width, force=False):
@@ -476,9 +482,9 @@ class Classifier:
                     splits,
                     lens,
                 )
-                if pending is not None:
-                    yield self._harvest(pending)
-                pending = dispatched
+                pending.append(dispatched)
+                while len(pending) > depth:
+                    yield self._harvest(pending.popleft())
             buffers[width] = buf
 
         for packed in packed_iter:
@@ -493,8 +499,8 @@ class Classifier:
             yield from emit(width)
         for width in list(buffers):
             yield from emit(width, force=True)
-        if pending is not None:
-            yield self._harvest(pending)
+        while pending:
+            yield self._harvest(pending.popleft())
 
     def classify_packed(self, packed_iter, cpar: ClassifyParams):
         results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
