@@ -119,3 +119,33 @@ def test_build_shuffle_matches_single_device(rng):
 
     assert got.shape == expected.shape
     assert np.array_equal(got, expected)
+
+
+def test_multihost_single_process_degenerate(rng, tmp_path):
+    """multihost helpers degenerate correctly on one process: context, shard
+    ownership tiling, index loading, and count reduction."""
+    from slacken_tpu.parallel import multihost
+
+    ctx = multihost.initialize()
+    assert ctx.process_count == 1 and not ctx.is_distributed
+    assert ctx.global_device_count >= 1
+
+    # shard ownership tiles [0, n) exactly across processes
+    for pc in (1, 2, 3, 8):
+        owned = []
+        for pi in range(pc):
+            c = multihost.HostContext(pi, pc, 1, pc)
+            owned += multihost.host_shard_ids(10, c)
+        assert owned == list(range(10))
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=600)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    loc = str(tmp_path / "sharded")
+    idx.save_sharded(loc, n_shards=4)
+    got = multihost.load_index_for_host(loc, ctx, taxonomy=t)
+    assert np.array_equal(got.keys, idx.keys)
+    assert np.array_equal(got.taxa, idx.taxa)
+
+    counts = np.arange(10)
+    assert np.array_equal(multihost.report_counts_across_hosts(counts), counts)
