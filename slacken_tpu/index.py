@@ -352,14 +352,19 @@ class KeyValueIndex:
 
     @property
     def device_keys(self):
+        # ensure_compile_time_eval: these lazily-created arrays must be real
+        # device constants even when first touched inside a jit trace —
+        # otherwise the cache would capture a tracer and poison later calls
         if self._device_keys is None:
-            self._device_keys = lookup_ops.keys_from_numpy(self.keys)
+            with jax.ensure_compile_time_eval():
+                self._device_keys = lookup_ops.keys_from_numpy(self.keys)
         return self._device_keys
 
     @property
     def device_taxa(self):
         if self._device_taxa is None:
-            self._device_taxa = jnp.asarray(self.taxa)
+            with jax.ensure_compile_time_eval():
+                self._device_taxa = jnp.asarray(self.taxa)
         return self._device_taxa
 
     @property
@@ -368,7 +373,8 @@ class KeyValueIndex:
             self._router_bits = lookup_ops.adaptive_router_bits(len(self.keys))
             router = lookup_ops.build_router(self.keys, self._router_bits)
             self._router_rounds = lookup_ops.router_rounds(router)
-            self._device_router = jnp.asarray(router)
+            with jax.ensure_compile_time_eval():
+                self._device_router = jnp.asarray(router)
         return self._device_router
 
     @property
