@@ -13,10 +13,11 @@ KeyValueIndex.scala:125-159, IndexParams.scala:63-91. A sorted flat array is
 the TPU-native equivalent: device lookup is a vectorised binary search, and
 range-sharding it across a mesh replaces Spark's hash-bucketed join.)
 
-Build: genome fragments are scanned on device in fixed-shape batches; span
-minimizers + taxa stream back to the host, which sorts (uint64 radix via
-numpy) and hands contiguous runs back to the device for segment-LCA
-reduction (KeyValueIndex.scala:85-93's groupBy + LCA-UDAF).
+Build: genome fragments are scanned on device in fixed-shape batches (the
+fused kernel sorts and pair-dedups records before they leave the chip); the
+host merges batches with a C++ OpenMP radix sort (native.radix_sort_kv) and
+hands contiguous runs back to the device for segment-LCA reduction
+(KeyValueIndex.scala:85-93's groupBy + LCA-UDAF).
 """
 
 from __future__ import annotations
