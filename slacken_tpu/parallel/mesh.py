@@ -193,7 +193,31 @@ def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
     return jax.jit(shard)
 
 
-def build_shuffle_fn(mesh: Mesh, mp: MinimizerParams, cap_per_dest: int):
+def sample_shuffle_boundaries(codes_sample, mp: MinimizerParams, n: int):
+    """Empirical key-range split points for build_shuffle_fn.
+
+    The priority distribution is NOT uniform (canonical = min(fw, rc) biases
+    the high bits low, then the XOR toggle bin-permutes them), so fixed
+    bit-prefix ranges skew by ~3x. Like Spark's sampling RangePartitioner
+    (the engine under the reference's sorted outputs), we scan a sample
+    batch, take n-quantiles of its span keys, and use those as boundaries.
+    Returns uint64[n-1] (host array)."""
+    import jax.numpy as jnp
+
+    wm = window_minimizers(jnp.asarray(codes_sample), mp)
+    start = np.asarray(wm.span_start)
+    hi = np.asarray(wm.minimizer.hi)[start].astype(np.uint64)
+    lo = np.asarray(wm.minimizer.lo)[start].astype(np.uint64)
+    keys = np.sort((hi << np.uint64(32)) | lo)
+    if len(keys) == 0:
+        return (np.arange(1, n, dtype=np.uint64) * ((1 << 62) // n)).astype(np.uint64)
+    pos = (np.arange(1, n) * len(keys)) // n
+    return keys[pos]
+
+
+def build_shuffle_fn(
+    mesh: Mesh, mp: MinimizerParams, cap_per_dest: int, boundaries=None
+):
     """Distributed index build step: the TPU-native equivalent of the
     reference's hash-shuffle + groupBy/LCA (KeyValueIndex.scala:85-93,
     125-139), entirely on device.
@@ -209,9 +233,18 @@ def build_shuffle_fn(mesh: Mesh, mp: MinimizerParams, cap_per_dest: int):
     fn(codes[B, L] sharded, taxa_rows[B] sharded) ->
         (hi[n, cap], lo[n, cap], taxon[n, cap], counts[n], overflow[n])
     where row r holds device r's deduplicated range records (sentinel-padded).
+
+    `boundaries` (uint64[n-1], from sample_shuffle_boundaries) balances the
+    ranges against the canonical-min key-distribution skew; without it, fixed
+    bit-prefix ranges are used (OK for generous caps, ~3x skewed).
     """
     n = mesh.devices.size
     range_bits = max(1, (n - 1).bit_length())
+    if boundaries is not None:
+        b = np.asarray(boundaries, np.uint64)
+        assert b.shape == (n - 1,), b.shape
+        b_hi = jnp.asarray((b >> np.uint64(32)).astype(np.uint32))
+        b_lo = jnp.asarray(b.astype(np.uint32))
 
     def local_fn(codes, taxa_rows):
         wm = window_minimizers(codes, mp)
@@ -224,9 +257,15 @@ def build_shuffle_fn(mesh: Mesh, mp: MinimizerParams, cap_per_dest: int):
             jnp.asarray(taxa_rows, jnp.int32)[:, None], (b, l)
         ).reshape(m_)
 
-        # destination range = top bits of the 62-bit key (hi holds bits 32..61)
-        dest = (hi >> (30 - range_bits)).astype(jnp.int32)
-        dest = jnp.minimum(dest, n - 1)
+        if boundaries is not None:
+            # dest = #boundaries <= key (n <= 64 broadcast u64 compares)
+            key = u64.U64(hi[None, :], lo[None, :])
+            bnd = u64.U64(b_hi[:, None], b_lo[:, None])
+            dest = jnp.sum(u64.leu(bnd, key), axis=0).astype(jnp.int32)
+        else:
+            # destination range = top bits of the 62-bit key (hi = bits 32..61)
+            dest = (hi >> (30 - range_bits)).astype(jnp.int32)
+            dest = jnp.minimum(dest, n - 1)
         sent = jnp.uint32(0xFFFFFFFF)
         khi = jnp.where(start, hi, sent)
         klo = jnp.where(start, lo, sent)

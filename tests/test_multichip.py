@@ -92,11 +92,15 @@ def test_build_shuffle_matches_single_device(rng):
 
     n = 8
     m = pmesh.make_mesh(n)
-    cap = 2048
-    fn = pmesh.build_shuffle_fn(m, mp, cap)
+    # quantile boundaries balance ranges against the canonical-min key skew;
+    # a tight cap (1.5x the fair share) would overflow without them
+    bnd = pmesh.sample_shuffle_boundaries(codes, mp, n)
+    cap = 768
+    fn = pmesh.build_shuffle_fn(m, mp, cap, boundaries=bnd)
     hi, lo, tax, counts, ovf = fn(codes, taxa_rows)
     hi, lo, tax, counts, ovf = (np.asarray(x) for x in (hi, lo, tax, counts, ovf))
     assert not ovf.any()
+    assert counts.max() <= 2 * counts.min() + 16, counts  # balanced ranges
 
     got = []
     for r in range(n):
