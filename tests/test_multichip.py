@@ -153,3 +153,25 @@ def test_multihost_single_process_degenerate(rng, tmp_path):
 
     counts = np.arange(10)
     assert np.array_equal(multihost.report_counts_across_hosts(counts), counts)
+
+
+def test_dryrun_driver_style_subprocess():
+    """dryrun_multichip must work exactly as the driver invokes it: a bare
+    process with only the device-count flag, no platform pre-selection (and
+    must never touch a remote TPU plugin — it forces cpu itself)."""
+    import subprocess
+    import sys
+
+    env = dict(__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+        env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip OK" in r.stdout
