@@ -164,7 +164,7 @@ def _supervise():
     import subprocess
 
     here = os.path.abspath(__file__)
-    t_tpu = float(os.environ.get("STPU_BENCH_TPU_TIMEOUT", 900))
+    t_tpu = float(os.environ.get("STPU_BENCH_TPU_TIMEOUT", 480))
     t_cpu = float(os.environ.get("STPU_BENCH_CPU_TIMEOUT", 1800))
     for args, timeout in ((["--inner"], t_tpu), (["--inner", "--cpu"], t_cpu)):
         child = subprocess.Popen([sys.executable, here] + args)
