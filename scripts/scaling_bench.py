@@ -76,9 +76,19 @@ def main():
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * n)
+        # per-hop ICI payload: compacted (hi, lo, acc) x span_query_cap
+        # entries vs the uncompacted per-position rotation
+        npos = codes.shape[1] * (rows // n)
+        from slacken_tpu.ops import lookup as lookup_ops
+
+        hop_bytes = 12 * lookup_ops.span_query_cap(npos)
+        full_bytes = 12 * npos
         print(
             f"n={n}: {rows} reads in {dt:.3f}s = {rate:.0f} reads/s "
-            f"(weak-scaling efficiency {eff * 100:.0f}%)"
+            f"(weak-scaling efficiency {eff * 100:.0f}%); "
+            f"ring hop payload {hop_bytes / 1e6:.1f} MB/device "
+            f"(uncompacted would be {full_bytes / 1e6:.1f} MB, "
+            f"{full_bytes / hop_bytes:.1f}x)"
         )
 
 

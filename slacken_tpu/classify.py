@@ -112,20 +112,12 @@ def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits):
     """
     b, l = wm.valid.shape
     n = b * l
-    cap = max(256, (2 * n) // 5)
-    start = wm.span_start.reshape(n)
-    hi = wm.minimizer.hi.reshape(n)
-    lo = wm.minimizer.lo.reshape(n)
-    sid = jnp.cumsum(start) - 1
-    n_spans = sid[-1] + 1
+    cap = lookup_ops.span_query_cap(n)
+    q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
 
     keys = u64.U64(keys_hi, keys_lo)
 
     def compacted(_):
-        q_idx = jnp.where(start, sid, cap)
-        sent = jnp.uint32(0xFFFFFFFF)
-        q_hi = jnp.full(cap, sent).at[q_idx].set(hi, mode="drop")
-        q_lo = jnp.full(cap, sent).at[q_idx].set(lo, mode="drop")
         probed = lookup_ops.lookup_taxa_routed(
             keys, key_taxa, router, u64.U64(q_hi, q_lo), rounds, bits
         )

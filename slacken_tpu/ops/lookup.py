@@ -116,6 +116,36 @@ def lookup_taxa(keys: U64, taxa: jnp.ndarray, q: U64) -> jnp.ndarray:
     return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
 
 
+def compact_span_queries(wm, cap: int):
+    """Compact a batch's span-start minimizers into a [cap] query buffer.
+
+    All windows of a super-mer span share one minimizer, so probing once per
+    span (~0.4x positions for typical W = k-m+1) instead of once per window
+    cuts probe work — and, in the ring-sharded layout, ICI traffic — by
+    ~2.5x. Returns (q_hi[cap], q_lo[cap], sid[B*L], n_spans): `sid` maps each
+    window position to its span's slot; unused slots hold the all-ones
+    sentinel (matches nothing). Callers must handle n_spans > cap (fall back
+    to probing every position).
+    """
+    b, l = wm.valid.shape
+    n = b * l
+    start = wm.span_start.reshape(n)
+    hi = wm.minimizer.hi.reshape(n)
+    lo = wm.minimizer.lo.reshape(n)
+    sid = jnp.cumsum(start) - 1
+    q_idx = jnp.where(start, sid, cap)
+    sent = jnp.uint32(0xFFFFFFFF)
+    q_hi = jnp.full(cap, sent).at[q_idx].set(hi, mode="drop")
+    q_lo = jnp.full(cap, sent).at[q_idx].set(lo, mode="drop")
+    return q_hi, q_lo, sid, sid[-1] + 1
+
+
+def span_query_cap(n_positions: int) -> int:
+    """Default compacted-buffer size: ~0.4x window positions (see
+    compact_span_queries), floor 256."""
+    return max(256, (2 * n_positions) // 5)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def lookup_taxa_routed(
     keys: U64, taxa: jnp.ndarray, router: jnp.ndarray, q: U64, rounds: int,

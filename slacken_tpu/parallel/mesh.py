@@ -126,6 +126,14 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
     Each of the n ring steps probes the local index shard with the visiting
     chip's queries, then forwards (queries, partial answers) to the next
     chip with ppermute. After n steps every answer is home.
+
+    Queries are compacted to one probe per super-mer span before entering the
+    ring (all windows of a span share a minimizer), so each hop carries
+    ~0.4*B*L entries instead of B*L — a ~2.5x ICI-bandwidth saving over
+    rotating the full per-position arrays. If any device's span count
+    overflows the compact buffer (pathological minimizer-dense input), a
+    psum reaches consensus and every device takes the full-resolution ring
+    instead, keeping the collective schedule identical across the mesh.
     """
     n = mesh.devices.size
 
@@ -134,28 +142,47 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
         keys = u64.U64(keys_hi[0], keys_lo[0])
         kt = key_taxa[0]
         router = routers[0]
+        b, l = codes.shape
+        npos = b * l
+        cap = lookup_ops.span_query_cap(npos)
+        cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+        overflow_any = jax.lax.psum((n_spans > cap).astype(jnp.int32), "data") > 0
 
         def probe(q_hi, q_lo):
             return lookup_ops.lookup_taxa_routed(
                 keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
             )
 
-        q_hi, q_lo = wm.minimizer.hi, wm.minimizer.lo
-        acc = probe(q_hi, q_lo)
         perm = [(i, (i + 1) % n) for i in range(n)]
 
-        def step(carry, _):
-            q_hi, q_lo, acc = carry
-            q_hi = jax.lax.ppermute(q_hi, "data", perm)
-            q_lo = jax.lax.ppermute(q_lo, "data", perm)
-            acc = jax.lax.ppermute(acc, "data", perm)
-            acc = jnp.maximum(acc, probe(q_hi, q_lo))
-            return (q_hi, q_lo, acc), None
+        def ring(q_hi, q_lo):
+            acc = probe(q_hi, q_lo)
 
-        (q_hi, q_lo, acc), _ = jax.lax.scan(step, (q_hi, q_lo, acc), None, length=n - 1)
-        # one final hop brings answers back to their owner
-        if n > 1:
-            acc = jax.lax.ppermute(acc, "data", perm)
+            def step(carry, _):
+                q_hi, q_lo, acc = carry
+                q_hi = jax.lax.ppermute(q_hi, "data", perm)
+                q_lo = jax.lax.ppermute(q_lo, "data", perm)
+                acc = jax.lax.ppermute(acc, "data", perm)
+                acc = jnp.maximum(acc, probe(q_hi, q_lo))
+                return (q_hi, q_lo, acc), None
+
+            (q_hi, q_lo, acc), _ = jax.lax.scan(
+                step, (q_hi, q_lo, acc), None, length=n - 1
+            )
+            # one final hop brings answers back to their owner
+            if n > 1:
+                acc = jax.lax.ppermute(acc, "data", perm)
+            return acc
+
+        def compacted(_):
+            return ring(cq_hi, cq_lo)[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
+
+        def full(_):
+            return ring(
+                wm.minimizer.hi.reshape(npos), wm.minimizer.lo.reshape(npos)
+            ).reshape(b, l)
+
+        acc = jax.lax.cond(overflow_any, full, compacted, operand=None)
 
         window_taxa, num_distinct, ch, res = _postprocess(wm, acc, rpath_table, max_taxa)
         counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)

@@ -76,6 +76,57 @@ def test_ring_matches_single_device(rng):
     assert np.array_equal(np.asarray(counts_p), want_counts)
 
 
+def test_ring_overflow_consensus_matches_single_device(rng):
+    """When span counts overflow the compacted ring buffer on any device, the
+    psum consensus must flip EVERY device to the full-resolution ring and
+    still match the single-device kernel bit-for-bit. k=m makes every window
+    its own span, guaranteeing overflow of the ~0.4x buffer."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=400)
+    params = IndexParams(k=9, m=9, spaces=0)
+    idx = KeyValueIndex.build(genomes, params, t)
+    mp = idx.params.minimizer_params
+
+    reads = []
+    for _ in range(16):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 390))
+        reads.append(g[s : s + 390])
+    from slacken_tpu.ops import encode
+    from slacken_tpu.ops.minimizers import window_minimizers
+    import jax.numpy as jnp
+
+    codes, _ = encode.pack_batch(reads, 512)
+    # confirm the workload actually overflows the per-device compact buffer
+    from slacken_tpu.ops import lookup as lookup_ops
+
+    wm = window_minimizers(jnp.asarray(codes[:2]), mp)
+    assert int(np.asarray(wm.span_start).sum()) > lookup_ops.span_query_cap(2 * 512)
+
+    n = 8
+    m = pmesh.make_mesh(n)
+    table = t.rpath_table()
+    sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
+    routers, rounds, rbits = pmesh.shard_routers(sk)
+    ring = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits)
+    wt_r, nd_r, ch_r, res_r, counts_r = ring(
+        codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
+        routers, table
+    )
+
+    from slacken_tpu.classify import _classify_kernel
+
+    kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
+    kl = idx.keys.astype(np.uint32)
+    wt_1, nd_1, ch_1, res_1 = _classify_kernel(
+        codes, kh, kl, idx.taxa, idx.device_router, table, mp, 16,
+        idx.router_rounds, idx.router_bits,
+    )
+    assert np.array_equal(np.asarray(wt_r), np.asarray(wt_1))
+    assert np.array_equal(np.asarray(nd_r), np.asarray(nd_1))
+    assert np.array_equal(np.asarray(res_r.max_taxon), np.asarray(res_1.max_taxon))
+
+
 def test_build_shuffle_matches_single_device(rng):
     """The all_to_all range shuffle must produce exactly the global sorted
     distinct (minimizer, taxon) record set, partitioned by key range in mesh
