@@ -35,6 +35,17 @@ def _add_classify_opts(p):
         help="Confidence thresholds in [0,1]",
     )
     p.add_argument("--sample-regex", help="Regex extracting sample ID from read headers")
+    p.add_argument(
+        "--devices",
+        type=int,
+        help="Classify over an n-device mesh (default: single device)",
+    )
+    p.add_argument(
+        "--layout",
+        choices=["replicated", "ring"],
+        help="Mesh index layout: replicated (index in every chip's HBM) or "
+        "ring (range-sharded index, queries rotate via ppermute)",
+    )
 
 
 def _cpar(args):
@@ -81,6 +92,11 @@ def _build_parser():
     b.add_argument(
         "--spill-dir",
         help="Range-partitioned on-disk spill directory for beyond-RAM builds",
+    )
+    b.add_argument(
+        "--devices",
+        type=int,
+        help="Build with the device all_to_all shuffle on an n-device mesh",
     )
 
     c = sub.add_parser("classify", help="Classify genomic sequences")
@@ -191,13 +207,25 @@ def cmd_build(args):
         return 0
 
     params = IndexParams(k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions)
-    idx = KeyValueIndex.build(
-        lib.taxa_sequences(),
-        params,
-        tax,
-        keep_records=getattr(args, "full_records", False),
-        spill_dir=getattr(args, "spill_dir", None),
-    )
+    if getattr(args, "devices", None):
+        from .parallel.classifier import build_distributed
+
+        idx = build_distributed(
+            lib.taxa_sequences(),
+            params,
+            tax,
+            n_devices=args.devices,
+            keep_records=getattr(args, "full_records", False),
+            spill_dir=getattr(args, "spill_dir", None),
+        )
+    else:
+        idx = KeyValueIndex.build(
+            lib.taxa_sequences(),
+            params,
+            tax,
+            keep_records=getattr(args, "full_records", False),
+            spill_dir=getattr(args, "spill_dir", None),
+        )
     idx.save(args.index)
     print(f"Saved {len(idx.keys)} records to {args.index}")
     _show_index_stats(idx)
@@ -206,13 +234,13 @@ def cmd_build(args):
 
 
 def cmd_classify(args):
-    from .classify import Classifier
     from .index import KeyValueIndex
     from .inputs import fragments_from_files
+    from .parallel.classifier import make_classifier
 
     cpar = _cpar(args)  # validate before any heavy work
     idx = KeyValueIndex.load(args.index)
-    cls = Classifier(idx)
+    cls = make_classifier(idx, args.devices, args.layout)
     from .inputs import expand_file_list, packed_reads_from_file
 
     files = expand_file_list(args.inputs)
