@@ -1,0 +1,467 @@
+#!/usr/bin/env python
+"""One-process TPU experiment session.
+
+The axon tunnel is single-client and drops for 20-60+ min after any client
+exits, so EVERY TPU measurement this round is batched into this script
+(see memory notes / CLAUDE.md). Results are flushed to
+.tpu_results/r2_session.json after every experiment so a mid-run tunnel
+death loses nothing.
+
+Experiments:
+  device/transfer   tunnel + HBM characterisation (roofline inputs)
+  scan              window_minimizers XLA vs Pallas fused kernel
+  probe             routed binary search vs direct-bucket vs Pallas DMA
+  kernel            full classify kernel, component breakdown, batch sweep
+  e2e               classify_packed host pipeline (packed-transfer x probe)
+  bracken           device window kernel vs adaptive numpy path
+  build             device build kernel Mbp/s
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+RESULTS_PATH = "/root/repo/.tpu_results/r2_session.json"
+results = {"started": time.strftime("%F %T")}
+
+
+def record(name, **kv):
+    results[name] = kv
+    os.makedirs(os.path.dirname(RESULTS_PATH), exist_ok=True)
+    with open(RESULTS_PATH, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print(f"[{time.strftime('%T')}] {name}: {kv}", file=sys.stderr, flush=True)
+
+
+def guard(name):
+    def deco(fn):
+        def run(*a, **kw):
+            try:
+                t0 = time.time()
+                out = fn(*a, **kw)
+                record(name, ok=True, wall_s=round(time.time() - t0, 2), **(out or {}))
+                return out
+            except Exception as e:  # noqa: BLE001
+                import traceback
+
+                traceback.print_exc()
+                record(name, ok=False, error=f"{type(e).__name__}: {e}")
+                return None
+
+        return run
+
+    return deco
+
+
+print("initializing jax...", file=sys.stderr, flush=True)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+try:
+    DEV = jax.devices()[0]
+except RuntimeError as e:
+    record("init", ok=False, error=str(e))
+    sys.exit(2)
+if DEV.platform == "cpu" and os.environ.get("STPU_ALLOW_CPU") != "1":
+    record("init", ok=False, error="no TPU (cpu backend); refusing to measure")
+    sys.exit(2)
+record("init", ok=True, device=str(DEV), platform=DEV.platform)
+
+sys.path.insert(0, "/root/repo")
+
+from slacken_tpu.classify import (  # noqa: E402
+    Classifier,
+    ClassifyParams,
+    _classify_kernel,
+    _classify_kernel_packed,
+)
+from slacken_tpu.index import KeyValueIndex, _build_batch_kernel  # noqa: E402
+from slacken_tpu.ops import encode, lookup as lookup_ops, u64  # noqa: E402
+from slacken_tpu.ops.minimizers import window_minimizers  # noqa: E402
+
+
+def timeit(f, n=5, warmup=2):
+    for _ in range(warmup):
+        out = f()
+        jax.block_until_ready(out)
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = f()
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+# ---------------------------------------------------------------------------
+@guard("transfer")
+def exp_transfer():
+    out = {}
+    for mb in (1, 4, 16):
+        x = np.zeros(mb << 20, np.uint8)
+        t, _ = timeit(lambda: jax.device_put(x), n=3, warmup=1)
+        out[f"h2d_{mb}MB_MBps"] = round(mb / t, 1)
+    y = jnp.zeros(1 << 20, jnp.int32)
+    jax.block_until_ready(y)
+    t, _ = timeit(lambda: np.asarray(y), n=3, warmup=1)
+    out["d2h_4MB_MBps"] = round(4 / t, 1)
+    # null-kernel round trip = per-call latency
+    f = jax.jit(lambda a: a + 1)
+    z = jax.device_put(np.zeros(8, np.int32))
+    t, _ = timeit(lambda: f(z), n=10, warmup=2)
+    out["dispatch_latency_ms"] = round(t * 1e3, 2)
+    # HBM bandwidth: big elementwise op (read+write 256 MB)
+    big = jnp.zeros(64 << 20, jnp.float32)
+    g = jax.jit(lambda a: a * 1.5 + 1.0)
+    jax.block_until_ready(big)
+    t, _ = timeit(lambda: g(big), n=3, warmup=2)
+    out["hbm_GBps_rw"] = round(2 * 256 / t / 1024, 1)
+    return out
+
+
+IDX = None
+CODES_RES = None  # resident [8192, 128] codes
+
+
+@guard("load_index")
+def exp_load_index():
+    global IDX, CODES_RES
+    IDX = KeyValueIndex.load("/root/repo/.bench_cache/idx")
+    t0 = time.time()
+    jax.block_until_ready((IDX.device_keys.hi, IDX.device_taxa, IDX.device_router))
+    up = time.time() - t0
+    from slacken_tpu.inputs import packed_reads_from_file
+
+    packed = list(
+        packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq")
+    )
+    codes = np.concatenate([p.codes for p in packed])[:8192]
+    CODES_RES = jax.device_put(codes)
+    jax.block_until_ready(CODES_RES)
+    return {
+        "records": len(IDX.keys),
+        "index_upload_s": round(up, 2),
+        "router_bits": IDX.router_bits,
+        "router_rounds": IDX.router_rounds,
+    }
+
+
+@guard("scan")
+def exp_scan():
+    mp = IDX.params.minimizer_params
+    t_xla, _ = timeit(lambda: window_minimizers(CODES_RES, mp))
+    out = {"xla_ms": round(t_xla * 1e3, 2), "xla_Mbp_s": round(8192 * 128 / t_xla / 1e6, 1)}
+    try:
+        from slacken_tpu.ops.pallas_kernels import window_minimizers_pallas
+
+        t_pl, _ = timeit(lambda: window_minimizers_pallas(CODES_RES, mp))
+        out["pallas_ms"] = round(t_pl * 1e3, 2)
+        out["pallas_Mbp_s"] = round(8192 * 128 / t_pl / 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        out["pallas_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+QUERIES = None
+
+
+@guard("probe")
+def exp_probe():
+    global QUERIES
+    rng = np.random.default_rng(1)
+    nq = lookup_ops.span_query_cap(8192 * 128)
+    hit = IDX.keys[rng.integers(0, len(IDX.keys), nq // 2)]
+    miss = rng.integers(0, 1 << 62, nq - nq // 2).astype(np.uint64)
+    q = np.concatenate([hit, miss])
+    rng.shuffle(q)
+    QUERIES = u64.U64(
+        jax.device_put((q >> np.uint64(32)).astype(np.uint32)),
+        jax.device_put(q.astype(np.uint32)),
+    )
+    jax.block_until_ready(QUERIES.hi)
+    out = {"n_queries": nq}
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    t, r_routed = timeit(
+        lambda: lookup_ops.lookup_taxa_routed(
+            dk, dt, IDX.device_router, QUERIES, IDX.router_rounds, IDX.router_bits
+        )
+    )
+    out["routed_ms"] = round(t * 1e3, 2)
+    out["routed_Mq_s"] = round(nq / t / 1e6, 2)
+    try:
+        bk, bt, maxb = IDX.device_bucketed
+        jax.block_until_ready(bk.hi)
+        t, r_b = timeit(
+            lambda: lookup_ops.lookup_taxa_bucketed(
+                bk, bt, IDX.device_router, QUERIES, maxb, IDX.router_bits
+            )
+        )
+        out["bucketed_ms"] = round(t * 1e3, 2)
+        out["bucketed_Mq_s"] = round(nq / t / 1e6, 2)
+        out["maxb"] = maxb
+        out["bucketed_matches_routed"] = bool(
+            np.array_equal(np.asarray(r_routed), np.asarray(r_b))
+        )
+    except Exception as e:  # noqa: BLE001
+        out["bucketed_error"] = f"{type(e).__name__}: {e}"
+    try:
+        from slacken_tpu.ops import pallas_kernels as pk
+
+        kh = (IDX.keys >> np.uint64(32)).astype(np.uint32)
+        kl = IDX.keys.astype(np.uint32)
+        fh, fl, nb = pk.build_fence(kh, kl)
+        args = [jax.device_put(x) for x in (kh, kl, IDX.taxa, fh, fl)]
+        jax.block_until_ready(args[0])
+        f = jax.jit(
+            lambda qh, ql: pk.lookup_taxa_dma(*args, qh, ql)
+        )
+        t, r_d = timeit(lambda: f(QUERIES.hi, QUERIES.lo))
+        out["dma_ms"] = round(t * 1e3, 2)
+        out["dma_Mq_s"] = round(nq / t / 1e6, 2)
+        out["dma_matches_routed"] = bool(
+            np.array_equal(np.asarray(r_routed), np.asarray(r_d))
+        )
+    except Exception as e:  # noqa: BLE001
+        out["dma_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+@guard("kernel")
+def exp_kernel():
+    mp = IDX.params.minimizer_params
+    table = jnp.asarray(IDX.taxonomy.rpath_table())
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    out = {}
+    t, _ = timeit(
+        lambda: _classify_kernel(
+            CODES_RES, dk.hi, dk.lo, dt, IDX.device_router, table, mp, 32,
+            IDX.router_rounds, IDX.router_bits,
+        )
+    )
+    out["dense_routed_ms"] = round(t * 1e3, 2)
+    out["dense_routed_reads_s"] = round(8192 / t)
+    bk, bt, maxb = IDX.device_bucketed
+    t, _ = timeit(
+        lambda: _classify_kernel(
+            CODES_RES, bk.hi, bk.lo, bt, IDX.device_router, table, mp, 32,
+            IDX.router_rounds, IDX.router_bits, ("bucketed", maxb),
+        )
+    )
+    out["dense_bucketed_ms"] = round(t * 1e3, 2)
+    out["dense_bucketed_reads_s"] = round(8192 / t)
+
+    codes_h = np.asarray(CODES_RES)
+    packed, valid = encode.pack_2bit(codes_h)
+    pd, vd = jax.device_put(packed), jax.device_put(valid)
+    jax.block_until_ready(pd)
+    t, _ = timeit(
+        lambda: _classify_kernel_packed(
+            pd, vd, dk.hi, dk.lo, dt, IDX.device_router, table, mp, 32,
+            IDX.router_rounds, IDX.router_bits,
+        )
+    )
+    out["packed_routed_ms"] = round(t * 1e3, 2)
+
+    # component breakdown (jit each stage)
+    from slacken_tpu.ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
+
+    wm = window_minimizers(CODES_RES, mp)
+    jax.block_until_ready(wm.minimizer.hi)
+    comp = {}
+    t, _ = timeit(lambda: window_minimizers(CODES_RES, mp))
+    comp["scan_ms"] = round(t * 1e3, 2)
+    cap = lookup_ops.span_query_cap(8192 * 128)
+    csq = jax.jit(lambda w: lookup_ops.compact_span_queries(w, cap))
+    t, (qh, ql, sid, _) = timeit(lambda: csq(wm))
+    comp["compact_queries_ms"] = round(t * 1e3, 2)
+    probe_f = jax.jit(
+        lambda a, b: lookup_ops.lookup_taxa_routed(
+            dk, dt, IDX.device_router, u64.U64(a, b), IDX.router_rounds, IDX.router_bits
+        )
+    )
+    t, looked = timeit(lambda: probe_f(qh, ql))
+    comp["probe_ms"] = round(t * 1e3, 2)
+    scatter_f = jax.jit(
+        lambda lk, s, w: jnp.where(
+            w.valid, lk[jnp.clip(s, 0, cap - 1)].reshape(8192, 128), INVALID_WINDOW
+        ).astype(jnp.int32)
+    )
+    t, wt = timeit(lambda: scatter_f(looked, sid, wm))
+    comp["scatter_ms"] = round(t * 1e3, 2)
+    ch_f = jax.jit(lambda w: compact_hits(w, 32))
+    t, ch = timeit(lambda: ch_f(wt))
+    comp["compact_hits_ms"] = round(t * 1e3, 2)
+    rs_f = jax.jit(lambda a, b: resolve_hits(a, b, table))
+    t, _ = timeit(lambda: rs_f(ch.taxa, ch.counts))
+    comp["resolve_ms"] = round(t * 1e3, 2)
+    out["components"] = comp
+    return out
+
+
+@guard("batch_sweep")
+def exp_batch_sweep():
+    mp = IDX.params.minimizer_params
+    table = jnp.asarray(IDX.taxonomy.rpath_table())
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    codes_h = np.asarray(CODES_RES)
+    out = {}
+    for b in (2048, 8192, 16384, 32768):
+        reps = -(-b // 8192)
+        codes = np.concatenate([codes_h] * reps)[:b]
+        cd = jax.device_put(codes)
+        jax.block_until_ready(cd)
+        t, _ = timeit(
+            lambda: _classify_kernel(
+                cd, dk.hi, dk.lo, dt, IDX.device_router, table, mp, 32,
+                IDX.router_rounds, IDX.router_bits,
+            ),
+            n=3,
+        )
+        out[f"B{b}_reads_s"] = round(b / t)
+    return out
+
+
+@guard("e2e")
+def exp_e2e():
+    """The bench.py workload end-to-end (host pipeline + tunnel transfers)."""
+    from slacken_tpu import native
+    from slacken_tpu.inputs import packed_reads_from_file
+    from slacken_tpu.ops import encode as enc
+
+    packed = list(
+        packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq")
+    )
+    sim_rng = np.random.default_rng(7)
+    sizes = {455631: 4_100_000, 526997: 3_100_000, 9606: 800_000}
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rng = np.random.default_rng(20260816)
+    sim = []
+    for taxon, n in sizes.items():
+        seq = lut[rng.integers(0, 4, n)].tobytes().decode("ascii")
+        codes_full = enc.encode_seq(seq)
+        starts = sim_rng.integers(0, len(codes_full) - 101, 3334)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = sim_rng.random(rows.shape) < 0.01
+        rows[mut] = sim_rng.integers(0, 4, mut.sum())
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(
+            native.PackedReads(
+                rows,
+                np.full(len(rows), 101, np.int32),
+                [f"sim{taxon}_{j}" for j in range(len(rows))],
+            )
+        )
+    packed = (packed + sim) * 4
+    n_reads = sum(len(p) for p in packed)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    out = {"n_reads": n_reads}
+    for label, kw in (
+        ("dense_routed", dict(probe="routed", packed_transfer=False)),
+        ("packed_routed", dict(probe="routed", packed_transfer=True)),
+        ("packed_bucketed", dict(probe="bucketed", packed_transfer=True)),
+    ):
+        cls = Classifier(IDX, target_batch_bp=1 << 20, **kw)
+        cls.classify_packed(packed[:2], cpar)  # warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            res = cls.classify_packed(packed, cpar)[0.0]
+            best = max(best, n_reads / (time.time() - t0))
+        out[f"{label}_reads_s"] = round(best)
+        out.setdefault("n_classified", sum(1 for r in res if r.classified))
+    # bigger batches over the tunnel
+    for bp in (1 << 22,):
+        cls = Classifier(
+            IDX, target_batch_bp=bp, probe="bucketed", packed_transfer=True
+        )
+        cls.classify_packed(packed[:2], cpar)
+        t0 = time.time()
+        cls.classify_packed(packed, cpar)
+        out[f"packed_bucketed_bp{bp >> 20}M_reads_s"] = round(
+            n_reads / (time.time() - t0)
+        )
+    return out
+
+
+@guard("bracken")
+def exp_bracken():
+    from slacken_tpu.bracken import BrackenWeights, _window_classify_kernel
+    from slacken_tpu.bracken import _fragment_kernel
+
+    mp = IDX.params.minimizer_params
+    dk = IDX.device_keys
+    table = jnp.asarray(IDX.taxonomy.rpath_table())
+    # one 64 KB fragment per genome-ish row
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, size=(16, 1 << 16)).astype(np.uint8)
+    cd = jax.device_put(codes)
+    looked, valid, span_start, distinct = _fragment_kernel(
+        cd, dk.hi, dk.lo, IDX.device_taxa, IDX.device_router, mp,
+        IDX.router_rounds, IDX.router_bits,
+    )
+    jax.block_until_ready(looked)
+    R, k = 100, IDX.params.k
+    t, (dest, ovf) = timeit(
+        lambda: _window_classify_kernel(
+            looked, valid, span_start, distinct, table, R, k, 64
+        ),
+        n=3,
+    )
+    n_windows = 16 * ((1 << 16) - R + 1)
+    out = {
+        "device_ms": round(t * 1e3, 1),
+        "device_Mwin_s": round(n_windows / t / 1e6, 2),
+        "overflow_rows": int(np.asarray(ovf).sum()),
+    }
+    # numpy path on the same data
+    bw = BrackenWeights(IDX, R)
+    lh, vh, sh, dh = (np.asarray(x) for x in (looked, valid, span_start, distinct))
+    t0 = time.time()
+    for row in range(4):
+        bw._fragment_dest_counts(lh[row], vh[row], sh[row], dh[row], 1 << 16)
+    t_np = (time.time() - t0) / 4 * 16
+    out["numpy_ms_equiv"] = round(t_np * 1e3, 1)
+    out["numpy_Mwin_s"] = round(n_windows / t_np / 1e6, 2)
+    return out
+
+
+@guard("build")
+def exp_build():
+    mp = IDX.params.minimizer_params
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, size=(64, 1 << 14)).astype(np.uint8)
+    taxa_rows = rng.integers(1, 100, 64).astype(np.int32)
+    cd = jax.device_put(codes)
+    cap = (64 * (1 << 14)) // 2
+    t, _ = timeit(lambda: _build_batch_kernel(cd, taxa_rows, mp, cap), n=3)
+    return {
+        "device_ms": round(t * 1e3, 1),
+        "Mbp_s": round(64 * (1 << 14) / t / 1e6, 1),
+    }
+
+
+if __name__ == "__main__":
+    only = sys.argv[1:] or None
+    steps = [
+        ("transfer", exp_transfer),
+        ("load_index", exp_load_index),
+        ("scan", exp_scan),
+        ("probe", exp_probe),
+        ("kernel", exp_kernel),
+        ("batch_sweep", exp_batch_sweep),
+        ("e2e", exp_e2e),
+        ("bracken", exp_bracken),
+        ("build", exp_build),
+    ]
+    for name, fn in steps:
+        if only and name not in only:
+            continue
+        fn()
+    record("done", ok=True)
+    print(json.dumps(results, indent=2, default=str))

@@ -82,13 +82,40 @@ class ClassifiedRead:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _classify_kernel(
     codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+    probe: tuple = ("routed",),
+):
+    return _classify_body(
+        codes, keys_hi, keys_lo, key_taxa, router, rpath_table, mp, max_taxa,
+        rounds, bits, probe,
+    )
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
+def _classify_kernel_packed(
+    packed, valid, keys_hi, keys_lo, key_taxa, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+    probe: tuple = ("routed",),
+):
+    """_classify_kernel over wire-packed input (see encode.pack_2bit): the
+    host ships 2 bits/base + 1 validity bit instead of a dense byte, and the
+    device unpacks in a few VPU ops — 3.6x less host->device traffic."""
+    codes = encode.unpack_2bit_device(packed, valid)
+    return _classify_body(
+        codes, keys_hi, keys_lo, key_taxa, router, rpath_table, mp, max_taxa,
+        rounds, bits, probe,
+    )
+
+
+def _classify_body(
+    codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int, probe: tuple
 ):
     wm = window_minimizers(codes, mp)
-    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits)
+    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits, probe)
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
     # (Classifier.scala:92-95)
@@ -100,7 +127,7 @@ def _classify_kernel(
     return window_taxa, num_distinct, ch, res
 
 
-def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits):
+def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits, probe=("routed",)):
     """Probe the index once per super-mer span instead of once per window.
 
     All windows of a span share one minimizer (by construction), so span-start
@@ -109,6 +136,10 @@ def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits):
     scattered back via the span-id map. Overflowing batches (pathological
     reads where nearly every window starts a span) fall back to probing every
     position.
+
+    probe: ("routed",) = router-accelerated binary search;
+    ("bucketed", maxb) = direct-bucket wide-gather probe (keys/taxa must be
+    the sentinel-padded arrays from pad_keys_for_buckets).
     """
     b, l = wm.valid.shape
     n = b * l
@@ -117,16 +148,19 @@ def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits):
 
     keys = u64.U64(keys_hi, keys_lo)
 
+    def lookup(q):
+        if probe[0] == "bucketed":
+            return lookup_ops.lookup_taxa_bucketed(
+                keys, key_taxa, router, q, probe[1], bits
+            )
+        return lookup_ops.lookup_taxa_routed(keys, key_taxa, router, q, rounds, bits)
+
     def compacted(_):
-        probed = lookup_ops.lookup_taxa_routed(
-            keys, key_taxa, router, u64.U64(q_hi, q_lo), rounds, bits
-        )
+        probed = lookup(u64.U64(q_hi, q_lo))
         return probed[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
 
     def full(_):
-        return lookup_ops.lookup_taxa_routed(
-            keys, key_taxa, router, wm.minimizer, rounds, bits
-        )
+        return lookup(wm.minimizer)
 
     return jax.lax.cond(n_spans > cap, full, compacted, operand=None)
 
@@ -262,12 +296,40 @@ class Classifier:
         index: KeyValueIndex,
         max_taxa_per_read: int = 32,
         target_batch_bp: int = 1 << 20,
+        probe: Optional[str] = None,
+        packed_transfer: Optional[bool] = None,
     ):
         self.index = index
         self.max_taxa = max_taxa_per_read
         self.target_batch_bp = target_batch_bp
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
+
+        # probe kernel: routed binary search (default) or direct-bucket
+        # wide gather (STPU_PROBE=bucketed; see ops.lookup)
+        probe = probe or os.environ.get("STPU_PROBE", "routed")
+        if probe == "bucketed":
+            dk, dt, maxb = index.device_bucketed
+            self._probe_static = ("bucketed", maxb)
+        elif probe == "routed":
+            dk = index.device_keys
+            dt = index.device_taxa
+            self._probe_static = ("routed",)
+        else:
+            raise ValueError(f"unknown probe mode {probe!r}")
+        self._dev_keys = dk
+        self._dev_taxa = dt
+
+        # wire-packed host->device transfer (2 bit/base + validity bit):
+        # pays off whenever the link is slower than the pack (PCIe, or this
+        # environment's tunnel); pointless for the CPU backend
+        if packed_transfer is None:
+            env = os.environ.get("STPU_PACKED_TRANSFER")
+            if env is not None:
+                packed_transfer = env == "1"
+            else:
+                packed_transfer = jax.default_backend() != "cpu"
+        self._packed_transfer = packed_transfer
 
     # -- batching -----------------------------------------------------------
 
@@ -333,19 +395,25 @@ class Classifier:
             pad = np.full((b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8)
             codes = np.concatenate([codes, pad], axis=0)
         idx = self.index
-        dk = idx.device_keys
-        window_taxa, num_distinct, ch, res = _classify_kernel(
-            codes,
-            dk.hi,
-            dk.lo,
-            idx.device_taxa,
+        common = (
+            self._dev_keys.hi,
+            self._dev_keys.lo,
+            self._dev_taxa,
             idx.device_router,
             self._table_dev,
             idx.params.minimizer_params,
             self.max_taxa,
             idx.router_rounds,
             idx.router_bits,
+            self._probe_static,
         )
+        if self._packed_transfer and bucket % 8 == 0:
+            packed, valid = encode.pack_2bit(codes)
+            window_taxa, num_distinct, ch, res = _classify_kernel_packed(
+                packed, valid, *common
+            )
+        else:
+            window_taxa, num_distinct, ch, res = _classify_kernel(codes, *common)
         return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
 
     def _harvest(self, dispatched) -> _BatchResult:

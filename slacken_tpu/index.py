@@ -344,6 +344,8 @@ class KeyValueIndex:
         self._device_router = None
         self._router_rounds = None
         self._router_bits = None
+        self._host_router = None
+        self._device_bucketed = None
         #: optional full (minimizer, taxon) pair sidecar enabling dynamic
         #: rebuilds without re-scanning the genome library
         self.record_keys: Optional[np.ndarray] = None
@@ -374,9 +376,26 @@ class KeyValueIndex:
             self._router_bits = lookup_ops.adaptive_router_bits(len(self.keys))
             router = lookup_ops.build_router(self.keys, self._router_bits)
             self._router_rounds = lookup_ops.router_rounds(router)
+            self._host_router = router
             with jax.ensure_compile_time_eval():
                 self._device_router = jnp.asarray(router)
         return self._device_router
+
+    @property
+    def device_bucketed(self):
+        """(padded U64 keys, padded taxa, max bucket span) for the
+        direct-bucket probe (lookup_taxa_bucketed)."""
+        if self._device_bucketed is None:
+            self.device_router  # builds the router + records the host copy
+            maxb = lookup_ops.max_bucket_span(self._host_router)
+            pk, pt = lookup_ops.pad_keys_for_buckets(self.keys, self.taxa, maxb)
+            with jax.ensure_compile_time_eval():
+                self._device_bucketed = (
+                    lookup_ops.keys_from_numpy(pk),
+                    jnp.asarray(pt),
+                    maxb,
+                )
+        return self._device_bucketed
 
     @property
     def router_rounds(self) -> int:

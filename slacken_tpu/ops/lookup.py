@@ -116,6 +116,60 @@ def lookup_taxa(keys: U64, taxa: jnp.ndarray, q: U64) -> jnp.ndarray:
     return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
 
 
+def max_bucket_span(router: np.ndarray) -> int:
+    """Largest key count under one router prefix (bucket width for the
+    direct-bucket probe)."""
+    if len(router) <= 1:
+        return 1
+    return max(1, int(np.max(np.diff(router.astype(np.int64)))))
+
+
+def pad_keys_for_buckets(keys: np.ndarray, taxa: np.ndarray, maxb: int):
+    """Sentinel-pad the sorted key/taxon arrays so a full `maxb`-wide bucket
+    slice starting at any real position stays in bounds. The all-ones key
+    exceeds any 62-bit priority, so padding never matches."""
+    pad_k = np.full(maxb, np.uint64(0xFFFFFFFFFFFFFFFF))
+    pad_t = np.zeros(maxb, np.int32)
+    return (
+        np.concatenate([np.asarray(keys, np.uint64), pad_k]),
+        np.concatenate([np.asarray(taxa, np.int32), pad_t]),
+    )
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def lookup_taxa_bucketed(
+    keys: U64,
+    taxa: jnp.ndarray,
+    router: jnp.ndarray,
+    q: U64,
+    maxb: int,
+    bits: int = ROUTER_BITS,
+    key_bits: int = 62,
+) -> jnp.ndarray:
+    """Direct-bucket probe: one router gather + three WIDE contiguous gathers.
+
+    With `bits ~ log2(N)` the router bucket under each prefix holds only a
+    handful of keys (max `maxb`), so instead of log2(maxb) rounds of two
+    scattered 4-byte gathers (lower_bound_routed), each query loads its whole
+    bucket with a vmapped dynamic_slice — a single gather of `maxb`
+    contiguous elements per array — and scans it vectorised. 4 gathers per
+    query total (vs ~10 for the routed binary search), each HBM-burst
+    friendly. Requires keys/taxa padded with pad_keys_for_buckets(maxb).
+    """
+    shape = q.hi.shape
+    qh = q.hi.reshape(-1)
+    ql = q.lo.reshape(-1)
+    pfx = u64.shr(U64(qh, ql), key_bits - bits).lo.astype(jnp.int32)
+    pos = router[pfx]
+
+    kh = jax.vmap(lambda p: jax.lax.dynamic_slice(keys.hi, (p,), (maxb,)))(pos)
+    kl = jax.vmap(lambda p: jax.lax.dynamic_slice(keys.lo, (p,), (maxb,)))(pos)
+    tx = jax.vmap(lambda p: jax.lax.dynamic_slice(taxa, (p,), (maxb,)))(pos)
+    eq = (kh == qh[:, None]) & (kl == ql[:, None])
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    return taxon.reshape(shape)
+
+
 def compact_span_queries(wm, cap: int):
     """Compact a batch's span-start minimizers into a [cap] query buffer.
 

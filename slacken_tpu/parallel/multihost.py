@@ -108,6 +108,102 @@ def load_index_for_host(location: str, ctx: HostContext, taxonomy=None):
     return KeyValueIndex.load_shards(location, ids, taxonomy=taxonomy)
 
 
+def ring_index_for_host(location: str, ctx: HostContext, mesh):
+    """Assemble the GLOBAL ring-sharded index arrays over `mesh`, each host
+    loading only its own key-range shard files.
+
+    Device d of the mesh owns global key range d (contiguous shard files
+    d*s0..(d+1)*s0); this process loads and pads only the rows of its own
+    devices and contributes them to global jax Arrays via
+    `jax.make_array_from_process_local_data`. Rows are sentinel-padded to a
+    common length (the all-ones key never matches a query — same convention
+    as mesh.shard_index_by_range). Returns
+    (keys_hi, keys_lo, taxa, routers, rounds, bits, params) ready for
+    `mesh.classify_ring_fn`. This is the DCN analogue of Spark executors each
+    reading their partitions of the bucketed Parquet table
+    (KeyValueIndex.scala:150-159)."""
+    import json
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..index import IndexParams
+    from ..ops import lookup as lookup_ops
+
+    with open(os.path.join(location, "params.json")) as f:
+        meta = json.load(f)
+    params = IndexParams.from_json(meta)
+    sizes = meta["shards"]
+    n_shards = len(sizes)
+    n = mesh.devices.size
+    if n_shards % n:
+        raise ValueError(f"{n_shards} shard files not divisible by {n} devices")
+    s0 = n_shards // n
+    dev_sizes = [sum(sizes[d * s0 : (d + 1) * s0]) for d in range(n)]
+    row_len = max(max(dev_sizes), 1)
+    bits = lookup_ops.adaptive_router_bits(row_len)
+
+    devs = list(mesh.devices.flat)
+    local_rows = [
+        d for d in range(n) if devs[d].process_index == ctx.process_index
+    ]
+    sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+    kh, kl, tx, rt = [], [], [], []
+    rounds = 1
+    for d in local_rows:
+        ids = range(d * s0, (d + 1) * s0)
+        keys = np.concatenate(
+            [np.load(os.path.join(location, f"keys.{i:05d}.npy")) for i in ids]
+        )
+        taxa = np.concatenate(
+            [np.load(os.path.join(location, f"taxa.{i:05d}.npy")) for i in ids]
+        )
+        pad = row_len - len(keys)
+        keys = np.concatenate([keys, np.full(pad, sent)])
+        taxa = np.concatenate([taxa, np.zeros(pad, np.int32)]).astype(np.int32)
+        router = lookup_ops.build_router(keys, bits)
+        rounds = max(rounds, lookup_ops.router_rounds(router))
+        kh.append((keys >> np.uint64(32)).astype(np.uint32))
+        kl.append(keys.astype(np.uint32))
+        tx.append(taxa)
+        rt.append(router)
+
+    if ctx.is_distributed:
+        from jax.experimental import multihost_utils
+
+        rounds = int(multihost_utils.process_allgather(np.array([rounds])).max())
+
+    sh = NamedSharding(mesh, P("data"))
+
+    def mk(rows):
+        local = np.stack(rows)
+        return jax.make_array_from_process_local_data(
+            sh, local, global_shape=(n,) + local.shape[1:]
+        )
+
+    return mk(kh), mk(kl), mk(tx), mk(rt), rounds, bits, params
+
+
+def global_rows(local_rows: np.ndarray, mesh):
+    """Build a global [B, ...] jax Array sharded over mesh axis 0 from this
+    process's rows (each process contributes B/process_count rows)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    b_global = local_rows.shape[0] * jax.process_count()
+    return jax.make_array_from_process_local_data(
+        sh, local_rows, global_shape=(b_global,) + local_rows.shape[1:]
+    )
+
+
+def collect_local(global_array) -> np.ndarray:
+    """Concatenate this process's addressable shards of a global array in
+    global row order."""
+    shards = sorted(global_array.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def report_counts_across_hosts(local_counts: np.ndarray) -> np.ndarray:
     """Sum per-taxon report counts over all hosts (psum over DCN; the only
     cross-host traffic in replicated classification). Host-level numpy

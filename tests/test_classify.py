@@ -284,3 +284,60 @@ def test_classify_preserves_input_order(rng):
     cls = Classifier(idx)
     res = cls.classify(frags, ClassifyParams())[0.0]
     assert [r.title for r in res] == [f.title for f in frags]
+
+
+def test_probe_and_transfer_variants_identical(rng):
+    """The direct-bucket probe and the wire-packed transfer path must produce
+    exactly the same classifications as the default routed/dense path."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(30):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.3:
+            pos = rng.integers(0, len(seq), 2)
+            chars = list(seq)
+            for p in pos:
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        frags.append(Fragment(f"read{i}", seq))
+    cpar = ClassifyParams(thresholds=[0.0, 0.2])
+
+    base = Classifier(idx, packed_transfer=False).classify(frags, cpar)
+    for kw in (
+        dict(probe="bucketed", packed_transfer=False),
+        dict(probe="routed", packed_transfer=True),
+        dict(probe="bucketed", packed_transfer=True),
+    ):
+        got = Classifier(idx, **kw).classify(frags, cpar)
+        for conf in cpar.thresholds:
+            for a, b in zip(base[conf], got[conf]):
+                assert a == b, (kw, conf, a, b)
+
+
+def test_pack_2bit_roundtrip(rng):
+    from slacken_tpu.ops import encode as enc
+
+    codes = rng.integers(0, 5, size=(16, 128)).astype(np.uint8)
+    packed, valid = enc.pack_2bit(codes)
+    assert packed.shape == (16, 32) and valid.shape == (16, 16)
+    back = np.asarray(enc.unpack_2bit_device(packed, valid))
+    assert np.array_equal(back, codes)
+
+
+def test_bucketed_lookup_matches_routed(rng):
+    from slacken_tpu.ops import lookup as lookup_ops
+    from slacken_tpu.ops.u64 import U64
+    import jax.numpy as jnp
+
+    keys = np.unique(rng.integers(0, 1 << 62, 5000).astype(np.uint64))
+    taxa = rng.integers(1, 100, len(keys)).astype(np.int32)
+    idx = KeyValueIndex(keys, taxa, IndexParams(), random_taxonomy(rng))
+    # queries: half hits, half misses
+    q = np.concatenate([keys[:: 3], rng.integers(0, 1 << 62, 700).astype(np.uint64)])
+    qv = U64(jnp.asarray((q >> np.uint64(32)).astype(np.uint32)), jnp.asarray(q.astype(np.uint32)))
+    routed = np.asarray(idx.lookup(qv.hi, qv.lo))
+    dk, dt, maxb = idx.device_bucketed
+    bucketed = np.asarray(
+        lookup_ops.lookup_taxa_bucketed(dk, dt, idx.device_router, qv, maxb, idx.router_bits)
+    )
+    assert np.array_equal(routed, bucketed)

@@ -306,6 +306,84 @@ def test_multihost_single_process_degenerate(rng, tmp_path):
     assert np.array_equal(multihost.report_counts_across_hosts(counts), counts)
 
 
+def test_multihost_two_process_ring(rng, tmp_path):
+    """REAL multi-process (DCN-model) execution: two jax.distributed CPU
+    processes on localhost form a 4-device global mesh, each loading only its
+    own key-range index shards and classifying its own reads; ppermute
+    crosses the process boundary. Results must equal the single-process
+    kernel exactly (VERDICT r1 missing #1)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+
+    reads = []
+    for _ in range(32):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append(g[s : s + 101])
+    from slacken_tpu.ops import encode
+
+    codes, _ = encode.pack_batch(reads, 128)
+
+    workdir = tmp_path / "mh"
+    workdir.mkdir()
+    idx.save_sharded(str(workdir / "idx_sharded"), n_shards=4)
+    np.save(workdir / "codes.npy", codes)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 2-device flag
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "multihost_worker.py"),
+                f"127.0.0.1:{port}",
+                "2",
+                str(pid),
+                str(workdir),
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    res = [json.load(open(workdir / f"result_{pid}.json")) for pid in range(2)]
+    got_taxon = np.array(res[0]["max_taxon"] + res[1]["max_taxon"])
+    got_nd = np.array(res[0]["num_distinct"] + res[1]["num_distinct"])
+
+    # single-process reference
+    from slacken_tpu.classify import _classify_kernel
+
+    kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
+    kl = idx.keys.astype(np.uint32)
+    wt_1, nd_1, ch_1, res_1 = _classify_kernel(
+        codes, kh, kl, idx.taxa, idx.device_router, t.rpath_table(),
+        idx.params.minimizer_params, 16, idx.router_rounds, idx.router_bits,
+    )
+    assert np.array_equal(got_taxon, np.asarray(res_1.max_taxon))
+    assert np.array_equal(got_nd, np.asarray(nd_1))
+    want_counts = np.bincount(np.asarray(res_1.max_taxon), minlength=t.size)
+    # both processes must agree on the psum'd report counts
+    assert np.array_equal(np.array(res[0]["counts"]), want_counts)
+    assert np.array_equal(np.array(res[1]["counts"]), want_counts)
+
+
 def test_dryrun_driver_style_subprocess():
     """dryrun_multichip must work exactly as the driver invokes it: a bare
     process with only the device-count flag, no platform pre-selection (and
