@@ -138,6 +138,34 @@ def main(force_cpu: bool = False):
     n_classified = sum(1 for r in res if r.classified)
     print(f"classified: {n_classified}/{len(res)}", file=sys.stderr)
 
+    # second north-star metric (BASELINE.json): DB-build throughput, built
+    # fresh every run (2 Mbp / 3 genomes, same (k,m,s) as the classify index)
+    def build_library(rng):
+        sizes = {455631: 1_000_000, 526997: 800_000, 9606: 200_000}
+        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+        for taxon, n in sizes.items():
+            yield taxon, lut[rng.integers(0, 4, n)].tobytes().decode("ascii")
+
+    build_bp = 2_000_000
+    KeyValueIndex.build(  # warm up / compile the build kernel shapes
+        [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
+        batch_rows=16, row_len=1 << 16,
+    )
+    t0 = time.time()
+    bidx = KeyValueIndex.build(
+        build_library(np.random.default_rng(99)),
+        IndexParams(k=35, m=31, spaces=7),
+        tax,
+        batch_rows=16,
+        row_len=1 << 16,
+    )
+    build_dt = time.time() - t0
+    print(
+        f"build: {len(bidx.keys)} records from {build_bp / 1e6:.0f} Mbp in "
+        f"{build_dt:.1f}s = {build_bp / build_dt / 1e6:.2f} Mbp/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -145,6 +173,8 @@ def main(force_cpu: bool = False):
                 "value": round(best, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(best / BASELINE_READS_PER_SEC, 3),
+                "build_mbp_per_sec": round(build_bp / build_dt / 1e6, 2),
+                "build_genomes_per_sec": round(3 / build_dt, 2),
             }
         )
     )

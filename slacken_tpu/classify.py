@@ -32,6 +32,7 @@ from .index import KeyValueIndex
 from .ops import encode
 from .ops import lookup as lookup_ops
 from .ops import u64
+from .ops import u128 as u128_mod
 from .ops.minimizers import MinimizerParams, window_minimizers
 from .ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
 from .report import KrakenReport
@@ -89,8 +90,8 @@ def _classify_kernel(
     probe: tuple = ("routed",),
 ):
     return _classify_body(
-        codes, keys_hi, keys_lo, key_taxa, router, rpath_table, mp, max_taxa,
-        rounds, bits, probe,
+        codes, u64.U64(keys_hi, keys_lo), key_taxa, router, rpath_table, mp,
+        max_taxa, rounds, bits, probe,
     )
 
 
@@ -105,17 +106,42 @@ def _classify_kernel_packed(
     device unpacks in a few VPU ops — 3.6x less host->device traffic."""
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
-        codes, keys_hi, keys_lo, key_taxa, router, rpath_table, mp, max_taxa,
-        rounds, bits, probe,
+        codes, u64.U64(keys_hi, keys_lo), key_taxa, router, rpath_table, mp,
+        max_taxa, rounds, bits, probe,
+    )
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _classify_kernel_wide(
+    codes, keys, key_taxa, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+):
+    """_classify_kernel for wide (m > 31) indexes; `keys` is a u128.U128
+    (four uint32 limb arrays). Routed probe only."""
+    return _classify_body(
+        codes, keys, key_taxa, router, rpath_table, mp, max_taxa, rounds,
+        bits, ("routed",),
+    )
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _classify_kernel_packed_wide(
+    packed, valid, keys, key_taxa, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+):
+    codes = encode.unpack_2bit_device(packed, valid)
+    return _classify_body(
+        codes, keys, key_taxa, router, rpath_table, mp, max_taxa, rounds,
+        bits, ("routed",),
     )
 
 
 def _classify_body(
-    codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
+    codes, keys, key_taxa, router, rpath_table,
     mp: MinimizerParams, max_taxa: int, rounds: int, bits: int, probe: tuple
 ):
     wm = window_minimizers(codes, mp)
-    looked = _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits, probe)
+    looked = _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe, 2 * mp.m)
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
     # (Classifier.scala:92-95)
@@ -127,7 +153,7 @@ def _classify_body(
     return window_taxa, num_distinct, ch, res
 
 
-def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits, probe=("routed",)):
+def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), key_bits=62):
     """Probe the index once per super-mer span instead of once per window.
 
     All windows of a span share one minimizer (by construction), so span-start
@@ -137,26 +163,39 @@ def _probe_spans(wm, keys_hi, keys_lo, key_taxa, router, rounds, bits, probe=("r
     reads where nearly every window starts a span) fall back to probing every
     position.
 
+    keys: u64.U64 (m <= 31) or u128.U128 (wide m) index key arrays.
     probe: ("routed",) = router-accelerated binary search;
     ("bucketed", maxb) = direct-bucket wide-gather probe (keys/taxa must be
-    the sentinel-padded arrays from pad_keys_for_buckets).
+    the sentinel-padded arrays from pad_keys_for_buckets; m <= 31 only).
     """
     b, l = wm.valid.shape
     n = b * l
     cap = lookup_ops.span_query_cap(n)
-    q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+    wide = isinstance(keys, u128_mod.U128)
 
-    keys = u64.U64(keys_hi, keys_lo)
+    if wide:
+        q_limbs, sid, n_spans = lookup_ops.compact_span_queries_wide(wm, cap)
 
-    def lookup(q):
-        if probe[0] == "bucketed":
-            return lookup_ops.lookup_taxa_bucketed(
-                keys, key_taxa, router, q, probe[1], bits
+        def lookup(q):
+            return lookup_ops.lookup_taxa_routed_wide(
+                keys, key_taxa, router, q, rounds, bits, key_bits
             )
-        return lookup_ops.lookup_taxa_routed(keys, key_taxa, router, q, rounds, bits)
+
+        q_compact = u128_mod.from_limbs(*q_limbs)
+    else:
+        q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+
+        def lookup(q):
+            if probe[0] == "bucketed":
+                return lookup_ops.lookup_taxa_bucketed(
+                    keys, key_taxa, router, q, probe[1], bits
+                )
+            return lookup_ops.lookup_taxa_routed(keys, key_taxa, router, q, rounds, bits)
+
+        q_compact = u64.U64(q_hi, q_lo)
 
     def compacted(_):
-        probed = lookup(u64.U64(q_hi, q_lo))
+        probed = lookup(q_compact)
         return probed[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
 
     def full(_):
@@ -308,6 +347,8 @@ class Classifier:
         # probe kernel: routed binary search (default) or direct-bucket
         # wide gather (STPU_PROBE=bucketed; see ops.lookup)
         probe = probe or os.environ.get("STPU_PROBE", "routed")
+        if index.wide and probe != "routed":
+            raise NotImplementedError("wide (m > 31) indexes support only the routed probe")
         if probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
@@ -395,6 +436,27 @@ class Classifier:
             pad = np.full((b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8)
             codes = np.concatenate([codes, pad], axis=0)
         idx = self.index
+        if idx.wide:
+            common = (
+                self._dev_keys,
+                self._dev_taxa,
+                idx.device_router,
+                self._table_dev,
+                idx.params.minimizer_params,
+                self.max_taxa,
+                idx.router_rounds,
+                idx.router_bits,
+            )
+            if self._packed_transfer and bucket % 8 == 0:
+                packed, valid = encode.pack_2bit(codes)
+                window_taxa, num_distinct, ch, res = _classify_kernel_packed_wide(
+                    packed, valid, *common
+                )
+            else:
+                window_taxa, num_distinct, ch, res = _classify_kernel_wide(
+                    codes, *common
+                )
+            return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
         common = (
             self._dev_keys.hi,
             self._dev_keys.lo,

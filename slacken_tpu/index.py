@@ -161,6 +161,87 @@ def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParam
     return keys[rows, cols], np.asarray(taxa, np.int32)[rows]
 
 
+# ---------------------------------------------------------------------------
+# Wide keys (m > 31): [N, 2] uint64 (hi64, lo64) host representation
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _scan_batch_wide(codes, params: MinimizerParams):
+    wm = window_minimizers(codes, params)
+    l3, l2, l1, l0 = wm.minimizer.limbs
+    return l3, l2, l1, l0, wm.span_start
+
+
+def spans_to_records_wide(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams):
+    """Wide-m spans_to_records: returns (keys [R, 2] uint64, taxa [R])."""
+    l3, l2, l1, l0, start = (np.asarray(x) for x in _scan_batch_wide(codes, params))
+    rows, cols = np.nonzero(start)
+    hi64 = (l3.astype(np.uint64) << np.uint64(32)) | l2.astype(np.uint64)
+    lo64 = (l1.astype(np.uint64) << np.uint64(32)) | l0.astype(np.uint64)
+    keys2 = np.stack([hi64[rows, cols], lo64[rows, cols]], axis=1)
+    return keys2, np.asarray(taxa, np.int32)[rows]
+
+
+def dedup_pairs_wide(keys2: np.ndarray, taxa: np.ndarray):
+    """Sort + dedup (wide key, taxon) pairs ([N, 2] uint64 keys)."""
+    if len(keys2) == 0:
+        return keys2, taxa
+    order = np.lexsort((taxa, keys2[:, 1], keys2[:, 0]))
+    keys2, taxa = keys2[order], taxa[order]
+    new = np.empty(len(keys2), bool)
+    new[0] = True
+    new[1:] = (
+        (keys2[1:, 0] != keys2[:-1, 0])
+        | (keys2[1:, 1] != keys2[:-1, 1])
+        | (taxa[1:] != taxa[:-1])
+    )
+    return keys2[new], taxa[new]
+
+
+def reduce_records_wide(
+    keys2: np.ndarray, taxa: np.ndarray, taxonomy: Taxonomy, chunk: int = 1 << 22
+):
+    """reduce_records for wide keys: sort [N, 2] uint64 keys, LCA-reduce
+    runs of equal keys on device."""
+    if len(keys2) == 0:
+        return keys2, taxa
+    order = np.lexsort((keys2[:, 1], keys2[:, 0]))
+    keys2 = keys2[order]
+    taxa = np.ascontiguousarray(np.asarray(taxa)[order])
+    boundary = np.empty(len(keys2), bool)
+    boundary[0] = True
+    boundary[1:] = (keys2[1:, 0] != keys2[:-1, 0]) | (keys2[1:, 1] != keys2[:-1, 1])
+    run_of = np.cumsum(boundary) - 1
+    num_runs = int(run_of[-1]) + 1
+    uniq_keys = keys2[boundary]
+
+    out_taxa = np.empty(num_runs, np.int32)
+    table = jnp.asarray(taxonomy.rpath_table())
+    run_starts = np.flatnonzero(boundary)
+    start = 0
+    while start < len(keys2):
+        end = min(start + chunk, len(keys2))
+        if end < len(keys2):
+            end = int(run_starts[np.searchsorted(run_starts, end, side="left")])
+            if end <= start:
+                end = min(start + chunk, len(keys2))
+                nxt = np.searchsorted(run_starts, end)
+                end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys2)
+        rid = run_of[start:end] - run_of[start]
+        red = np.asarray(
+            lca_ops.segment_lca_table(
+                jnp.asarray(rid, jnp.int32), jnp.asarray(taxa[start:end]), table
+            )
+        )
+        r0 = int(run_of[start])
+        r1 = int(run_of[end - 1]) + 1
+        out_taxa[r0:r1] = red[: r1 - r0]
+        start = end
+
+    return uniq_keys, out_taxa
+
+
 class SpillCollector:
     """Range-partitioned on-disk record collector for beyond-RAM builds.
 
@@ -354,13 +435,22 @@ class KeyValueIndex:
     # -- device residency ---------------------------------------------------
 
     @property
+    def wide(self) -> bool:
+        """Keys wider than one u64 (m > 31): stored as [N, 2] uint64."""
+        return self.params.m > 31
+
+    @property
     def device_keys(self):
         # ensure_compile_time_eval: these lazily-created arrays must be real
         # device constants even when first touched inside a jit trace —
         # otherwise the cache would capture a tracer and poison later calls
         if self._device_keys is None:
             with jax.ensure_compile_time_eval():
-                self._device_keys = lookup_ops.keys_from_numpy(self.keys)
+                self._device_keys = (
+                    lookup_ops.wide_keys_from_numpy(self.keys)
+                    if self.wide
+                    else lookup_ops.keys_from_numpy(self.keys)
+                )
         return self._device_keys
 
     @property
@@ -374,7 +464,12 @@ class KeyValueIndex:
     def device_router(self):
         if self._device_router is None:
             self._router_bits = lookup_ops.adaptive_router_bits(len(self.keys))
-            router = lookup_ops.build_router(self.keys, self._router_bits)
+            if self.wide:
+                router = lookup_ops.build_router_wide(
+                    self.keys, self._router_bits, 2 * self.params.m
+                )
+            else:
+                router = lookup_ops.build_router(self.keys, self._router_bits)
             self._router_rounds = lookup_ops.router_rounds(router)
             self._host_router = router
             with jax.ensure_compile_time_eval():
@@ -386,6 +481,8 @@ class KeyValueIndex:
         """(padded U64 keys, padded taxa, max bucket span) for the
         direct-bucket probe (lookup_taxa_bucketed)."""
         if self._device_bucketed is None:
+            if self.wide:
+                raise NotImplementedError("bucketed probe requires m <= 31")
             self.device_router  # builds the router + records the host copy
             maxb = lookup_ops.max_bucket_span(self._host_router)
             pk, pt = lookup_ops.pad_keys_for_buckets(self.keys, self.taxa, maxb)
@@ -409,9 +506,18 @@ class KeyValueIndex:
 
     def lookup(self, q_hi, q_lo):
         """Device lookup of query minimizers -> LCA taxa (0 = miss)."""
+        if self.wide:
+            raise NotImplementedError("use lookup_wide for m > 31")
         return lookup_ops.lookup_taxa_routed(
             self.device_keys, self.device_taxa, self.device_router,
             u64.U64(q_hi, q_lo), self.router_rounds, self.router_bits,
+        )
+
+    def lookup_wide(self, q):
+        """Device lookup for wide (m > 31) keys; q is a u128.U128."""
+        return lookup_ops.lookup_taxa_routed_wide(
+            self.device_keys, self.device_taxa, self.device_router, q,
+            self.router_rounds, self.router_bits, 2 * self.params.m,
         )
 
     # -- construction -------------------------------------------------------
@@ -438,6 +544,8 @@ class KeyValueIndex:
         KeyValueIndex.scala:102-113).
         """
         mp = params.minimizer_params.validate()
+        if mp.wide and spill_dir:
+            raise NotImplementedError("spill builds require m <= 31")
         collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
@@ -456,6 +564,12 @@ class KeyValueIndex:
                     (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
                 )
                 codes = np.concatenate([codes, pad], axis=0)
+            if mp.wide:
+                k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
+                collector.add(k2, t2)
+                buf_seqs.clear()
+                buf_taxa.clear()
+                return
             hi, lo, tax, count = _build_batch_kernel(codes, taxa_rows, mp, cap)
             count = int(count)
             if count > cap:
@@ -496,8 +610,14 @@ class KeyValueIndex:
             return idx
 
         pair_keys, pair_taxa = collector.concat()
-        pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
-        keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+        if mp.wide:
+            if pair_keys.ndim == 1:  # empty library: concat() default shape
+                pair_keys = pair_keys.reshape(0, 2)
+            pair_keys, pair_taxa = dedup_pairs_wide(pair_keys, pair_taxa)
+            keys, taxa = reduce_records_wide(pair_keys, pair_taxa, taxonomy)
+        else:
+            pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+            keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
         idx = cls(keys, taxa, params, taxonomy)
         if keep_records:
             idx.record_keys = pair_keys
@@ -549,7 +669,8 @@ class KeyValueIndex:
         mask = np.isin(np.asarray(self.record_taxa), np.fromiter(taxon_set, np.int32, len(taxon_set)))
         keys = np.asarray(self.record_keys)[mask]
         taxa = np.asarray(self.record_taxa)[mask]
-        keys, taxa = reduce_records(keys, taxa, self.taxonomy)
+        reduce = reduce_records_wide if self.wide else reduce_records
+        keys, taxa = reduce(keys, taxa, self.taxonomy)
         return KeyValueIndex(keys, taxa, self.params, self.taxonomy)
 
     def save_sharded(self, location: str, n_shards: Optional[int] = None):

@@ -116,6 +116,77 @@ def lookup_taxa(keys: U64, taxa: jnp.ndarray, q: U64) -> jnp.ndarray:
     return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Wide keys (m > 31): 2 x u64 per key, same router + binary search over 4 limbs
+# ---------------------------------------------------------------------------
+
+from . import u128 as u128_mod
+from .u128 import U128
+
+
+def wide_keys_from_numpy(keys2: np.ndarray) -> U128:
+    """Split an [N, 2] uint64 array (hi64, lo64 columns) into a U128 of
+    four uint32 limb arrays."""
+    keys2 = np.ascontiguousarray(keys2, dtype=np.uint64)
+    hi64 = keys2[:, 0]
+    lo64 = keys2[:, 1]
+    return U128(
+        U64(
+            jnp.asarray((hi64 >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(hi64.astype(np.uint32)),
+        ),
+        U64(
+            jnp.asarray((lo64 >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(lo64.astype(np.uint32)),
+        ),
+    )
+
+
+def build_router_wide(keys2: np.ndarray, bits: int, key_bits: int) -> np.ndarray:
+    """Prefix router over the top `bits` bits of the key_bits (= 2m)-wide
+    keyspace for [N, 2] uint64 keys."""
+    keys2 = np.ascontiguousarray(keys2, dtype=np.uint64)
+    if key_bits - bits >= 64:
+        prefixes = (keys2[:, 0] >> np.uint64(key_bits - 64 - bits)).astype(np.int64)
+    else:
+        up = key_bits - bits  # < 64: prefix spans both words
+        prefixes = (
+            (keys2[:, 0].astype(object) << (64 - up)) | (keys2[:, 1] >> np.uint64(up))
+        ).astype(np.int64)
+    router = np.searchsorted(prefixes, np.arange((1 << bits) + 1), side="left")
+    return router.astype(np.int32)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def lookup_taxa_routed_wide(
+    keys: U128, taxa: jnp.ndarray, router: jnp.ndarray, q: U128, rounds: int,
+    bits: int, key_bits: int = 126,
+) -> jnp.ndarray:
+    """Router-accelerated lookup for wide (2-word) keys; misses return 0."""
+    n = keys.hi.hi.shape[0]
+    if n == 0:
+        return jnp.zeros(q.shape, jnp.int32)
+    pfx = u128_mod.shr(q, key_bits - bits).lo.lo.astype(jnp.int32)
+    pos = router[pfx]
+    size = router[pfx + 1] - pos
+    for _ in range(rounds):
+        half = size >> 1
+        mid = pos + half
+        idx = jnp.minimum(mid, n - 1)
+        k_at = u128_mod.from_limbs(
+            keys.hi.hi[idx], keys.hi.lo[idx], keys.lo.hi[idx], keys.lo.lo[idx]
+        )
+        less = u128_mod.ltu(k_at, q) & (size > 0)
+        pos = jnp.where(less, mid + 1, pos)
+        size = jnp.where(less, size - half - 1, half)
+    idx = jnp.minimum(pos, n - 1)
+    k_at = u128_mod.from_limbs(
+        keys.hi.hi[idx], keys.hi.lo[idx], keys.lo.hi[idx], keys.lo.lo[idx]
+    )
+    found = (pos < n) & u128_mod.eq(k_at, q)
+    return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
+
+
 def max_bucket_span(router: np.ndarray) -> int:
     """Largest key count under one router prefix (bucket width for the
     direct-bucket probe)."""
@@ -192,6 +263,22 @@ def compact_span_queries(wm, cap: int):
     q_hi = jnp.full(cap, sent).at[q_idx].set(hi, mode="drop")
     q_lo = jnp.full(cap, sent).at[q_idx].set(lo, mode="drop")
     return q_hi, q_lo, sid, sid[-1] + 1
+
+
+def compact_span_queries_wide(wm, cap: int):
+    """compact_span_queries for wide minimizers: returns
+    ((l3, l2, l1, l0) query limb buffers, sid, n_spans)."""
+    b, l = wm.valid.shape
+    n = b * l
+    start = wm.span_start.reshape(n)
+    sid = jnp.cumsum(start) - 1
+    q_idx = jnp.where(start, sid, cap)
+    sent = jnp.uint32(0xFFFFFFFF)
+    qs = tuple(
+        jnp.full(cap, sent).at[q_idx].set(x.reshape(n), mode="drop")
+        for x in wm.minimizer.limbs
+    )
+    return qs, sid, sid[-1] + 1
 
 
 def span_query_cap(n_positions: int) -> int:

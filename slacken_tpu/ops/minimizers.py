@@ -54,9 +54,14 @@ class MinimizerParams(NamedTuple):
         """Number of m-mer start positions per k-mer window."""
         return self.k - self.m + 1
 
+    @property
+    def wide(self) -> bool:
+        """m > 31: minimizers need 2 u64 words (KmerKeyedIndex.scala:33-54)."""
+        return self.m > 31
+
     def validate(self):
-        if not (1 <= self.m <= 31):
-            raise ValueError(f"m must be in [1, 31], got {self.m}")
+        if not (1 <= self.m <= 63):
+            raise ValueError(f"m must be in [1, 63], got {self.m}")
         if self.k < self.m:
             raise ValueError(f"k ({self.k}) must be >= m ({self.m})")
         if self.spaces > self.m // 2:
@@ -188,6 +193,93 @@ def priorities_at_starts(codes: jnp.ndarray, params: MinimizerParams, lut=None):
     return prio, mmer_valid
 
 
+# ---------------------------------------------------------------------------
+# Wide minimizers (31 < m <= 63): same algorithms over u128 values
+# ---------------------------------------------------------------------------
+
+from . import u128 as u128_mod
+from .u128 import U128
+
+
+def _shift_u128(x: U128, d: int, fill_int: int = 0) -> U128:
+    """out[..., i] = x[..., i+d] along the last axis (static d >= 0)."""
+    f = fill_int & ((1 << 128) - 1)
+    return U128(
+        _shift_pair(x.hi, d, f >> 64),
+        _shift_pair(x.lo, d, f & ((1 << 64) - 1)),
+    )
+
+
+def mmer_at_starts_wide(codes: jnp.ndarray, m: int) -> U128:
+    """mmer_at_starts for m <= 63: right-aligned 2m-bit values in a U128."""
+    c = jnp.asarray(codes).astype(jnp.uint32) & jnp.uint32(3)
+    z = jnp.zeros_like(c)
+    base = U128(U64(z, z), U64(z, c))
+    pow_vals = {1: base}
+    p = 1
+    while p * 2 <= m:
+        v = pow_vals[p]
+        pow_vals[p * 2] = u128_mod.bor(u128_mod.shl(v, 2 * p), _shift_u128(v, p))
+        p *= 2
+
+    acc = None
+    off = 0
+    for p in _powers_desc(m):
+        block = _shift_u128(pow_vals[p], off)
+        acc = block if acc is None else u128_mod.bor(u128_mod.shl(acc, 2 * p), block)
+        off += p
+    return acc
+
+
+def revcomp_mmer_wide(x: U128, m: int) -> U128:
+    """Reverse complement of a right-aligned 2-bit m-mer (m <= 63)."""
+    l3, l2, l1, l0 = x.limbs
+    # reverse 2-bit groups within each limb, then reverse limb order
+    swapped = u128_mod.from_limbs(
+        _rev_pairs_u32(l0), _rev_pairs_u32(l1), _rev_pairs_u32(l2), _rev_pairs_u32(l3)
+    )
+    aligned = u128_mod.shr(swapped, 128 - 2 * m)
+    comp_mask = (1 << (2 * m)) - 1
+    return u128_mod.bxor(aligned, u128_mod.from_int(comp_mask, x.shape))
+
+
+def priorities_at_starts_wide(codes: jnp.ndarray, params: MinimizerParams):
+    """Wide-m per-position priority + m-mer validity (cf. priorities_at_starts).
+
+    The toggle mask uses the reference's multi-long replication
+    (MinimizerPriorities.scala:146-160, u128.wide_toggle_mask)."""
+    m = params.m
+    mm = mmer_at_starts_wide(codes, m)
+    if params.canonical:
+        mm = u128_mod.minu(mm, revcomp_mmer_wide(mm, m))
+    toggle = u128_mod.wide_toggle_mask(m, params.toggle_mask)
+    prio = u128_mod.bxor(mm, u128_mod.from_int(toggle, mm.shape))
+    if params.spaces > 0:
+        prio = u128_mod.band(
+            prio, u128_mod.from_int(space_mask_int(m, params.spaces), mm.shape)
+        )
+    valid1 = jnp.asarray(codes) < 4
+    return prio, sliding_all(valid1, m)
+
+
+def sliding_min_u128(x: U128, width: int) -> U128:
+    """out[i] = unsigned min of x[i : i+width] (doubling; garbage past end)."""
+    fill = (1 << 128) - 1
+    pow_vals = {1: x}
+    p = 1
+    while p * 2 <= width:
+        v = pow_vals[p]
+        pow_vals[p * 2] = u128_mod.minu(v, _shift_u128(v, p, fill))
+        p *= 2
+    acc = None
+    off = 0
+    for p in _powers_desc(width):
+        block = _shift_u128(pow_vals[p], off, fill)
+        acc = block if acc is None else u128_mod.minu(acc, block)
+        off += p
+    return acc
+
+
 def sliding_all(valid: jnp.ndarray, width: int) -> jnp.ndarray:
     """out[i] = AND of valid[i : i+width] (False-filled past the end)."""
     pow_vals = {1: valid}
@@ -253,30 +345,44 @@ def window_minimizers(codes: jnp.ndarray, params: MinimizerParams, lut=None) -> 
 
 
 def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams, lut=None) -> WindowMinimizers:
-    """Unjitted body of window_minimizers (shared with the Pallas kernel)."""
-    prio, mmer_valid = priorities_at_starts(codes, params, lut)
-    win_min = sliding_min_u64(prio, params.window)
+    """Unjitted body of window_minimizers (shared with the Pallas kernel).
+
+    For wide m (params.wide) the minimizer field is a U128 and the same span
+    algebra runs over four limbs."""
+    if params.wide:
+        if lut is not None:
+            raise ValueError("explicit-ordering LUTs require m <= 31")
+        prio, _ = priorities_at_starts_wide(codes, params)
+        win_min = sliding_min_u128(prio, params.window)
+        ne_fn = u128_mod.ne
+        limbs = list(win_min.limbs)
+        rebuild = lambda ls: u128_mod.from_limbs(*ls)  # noqa: E731
+    else:
+        prio, _ = priorities_at_starts(codes, params, lut)
+        win_min = sliding_min_u64(prio, params.window)
+        ne_fn = u64.ne
+        limbs = [win_min.hi, win_min.lo]
+        rebuild = lambda ls: U64(*ls)  # noqa: E731
     win_valid = sliding_all(jnp.asarray(codes) < 4, params.k)
 
     # span_start: first valid window, or previous window invalid, or value change
     prev_valid = jnp.concatenate(
         [jnp.zeros(win_valid.shape[:-1] + (1,), bool), win_valid[..., :-1]], axis=-1
     )
-    prev_min = _unshift_pair(win_min)
-    value_change = u64.ne(win_min, prev_min)
+    prev_min = rebuild([_unshift1(x) for x in limbs])
+    value_change = ne_fn(win_min, prev_min)
     span_start = win_valid & (~prev_valid | value_change)
 
     # distinct: compare with last valid window value strictly before i
     # (carry-forward scan of the last valid minimizer value, implemented by
     # doubling so it also lowers inside Pallas kernels)
-    carry_hi, carry_lo, carry_has = _carry_forward(win_min.hi, win_min.lo, win_valid)
+    carry_vals, carry_has = _carry_forward(limbs, win_valid)
     # shift right: state strictly before i
-    before_hi = _unshift1(carry_hi)
-    before_lo = _unshift1(carry_lo)
+    before = rebuild([_unshift1(x) for x in carry_vals])
     before_has = jnp.concatenate(
         [jnp.zeros(carry_has.shape[:-1] + (1,), bool), carry_has[..., :-1]], axis=-1
     )
-    differs = u64.ne(win_min, U64(before_hi, before_lo))
+    differs = ne_fn(win_min, before)
     distinct = span_start & (~before_has | differs)
 
     return WindowMinimizers(win_min, win_valid, span_start, distinct)
@@ -292,22 +398,21 @@ def _unshift_pair(x: U64) -> U64:
     return U64(_unshift1(x.hi), _unshift1(x.lo))
 
 
-def _carry_forward(hi: jnp.ndarray, lo: jnp.ndarray, has: jnp.ndarray):
+def _carry_forward(vals, has: jnp.ndarray):
     """Inclusive 'last valid value' scan along the last axis via doubling:
-    after ceil(log2 L) steps, position i holds the most recent (hi, lo) where
-    `has` was True at or before i."""
-    n = hi.shape[-1]
+    after ceil(log2 L) steps, position i holds the most recent multi-limb
+    value (list of arrays) where `has` was True at or before i."""
+    vals = list(vals)
+    n = vals[0].shape[-1]
     step = 1
     while step < n:
-        ph = _shift_back(hi, step)
-        plo = _shift_back(lo, step)
+        prevs = [_shift_back(v, step) for v in vals]
         phas = _shift_back_bool(has, step)
         take_prev = ~has & phas
-        hi = jnp.where(take_prev, ph, hi)
-        lo = jnp.where(take_prev, plo, lo)
+        vals = [jnp.where(take_prev, p, v) for p, v in zip(prevs, vals)]
         has = has | phas
         step *= 2
-    return hi, lo, has
+    return vals, has
 
 
 def _shift_back(x: jnp.ndarray, d: int) -> jnp.ndarray:

@@ -48,10 +48,25 @@ def space_mask(m: int, s: int) -> int:
     return mask
 
 
+def wide_toggle(m: int, toggle: int) -> int:
+    """Toggle mask over 2m bits with the reference's multi-long replication
+    (MinimizerPriorities.scala:146-160): full 32-nt longs carry the whole
+    64-bit mask; a trailing partial long of r nts carries its low 2r bits."""
+    if m <= 32:
+        return toggle & ((1 << (2 * m)) - 1)
+    r = m % 32
+    val = 0
+    for _ in range(m // 32):
+        val = (val << 64) | (toggle & ((1 << 64) - 1))
+    if r:
+        val = (val << (2 * r)) | (toggle & ((1 << (2 * r)) - 1))
+    return val
+
+
 def priority(v: int, m: int, s: int, toggle=DEFAULT_TOGGLE_MASK, canonical=True) -> int:
     if canonical:
         v = canonical_value(v, m)
-    p = v ^ (toggle & ((1 << (2 * m)) - 1))
+    p = v ^ wide_toggle(m, toggle)
     if s > 0:
         p &= space_mask(m, s)
     return p
