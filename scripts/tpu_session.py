@@ -24,7 +24,9 @@ import time
 
 import numpy as np
 
-RESULTS_PATH = "/root/repo/.tpu_results/r2_session.json"
+RESULTS_PATH = os.environ.get(
+    "STPU_RESULTS", "/root/repo/.tpu_results/r2_session.json"
+)
 results = {"started": time.strftime("%F %T")}
 
 
@@ -60,14 +62,21 @@ print("initializing jax...", file=sys.stderr, flush=True)
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# the axon plugin ignores the JAX_PLATFORMS env var; only the config knob
+# reliably forces the platform (CPU shakeouts must NOT touch the tunnel)
+if os.environ.get("STPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["STPU_PLATFORM"])
 
 try:
     DEV = jax.devices()[0]
 except RuntimeError as e:
     record("init", ok=False, error=str(e))
     sys.exit(2)
+if DEV.platform != "cpu":
+    # TPU-only: cached CPU AOT executables can load across machine-feature
+    # mismatches and silently corrupt results (see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 if DEV.platform == "cpu" and os.environ.get("STPU_ALLOW_CPU") != "1":
     record("init", ok=False, error="no TPU (cpu backend); refusing to measure")
     sys.exit(2)
@@ -446,6 +455,288 @@ def exp_build():
     }
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: dispatch-latency-corrected on-device-loop measurements.
+#
+# Every per-call timing above includes the axon tunnel's ~30 ms dispatch
+# latency, which swamps any kernel faster than that (the round-1 "HBM
+# 17.2 GB/s" was pure latency). These experiments run R iterations inside one
+# lax.fori_loop with a data dependency between iterations (so XLA cannot
+# hoist the work), subtract the measured null-dispatch latency, and divide.
+# ---------------------------------------------------------------------------
+
+LAT_S = 0.0
+
+
+def timeit_loop(step, init, R=16, n=3):
+    """Time one iteration of `step` (carry -> carry) amortized over an
+    R-iteration on-device fori_loop; subtracts null-dispatch latency."""
+    body = jax.jit(lambda c: jax.lax.fori_loop(0, R, step, c))
+    jax.block_until_ready(body(init))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(body(init))
+        ts.append(time.perf_counter() - t0)
+    return max(1e-9, (min(ts) - LAT_S) / R)
+
+
+@guard("roofline")
+def exp_roofline():
+    global LAT_S
+    out = {}
+    f = jax.jit(lambda a: a + 1)
+    z = jax.device_put(np.zeros(8, np.int32))
+    t, _ = timeit(lambda: f(z), n=10, warmup=2)
+    LAT_S = t
+    out["dispatch_latency_ms"] = round(t * 1e3, 2)
+
+    # true HBM bandwidth: a pointwise chain fuses into ONE pass regardless
+    # of length, and anything algebraically distributive gets hoisted out of
+    # the loop (sum of constants) or splat-folded (jnp.ones is a broadcast,
+    # no memory behind it). So: random data, and a non-distributive max
+    # against the varying carry — 1 GB of mandatory reads per loop step.
+    mats = jax.device_put(np.random.default_rng(0).random((8, 32 << 20), np.float32))
+    jax.block_until_ready(mats)
+    c0 = jnp.zeros(32 << 20, jnp.float32)
+    per = timeit_loop(
+        lambda i, c: jnp.maximum(mats, c[None, :] * 0.999).sum(0) * 0.124, c0, R=8
+    )
+    out["hbm_GBps_read"] = round((8 * 128 + 2 * 128) / per / 1024, 1)
+    del mats
+
+    # element-gather rate: pointer-chase permutation, 1M parallel chains
+    n = 1 << 22  # 4M-entry i32 table (16 MB), ~index scale
+    rng = np.random.default_rng(0)
+    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+    c0 = jnp.asarray(rng.integers(0, n, 1 << 20).astype(np.int32))
+    per = timeit_loop(lambda i, c: perm[c], c0, R=16)
+    out["elem_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+
+    # row-gather rate: same chase but each hop fetches a contiguous
+    # 16-lane row (the tiled-probe access shape, 64 B/row)
+    rows = jnp.asarray(
+        np.tile(rng.permutation(n // 16).astype(np.int32)[:, None], (1, 16))
+    )
+    c1 = jnp.asarray(rng.integers(0, n // 16, 1 << 20).astype(np.int32))
+    per = timeit_loop(lambda i, c: rows[c][:, 0], c1, R=16)
+    out["row_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+    out["row_gather_GBps"] = round((1 << 20) * 64 / per / (1 << 30), 1)
+    return out
+
+
+def ensure_queries():
+    global QUERIES
+    if QUERIES is not None:
+        return
+    rng = np.random.default_rng(1)
+    nq = lookup_ops.span_query_cap(8192 * 128)
+    hit = IDX.keys[rng.integers(0, len(IDX.keys), nq // 2)]
+    miss = rng.integers(0, 1 << 62, nq - nq // 2).astype(np.uint64)
+    q = np.concatenate([hit, miss])
+    rng.shuffle(q)
+    QUERIES = u64.U64(
+        jax.device_put((q >> np.uint64(32)).astype(np.uint32)),
+        jax.device_put(q.astype(np.uint32)),
+    )
+    jax.block_until_ready(QUERIES.hi)
+
+
+@guard("probe2")
+def exp_probe2():
+    """Probe variants, latency-corrected, with an iteration-to-iteration
+    data dependency (query lo-bit perturbed by the previous result)."""
+    ensure_queries()
+    nq = lookup_ops.span_query_cap(8192 * 128)
+    out = {"n_queries": nq}
+    qh, ql = QUERIES.hi, QUERIES.lo
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    router = IDX.device_router
+
+    def dep(c):
+        return (c & 1).astype(jnp.uint32)
+
+    def routed_step(i, c):
+        r = lookup_ops.lookup_taxa_routed(
+            dk, dt, router, u64.U64(qh, ql ^ dep(c)), IDX.router_rounds, IDX.router_bits
+        )
+        return r.sum()
+
+    per = timeit_loop(routed_step, jnp.int32(0), R=8)
+    out["routed_ms"] = round(per * 1e3, 2)
+    out["routed_Mq_s"] = round(nq / per / 1e6, 2)
+
+    table, tile = IDX.device_tiled
+    jax.block_until_ready(table)
+    out["tile"] = tile
+    out["tiled_table_MB"] = round(table.nbytes / 1e6, 1)
+
+    def tiled_step(i, c):
+        r = lookup_ops.lookup_taxa_tiled(
+            table, router, u64.U64(qh, ql ^ dep(c)), tile, IDX.router_bits
+        )
+        return r.sum()
+
+    per = timeit_loop(tiled_step, jnp.int32(0), R=8)
+    out["tiled_ms"] = round(per * 1e3, 2)
+    out["tiled_Mq_s"] = round(nq / per / 1e6, 2)
+
+    r_routed = lookup_ops.lookup_taxa_routed(
+        dk, dt, router, QUERIES, IDX.router_rounds, IDX.router_bits
+    )
+    r_tiled = lookup_ops.lookup_taxa_tiled(table, router, QUERIES, tile, IDX.router_bits)
+    out["tiled_matches_routed"] = bool(
+        np.array_equal(np.asarray(r_routed), np.asarray(r_tiled))
+    )
+    return out
+
+
+@guard("kernel2")
+def exp_kernel2():
+    """Fused classify kernel, latency-corrected, routed vs tiled probe,
+    B=8192 and B=32768."""
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    router = IDX.device_router
+    ttab, tile = IDX.device_tiled
+    out = {"tile": tile}
+    codes_h = np.asarray(CODES_RES)
+
+    from slacken_tpu.classify import _classify_kernel_tiled
+
+    for b in (8192, 32768):
+        reps = -(-b // 8192)
+        cd = jax.device_put(np.concatenate([codes_h] * reps)[:b])
+        jax.block_until_ready(cd)
+
+        def routed_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res = _classify_kernel(
+                cc, dk.hi, dk.lo, dt, router, table_tax, mp, 32,
+                IDX.router_rounds, IDX.router_bits,
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(routed_step, jnp.int32(0), R=4)
+        out[f"B{b}_routed_ms"] = round(per * 1e3, 1)
+        out[f"B{b}_routed_reads_s"] = round(b / per)
+
+        def tiled_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res = _classify_kernel_tiled(
+                cc, ttab, router, table_tax, mp, 32, IDX.router_bits, tile
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(tiled_step, jnp.int32(0), R=4)
+        out[f"B{b}_tiled_ms"] = round(per * 1e3, 1)
+        out[f"B{b}_tiled_reads_s"] = round(b / per)
+    return out
+
+
+@guard("components2")
+def exp_components2():
+    """Latency-corrected component breakdown at B=8192 (scan / compact /
+    probe / scatter / compact_hits / resolve)."""
+    from slacken_tpu.ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
+
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    out = {}
+
+    def scan_step(i, c):
+        cc = CODES_RES.at[0, 0].set((c & 3).astype(jnp.uint8))
+        wm = window_minimizers(cc, mp)
+        return wm.minimizer.lo[0, 0].astype(jnp.int32)
+
+    per = timeit_loop(scan_step, jnp.int32(0), R=8)
+    out["scan_ms"] = round(per * 1e3, 2)
+    out["scan_Mbp_s"] = round(8192 * 128 / per / 1e6, 1)
+
+    try:
+        from slacken_tpu.ops.pallas_kernels import window_minimizers_pallas
+
+        def pscan_step(i, c):
+            cc = CODES_RES.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wm = window_minimizers_pallas(cc, mp)
+            return wm.minimizer.lo[0, 0].astype(jnp.int32)
+
+        per = timeit_loop(pscan_step, jnp.int32(0), R=8)
+        out["pallas_scan_ms"] = round(per * 1e3, 2)
+        out["pallas_scan_Mbp_s"] = round(8192 * 128 / per / 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        out["pallas_scan_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    wm0 = window_minimizers(CODES_RES, mp)
+    jax.block_until_ready(wm0.minimizer.hi)
+    cap = lookup_ops.span_query_cap(8192 * 128)
+
+    def resolve_step(i, c):
+        wt = jnp.where(
+            wm0.valid, (c % 7).astype(jnp.int32), INVALID_WINDOW
+        ).astype(jnp.int32)
+        ch = compact_hits(wt, 32)
+        res = resolve_hits(ch.taxa, ch.counts, table_tax)
+        return res.max_taxon.sum()
+
+    per = timeit_loop(resolve_step, jnp.int32(0), R=8)
+    out["compact_resolve_ms"] = round(per * 1e3, 2)
+    return out
+
+
+@guard("e2e2")
+def exp_e2e2():
+    """Host pipeline e2e with the tiled probe and bigger batches."""
+    from slacken_tpu import native
+    from slacken_tpu.inputs import packed_reads_from_file
+    from slacken_tpu.ops import encode as enc
+
+    packed = list(
+        packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq")
+    )
+    sim_rng = np.random.default_rng(7)
+    sizes = {455631: 4_100_000, 526997: 3_100_000, 9606: 800_000}
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rng = np.random.default_rng(20260816)
+    sim = []
+    for taxon, n in sizes.items():
+        seq = lut[rng.integers(0, 4, n)].tobytes().decode("ascii")
+        codes_full = enc.encode_seq(seq)
+        starts = sim_rng.integers(0, len(codes_full) - 101, 3334)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = sim_rng.random(rows.shape) < 0.01
+        rows[mut] = sim_rng.integers(0, 4, mut.sum())
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(
+            native.PackedReads(
+                rows,
+                np.full(len(rows), 101, np.int32),
+                [f"sim{taxon}_{j}" for j in range(len(rows))],
+            )
+        )
+    packed = (packed + sim) * 4
+    n_reads = sum(len(p) for p in packed)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    out = {"n_reads": n_reads}
+    for label, bp, kw in (
+        ("tiled_1M", 1 << 20, dict(probe="tiled", packed_transfer=True)),
+        ("tiled_4M", 1 << 22, dict(probe="tiled", packed_transfer=True)),
+        ("tiled_8M", 1 << 23, dict(probe="tiled", packed_transfer=True)),
+        ("routed_4M", 1 << 22, dict(probe="routed", packed_transfer=True)),
+    ):
+        cls = Classifier(IDX, target_batch_bp=bp, **kw)
+        cls.classify_packed(packed[:2], cpar)  # warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            res = cls.classify_packed(packed, cpar)[0.0]
+            best = max(best, n_reads / (time.time() - t0))
+        out[f"{label}_reads_s"] = round(best)
+        out.setdefault("n_classified", sum(1 for r in res if r.classified))
+    return out
+
+
 if __name__ == "__main__":
     only = sys.argv[1:] or None
     steps = [
@@ -458,6 +749,11 @@ if __name__ == "__main__":
         ("e2e", exp_e2e),
         ("bracken", exp_bracken),
         ("build", exp_build),
+        ("roofline", exp_roofline),
+        ("probe2", exp_probe2),
+        ("kernel2", exp_kernel2),
+        ("components2", exp_components2),
+        ("e2e2", exp_e2e2),
     ]
     for name, fn in steps:
         if only and name not in only:

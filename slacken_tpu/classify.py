@@ -111,6 +111,31 @@ def _classify_kernel_packed(
     )
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _classify_kernel_tiled(
+    codes, table, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+):
+    """_classify_kernel with the tiled row-gather probe: `table` is the
+    interleaved [n_rows, tile, 3] array from build_tiled."""
+    return _classify_body(
+        codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
+        ("tiled", tile),
+    )
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _classify_kernel_packed_tiled(
+    packed, valid, table, router, rpath_table,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+):
+    codes = encode.unpack_2bit_device(packed, valid)
+    return _classify_body(
+        codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
+        ("tiled", tile),
+    )
+
+
 @partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _classify_kernel_wide(
     codes, keys, key_taxa, router, rpath_table,
@@ -182,6 +207,13 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
             )
 
         q_compact = u128_mod.from_limbs(*q_limbs)
+    elif probe[0] == "tiled":
+        q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+
+        def lookup(q):
+            return lookup_ops.lookup_taxa_tiled(keys, router, q, probe[1], bits)
+
+        q_compact = u64.U64(q_hi, q_lo)
     else:
         q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
 
@@ -352,6 +384,10 @@ class Classifier:
         if probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
+        elif probe == "tiled":
+            dk, tile = index.device_tiled
+            dt = None
+            self._probe_static = ("tiled", tile)
         elif probe == "routed":
             dk = index.device_keys
             dt = index.device_taxa
@@ -454,6 +490,26 @@ class Classifier:
                 )
             else:
                 window_taxa, num_distinct, ch, res = _classify_kernel_wide(
+                    codes, *common
+                )
+            return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+        if self._probe_static[0] == "tiled":
+            common = (
+                self._dev_keys,
+                idx.device_router,
+                self._table_dev,
+                idx.params.minimizer_params,
+                self.max_taxa,
+                idx.router_bits,
+                self._probe_static[1],
+            )
+            if self._packed_transfer and bucket % 8 == 0:
+                packed, valid = encode.pack_2bit(codes)
+                window_taxa, num_distinct, ch, res = _classify_kernel_packed_tiled(
+                    packed, valid, *common
+                )
+            else:
+                window_taxa, num_distinct, ch, res = _classify_kernel_tiled(
                     codes, *common
                 )
             return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)

@@ -427,6 +427,7 @@ class KeyValueIndex:
         self._router_bits = None
         self._host_router = None
         self._device_bucketed = None
+        self._device_tiled = None
         #: optional full (minimizer, taxon) pair sidecar enabling dynamic
         #: rebuilds without re-scanning the genome library
         self.record_keys: Optional[np.ndarray] = None
@@ -503,6 +504,21 @@ class KeyValueIndex:
     def router_bits(self) -> int:
         self.device_router
         return self._router_bits
+
+    @property
+    def device_tiled(self):
+        """(interleaved [n_rows, tile, 3] uint32 table, tile) for the
+        row-gather probe (lookup_taxa_tiled)."""
+        if self._device_tiled is None:
+            if self.wide:
+                raise NotImplementedError("tiled probe requires m <= 31")
+            self.device_router  # builds the router + records the host copy
+            table, tile = lookup_ops.build_tiled(
+                self.keys, self.taxa, self._host_router
+            )
+            with jax.ensure_compile_time_eval():
+                self._device_tiled = (jnp.asarray(table), tile)
+        return self._device_tiled
 
     def lookup(self, q_hi, q_lo):
         """Device lookup of query minimizers -> LCA taxa (0 = miss)."""

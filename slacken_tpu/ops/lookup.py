@@ -241,6 +241,68 @@ def lookup_taxa_bucketed(
     return taxon.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# Tiled probe: router + aligned row-pair gather
+# ---------------------------------------------------------------------------
+
+
+def build_tiled(keys: np.ndarray, taxa: np.ndarray, router: np.ndarray, tile: int = 16):
+    """Interleave the sorted (key, taxon) arrays into a row-major table
+    [n_rows, tile, 3] uint32 (hi, lo, taxon) so one row gather fetches a
+    whole aligned run of `tile` records as a single contiguous burst.
+
+    A router bucket starting at `pos` spans at most max_bucket_span(router)
+    records, so rows pos//tile and pos//tile + 1 always cover it provided
+    maxb <= tile + 1; callers grow `tile` until that holds. Sentinel-padded
+    (all-ones keys, taxon 0) so probes never match padding. Memory = 1.5x
+    the flat arrays (taxon limb) + one pad row — no per-bucket blowup.
+    """
+    n = len(keys)
+    maxb = max_bucket_span(router)
+    while tile + 1 < maxb:
+        tile *= 2
+    n_rows = -(-n // tile) + 2  # +1 straddle row, +1 for row+1 gather
+    keys = np.ascontiguousarray(keys, np.uint64)
+    table = np.empty((n_rows * tile, 3), np.uint32)
+    table[:n, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    table[:n, 1] = keys.astype(np.uint32)
+    table[:n, 2] = np.asarray(taxa, np.int32).view(np.uint32)
+    table[n:, 0] = 0xFFFFFFFF
+    table[n:, 1] = 0xFFFFFFFF
+    table[n:, 2] = 0
+    return table.reshape(n_rows, tile, 3), tile
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def lookup_taxa_tiled(
+    table: jnp.ndarray, router: jnp.ndarray, q: U64, tile: int,
+    bits: int = ROUTER_BITS, key_bits: int = 62,
+) -> jnp.ndarray:
+    """Tiled-table lookup: one router gather + two contiguous row gathers.
+
+    Replaces the ~4-round dependent binary search (8+ scattered 4-byte
+    gathers per query) with a single dependent chain of 2 gathers whose
+    payload is a contiguous `tile*12`-byte burst — the HBM-friendly shape.
+    Exact-match semantics are preserved because equality is checked on the
+    full key: neighbouring buckets' keys in the fetched rows can never
+    equal a query whose prefix differs. Misses return 0.
+    """
+    shape = q.hi.shape
+    qh = q.hi.reshape(-1)
+    ql = q.lo.reshape(-1)
+    pfx = u64.shr(U64(qh, ql), key_bits - bits).lo.astype(jnp.int32)
+    pos = router[pfx]
+    row = pos // tile
+    r0 = table[row]        # [Q, tile, 3]
+    r1 = table[row + 1]
+    kh = jnp.concatenate([r0[:, :, 0], r1[:, :, 0]], axis=1)
+    kl = jnp.concatenate([r0[:, :, 1], r1[:, :, 1]], axis=1)
+    tx = jnp.concatenate([r0[:, :, 2], r1[:, :, 2]], axis=1).view(jnp.int32)
+    eq = (kh == qh[:, None]) & (kl == ql[:, None])
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    return taxon.reshape(shape)
+
+
 def compact_span_queries(wm, cap: int):
     """Compact a batch's span-start minimizers into a [cap] query buffer.
 

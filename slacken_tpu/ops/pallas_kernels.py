@@ -24,7 +24,10 @@ from .u64 import U64
 
 
 def _scan_kernel(codes_ref, hi_ref, lo_ref, valid_ref, start_ref, distinct_ref, *, params):
-    wm = window_minimizers_impl(codes_ref[:], params)
+    # Mosaic can't lower i8 vector comparisons ("Target does not support
+    # this comparison" on vector<...xi8> cmpi); widen codes to i32 at entry
+    # so every compare in the scan chain is 32-bit.
+    wm = window_minimizers_impl(codes_ref[:].astype(jnp.int32), params)
     hi_ref[:] = wm.minimizer.hi
     lo_ref[:] = wm.minimizer.lo
     valid_ref[:] = wm.valid.astype(jnp.uint8)

@@ -307,6 +307,8 @@ def test_probe_and_transfer_variants_identical(rng):
         dict(probe="bucketed", packed_transfer=False),
         dict(probe="routed", packed_transfer=True),
         dict(probe="bucketed", packed_transfer=True),
+        dict(probe="tiled", packed_transfer=False),
+        dict(probe="tiled", packed_transfer=True),
     ):
         got = Classifier(idx, **kw).classify(frags, cpar)
         for conf in cpar.thresholds:
@@ -341,3 +343,8 @@ def test_bucketed_lookup_matches_routed(rng):
         lookup_ops.lookup_taxa_bucketed(dk, dt, idx.device_router, qv, maxb, idx.router_bits)
     )
     assert np.array_equal(routed, bucketed)
+    table, tile = idx.device_tiled
+    tiled = np.asarray(
+        lookup_ops.lookup_taxa_tiled(table, idx.device_router, qv, tile, idx.router_bits)
+    )
+    assert np.array_equal(routed, tiled)
