@@ -40,12 +40,15 @@ from .taxonomy import NONE
 FRAGMENT_MAX = 1024 * 1024  # BrackenWeights.scala:303
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _fragment_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _fragment_kernel(
+    codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits, key_bits=62, lut=None
+):
     """Per-position window taxa + span structure for genome fragments."""
-    wm = window_minimizers(codes, mp)
+    wm = window_minimizers(codes, mp, lut)
     looked = lookup_ops.lookup_taxa_routed(
-        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits,
+        key_bits,
     )
     return looked, wm.valid, wm.span_start, wm.distinct
 
@@ -203,7 +206,7 @@ class BrackenWeights:
             codes, _ = encode.pack_batch([c for _, c in items], bucket)
             looked, valid, span_start, distinct = _fragment_kernel(
                 codes, dk.hi, dk.lo, idx.device_taxa, idx.device_router, mp,
-                idx.router_rounds, idx.router_bits,
+                idx.router_rounds, idx.router_bits, idx.key_bits, idx.device_lut,
             )
             if self.use_device and bucket >= R:
                 dest, overflow = _window_classify_kernel(

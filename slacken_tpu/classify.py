@@ -87,11 +87,11 @@ class ClassifiedRead:
 def _classify_kernel(
     codes, keys_hi, keys_lo, key_taxa, router, rpath_table,
     mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
-    probe: tuple = ("routed",),
+    probe: tuple = ("routed",), lut=None,
 ):
     return _classify_body(
         codes, u64.U64(keys_hi, keys_lo), key_taxa, router, rpath_table, mp,
-        max_taxa, rounds, bits, probe,
+        max_taxa, rounds, bits, probe, lut,
     )
 
 
@@ -99,7 +99,7 @@ def _classify_kernel(
 def _classify_kernel_packed(
     packed, valid, keys_hi, keys_lo, key_taxa, router, rpath_table,
     mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
-    probe: tuple = ("routed",),
+    probe: tuple = ("routed",), lut=None,
 ):
     """_classify_kernel over wire-packed input (see encode.pack_2bit): the
     host ships 2 bits/base + 1 validity bit instead of a dense byte, and the
@@ -107,32 +107,32 @@ def _classify_kernel_packed(
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
         codes, u64.U64(keys_hi, keys_lo), key_taxa, router, rpath_table, mp,
-        max_taxa, rounds, bits, probe,
+        max_taxa, rounds, bits, probe, lut,
     )
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _classify_kernel_tiled(
     codes, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int, lut=None,
 ):
     """_classify_kernel with the tiled row-gather probe: `table` is the
     interleaved [n_rows, tile, 3] array from build_tiled."""
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile),
+        ("tiled", tile), lut,
     )
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _classify_kernel_packed_tiled(
     packed, valid, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int, lut=None,
 ):
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile),
+        ("tiled", tile), lut,
     )
 
 
@@ -163,9 +163,10 @@ def _classify_kernel_packed_wide(
 
 def _classify_body(
     codes, keys, key_taxa, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int, probe: tuple
+    mp: MinimizerParams, max_taxa: int, rounds: int, bits: int, probe: tuple,
+    lut=None,
 ):
-    wm = window_minimizers(codes, mp)
+    wm = window_minimizers(codes, mp, lut)
     looked = _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe, 2 * mp.m)
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     # hit groups: spans whose minimizer is distinct AND was found in the index
@@ -211,7 +212,9 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
         q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
 
         def lookup(q):
-            return lookup_ops.lookup_taxa_tiled(keys, router, q, probe[1], bits)
+            return lookup_ops.lookup_taxa_tiled(
+                keys, router, q, probe[1], bits, key_bits
+            )
 
         q_compact = u64.U64(q_hi, q_lo)
     else:
@@ -220,9 +223,11 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
         def lookup(q):
             if probe[0] == "bucketed":
                 return lookup_ops.lookup_taxa_bucketed(
-                    keys, key_taxa, router, q, probe[1], bits
+                    keys, key_taxa, router, q, probe[1], bits, key_bits
                 )
-            return lookup_ops.lookup_taxa_routed(keys, key_taxa, router, q, rounds, bits)
+            return lookup_ops.lookup_taxa_routed(
+                keys, key_taxa, router, q, rounds, bits, key_bits
+            )
 
         q_compact = u64.U64(q_hi, q_lo)
 
@@ -378,6 +383,7 @@ class Classifier:
 
         # probe kernel: routed binary search (default) or direct-bucket
         # wide gather (STPU_PROBE=bucketed; see ops.lookup)
+        self._dev_lut = index.device_lut  # None for the xor ordering
         probe = probe or os.environ.get("STPU_PROBE", "routed")
         if index.wide and probe != "routed":
             raise NotImplementedError("wide (m > 31) indexes support only the routed probe")
@@ -502,6 +508,7 @@ class Classifier:
                 self.max_taxa,
                 idx.router_bits,
                 self._probe_static[1],
+                self._dev_lut,
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
@@ -524,6 +531,7 @@ class Classifier:
             idx.router_rounds,
             idx.router_bits,
             self._probe_static,
+            self._dev_lut,
         )
         if self._packed_transfer and bucket % 8 == 0:
             packed, valid = encode.pack_2bit(codes)

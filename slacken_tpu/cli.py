@@ -94,6 +94,13 @@ def _build_parser():
         help="Range-partitioned on-disk spill directory for beyond-RAM builds",
     )
     b.add_argument(
+        "--ordering",
+        choices=["xor", "lexicographic", "frequency"],
+        default="xor",
+        help="Minimizer ordering (default xor = Kraken 2-compatible RandomXOR; "
+        "frequency samples the library and prefers rare minimizers)",
+    )
+    b.add_argument(
         "--devices",
         type=int,
         help="Build with the device all_to_all shuffle on an n-device mesh",
@@ -206,7 +213,24 @@ def cmd_build(args):
         print(json.dumps(stats, indent=2))
         return 0
 
-    params = IndexParams(k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions)
+    ordering = getattr(args, "ordering", "xor")
+    params = IndexParams(
+        k=args.k, m=args.m, spaces=args.spaces, buckets=args.partitions,
+        ordering=ordering,
+    )
+    ordering_lut = None
+    if ordering == "frequency":
+        from .ops import ordering as ordering_ops
+        from .ops import encode as encode_ops
+
+        print("Sampling m-mer frequencies over the library...")
+        counts = ordering_ops.sample_mmer_counts(
+            (encode_ops.encode_seq(seq) for _, seq in lib.taxa_sequences()),
+            params.minimizer_params,
+        )
+        ordering_lut = ordering_ops.frequency_lut(counts, args.m)
+    if ordering != "xor" and getattr(args, "devices", None):
+        raise SystemExit("--ordering with --devices is not supported yet")
     if getattr(args, "devices", None):
         from .parallel.classifier import build_distributed
 
@@ -225,6 +249,7 @@ def cmd_build(args):
             tax,
             keep_records=getattr(args, "full_records", False),
             spill_dir=getattr(args, "spill_dir", None),
+            ordering_lut=ordering_lut,
         )
     idx.save(args.index)
     print(f"Saved {len(idx.keys)} records to {args.index}")

@@ -121,6 +121,8 @@ class Dynamic:
                 mp,
                 idx.router_rounds,
                 idx.router_bits,
+                idx.key_bits,
+                idx.device_lut,
             )
             hi, lo = np.asarray(hi), np.asarray(lo)
             starts = np.asarray(starts)
@@ -312,11 +314,14 @@ class Dynamic:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7))
-def _span_hits_kernel(codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits):
-    wm = window_minimizers(codes, mp)
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def _span_hits_kernel(
+    codes, keys_hi, keys_lo, key_taxa, router, mp, rounds, bits, key_bits=62, lut=None
+):
+    wm = window_minimizers(codes, mp, lut)
     looked = lookup_ops.lookup_taxa_routed(
-        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
+        u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits,
+        key_bits,
     )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 

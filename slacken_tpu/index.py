@@ -51,6 +51,11 @@ class IndexParams:
     toggle_mask: int = DEFAULT_TOGGLE_MASK
     canonical: bool = True
     buckets: int = 200  # shard count hint for distributed layouts
+    #: minimizer ordering: "xor" (RandomXOR, the Slacken default) or an
+    #: explicit rank-table ordering "lexicographic" / "frequency"
+    #: (MinimizerCLIConf.scala:81-95; ops.ordering). Non-xor orderings
+    #: store ranks as keys and persist their LUT beside the index.
+    ordering: str = "xor"
 
     @property
     def minimizer_params(self) -> MinimizerParams:
@@ -71,6 +76,7 @@ class IndexParams:
             "toggle_mask": f"{self.toggle_mask:#x}",
             "canonical": self.canonical,
             "buckets": self.buckets,
+            "ordering": self.ordering,
         }
 
     @classmethod
@@ -85,15 +91,17 @@ class IndexParams:
             toggle_mask=int(d["toggle_mask"], 16),
             canonical=d["canonical"],
             buckets=d.get("buckets", 200),
+            ordering=d.get("ordering", "xor"),
         )
 
     def compatibility_check(self, other: "IndexParams"):
-        if (self.k, self.m, self.spaces, self.toggle_mask, self.canonical) != (
+        if (self.k, self.m, self.spaces, self.toggle_mask, self.canonical, self.ordering) != (
             other.k,
             other.m,
             other.spaces,
             other.toggle_mask,
             other.canonical,
+            other.ordering,
         ):
             raise ValueError(f"Incompatible index parameters: {self} vs {other}")
 
@@ -104,13 +112,13 @@ class IndexParams:
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _scan_batch(codes, params: MinimizerParams):
-    wm = window_minimizers(codes, params)
+def _scan_batch(codes, params: MinimizerParams, lut=None):
+    wm = window_minimizers(codes, params, lut)
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int):
+def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int, lut=None):
     """Fused build step on device: minimizer scan -> flatten span records ->
     sort by (key, taxon) -> pair-dedup -> compacted distinct records.
 
@@ -118,7 +126,7 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int):
     every raw record through a Spark shuffle; here the chip sorts and
     deduplicates its whole batch locally and the host merges sorted runs).
     The cross-taxon LCA reduction happens once, globally, in reduce_records."""
-    wm = window_minimizers(codes, params)
+    wm = window_minimizers(codes, params, lut)
     b, l = codes.shape
     n = b * l
     hi = wm.minimizer.hi.reshape(n)
@@ -148,11 +156,11 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int):
     return out_hi, out_lo, out_tax, count
 
 
-def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams):
+def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams, lut=None):
     """Scan packed fragments [B, L] and return (keys uint64 [R], taxa int32 [R])
     — one record per super-mer span, tagged with the fragment's taxon
     (Minimizers.scala:43-76 equivalent)."""
-    hi, lo, start = _scan_batch(codes, params)
+    hi, lo, start = _scan_batch(codes, params, lut)
     hi = np.asarray(hi)
     lo = np.asarray(lo)
     start = np.asarray(start)
@@ -428,6 +436,9 @@ class KeyValueIndex:
         self._host_router = None
         self._device_bucketed = None
         self._device_tiled = None
+        self._device_lut = None
+        #: rank LUT for explicit (non-xor) orderings; keys are then ranks
+        self.ordering_lut: Optional[np.ndarray] = None
         #: optional full (minimizer, taxon) pair sidecar enabling dynamic
         #: rebuilds without re-scanning the genome library
         self.record_keys: Optional[np.ndarray] = None
@@ -462,15 +473,34 @@ class KeyValueIndex:
         return self._device_taxa
 
     @property
+    def key_bits(self) -> int:
+        """Width of the key space: priorities (and rank-LUT ranks) span
+        2m bits, so router prefixes are taken from the top of that range —
+        a 62-bit assumption would put every small-m key in one bucket."""
+        return 2 * self.params.m
+
+    @property
+    def device_lut(self):
+        """Device rank table for explicit orderings (None for xor)."""
+        if self.ordering_lut is not None and self._device_lut is None:
+            with jax.ensure_compile_time_eval():
+                self._device_lut = jnp.asarray(self.ordering_lut)
+        return self._device_lut
+
+    @property
     def device_router(self):
         if self._device_router is None:
-            self._router_bits = lookup_ops.adaptive_router_bits(len(self.keys))
+            self._router_bits = min(
+                lookup_ops.adaptive_router_bits(len(self.keys)), self.key_bits
+            )
             if self.wide:
                 router = lookup_ops.build_router_wide(
-                    self.keys, self._router_bits, 2 * self.params.m
+                    self.keys, self._router_bits, self.key_bits
                 )
             else:
-                router = lookup_ops.build_router(self.keys, self._router_bits)
+                router = lookup_ops.build_router(
+                    self.keys, self._router_bits, self.key_bits
+                )
             self._router_rounds = lookup_ops.router_rounds(router)
             self._host_router = router
             with jax.ensure_compile_time_eval():
@@ -527,13 +557,14 @@ class KeyValueIndex:
         return lookup_ops.lookup_taxa_routed(
             self.device_keys, self.device_taxa, self.device_router,
             u64.U64(q_hi, q_lo), self.router_rounds, self.router_bits,
+            self.key_bits,
         )
 
     def lookup_wide(self, q):
         """Device lookup for wide (m > 31) keys; q is a u128.U128."""
         return lookup_ops.lookup_taxa_routed_wide(
             self.device_keys, self.device_taxa, self.device_router, q,
-            self.router_rounds, self.router_bits, 2 * self.params.m,
+            self.router_rounds, self.router_bits, self.key_bits,
         )
 
     # -- construction -------------------------------------------------------
@@ -549,6 +580,7 @@ class KeyValueIndex:
         taxon_filter: Optional[set] = None,
         keep_records: bool = False,
         spill_dir: Optional[str] = None,
+        ordering_lut: Optional[np.ndarray] = None,
     ) -> "KeyValueIndex":
         """Build from an iterable of (taxon, sequence) pairs.
 
@@ -562,6 +594,22 @@ class KeyValueIndex:
         mp = params.minimizer_params.validate()
         if mp.wide and spill_dir:
             raise NotImplementedError("spill builds require m <= 31")
+        lut = None
+        if params.ordering != "xor":
+            from .ops import ordering as ordering_ops
+
+            if mp.wide:
+                raise NotImplementedError("explicit orderings require m <= 31")
+            if params.ordering == "lexicographic":
+                ordering_lut = ordering_ops.lexicographic_lut(params.m)
+            elif ordering_lut is None:
+                raise ValueError(
+                    f"ordering {params.ordering!r} requires an explicit rank LUT"
+                )
+            with jax.ensure_compile_time_eval():
+                lut = jnp.asarray(ordering_lut)
+        elif ordering_lut is not None:
+            raise ValueError('ordering_lut given but params.ordering == "xor"')
         collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
@@ -586,11 +634,11 @@ class KeyValueIndex:
                 buf_seqs.clear()
                 buf_taxa.clear()
                 return
-            hi, lo, tax, count = _build_batch_kernel(codes, taxa_rows, mp, cap)
+            hi, lo, tax, count = _build_batch_kernel(codes, taxa_rows, mp, cap, lut)
             count = int(count)
             if count > cap:
                 # dense-span batch: fall back to raw record extraction
-                k, t = spans_to_records(codes, taxa_rows, mp)
+                k, t = spans_to_records(codes, taxa_rows, mp, lut)
                 collector.add(k, t)
             else:
                 hi = np.asarray(hi[:count])
@@ -621,6 +669,8 @@ class KeyValueIndex:
             keys, taxa, recs = collector.reduce(taxonomy, keep_records)
             collector.cleanup()
             idx = cls(keys, taxa, params, taxonomy)
+            if lut is not None:
+                idx.ordering_lut = np.asarray(lut)
             if recs is not None:
                 idx.record_keys, idx.record_taxa = recs
             return idx
@@ -635,6 +685,8 @@ class KeyValueIndex:
             pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
             keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
         idx = cls(keys, taxa, params, taxonomy)
+        if lut is not None:
+            idx.ordering_lut = np.asarray(lut)
         if keep_records:
             idx.record_keys = pair_keys
             idx.record_taxa = pair_taxa
@@ -650,6 +702,8 @@ class KeyValueIndex:
             json.dump(meta, f, indent=2)
         np.save(os.path.join(location, "keys.npy"), self.keys)
         np.save(os.path.join(location, "taxa.npy"), self.taxa)
+        if self.ordering_lut is not None:
+            np.save(os.path.join(location, "ordering_lut.npy"), self.ordering_lut)
         if self.record_keys is not None:
             np.save(os.path.join(location, "record_keys.npy"), self.record_keys)
             np.save(os.path.join(location, "record_taxa.npy"), self.record_taxa)
@@ -665,6 +719,9 @@ class KeyValueIndex:
         if taxonomy is None:
             taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
         idx = cls(keys, taxa, params, taxonomy, location)
+        olp = os.path.join(location, "ordering_lut.npy")
+        if os.path.exists(olp):
+            idx.ordering_lut = np.load(olp)
         rk = os.path.join(location, "record_keys.npy")
         if os.path.exists(rk):
             idx.record_keys = np.load(rk, mmap_mode="r")
@@ -687,7 +744,9 @@ class KeyValueIndex:
         taxa = np.asarray(self.record_taxa)[mask]
         reduce = reduce_records_wide if self.wide else reduce_records
         keys, taxa = reduce(keys, taxa, self.taxonomy)
-        return KeyValueIndex(keys, taxa, self.params, self.taxonomy)
+        idx = KeyValueIndex(keys, taxa, self.params, self.taxonomy)
+        idx.ordering_lut = self.ordering_lut
+        return idx
 
     def save_sharded(self, location: str, n_shards: Optional[int] = None):
         """Persist the index as `n_shards` contiguous key-range shards
@@ -739,6 +798,9 @@ class KeyValueIndex:
             raise ValueError(
                 f"Respacing must increase spaces (was {self.params.spaces}, got {spaces})"
             )
+        if self.params.ordering != "xor":
+            # rank-table keys are opaque ranks; re-masking them is meaningless
+            raise NotImplementedError("respace requires the xor ordering")
         mask = np.uint64(space_mask_int(self.params.m, spaces))
         new_keys = self.keys & mask
         keys, taxa = reduce_records(new_keys.copy(), self.taxa.copy(), self.taxonomy)

@@ -349,16 +349,16 @@ def span_query_cap(n_positions: int) -> int:
     return max(256, (2 * n_positions) // 5)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def lookup_taxa_routed(
     keys: U64, taxa: jnp.ndarray, router: jnp.ndarray, q: U64, rounds: int,
-    bits: int = ROUTER_BITS,
+    bits: int = ROUTER_BITS, key_bits: int = 62,
 ) -> jnp.ndarray:
     """Router-accelerated lookup_taxa."""
     n = keys.hi.shape[0]
     if n == 0:
         return jnp.zeros(q.hi.shape, jnp.int32)
-    pos = lower_bound_routed(keys, router, q, rounds, bits)
+    pos = lower_bound_routed(keys, router, q, rounds, bits, key_bits)
     idx = jnp.minimum(pos, n - 1)
     k_at = U64(keys.hi[idx], keys.lo[idx])
     found = (pos < n) & u64.eq(k_at, q)

@@ -26,6 +26,10 @@ so the table only needs ranks for masked motifs (unmasked entries are unused).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .minimizers import MinimizerParams, space_mask_int
@@ -79,26 +83,54 @@ def frequency_lut(counts: np.ndarray, m: int) -> np.ndarray:
     return lut
 
 
-def sample_mmer_counts(code_rows, params: MinimizerParams) -> np.ndarray:
+@partial(jax.jit, static_argnums=(1,))
+def _mmer_rank_ids(codes, params: MinimizerParams):
+    """Device kernel: spaced-masked canonical m-mer value per start position
+    (-1 where the m-mer is invalid or past the row end). m <= MAX_LUT_M so
+    the value fits the lo limb."""
+    from . import minimizers as mz
+
+    m = params.m
+    mm = mz.mmer_at_starts(codes, m)
+    if params.canonical:
+        mm = mz.canonical_mmer(mm, m)
+    mask = space_mask_int(m, params.spaces) if params.spaces > 0 else (1 << (2 * m)) - 1
+    valid = mz.sliding_all(jnp.asarray(codes) < 4, m)
+    return jnp.where(valid, (mm.lo & jnp.uint32(mask)).astype(jnp.int32), -1)
+
+
+def sample_mmer_counts(
+    code_rows, params: MinimizerParams, row_len: int = 1 << 15, batch_rows: int = 64
+) -> np.ndarray:
     """Count spaced-masked canonical m-mer occurrences over sample sequences
-    (host-side; feeds frequency_lut). code_rows: iterable of uint8 arrays."""
+    (feeds frequency_lut; reference Frequency ordering sampling).
+
+    Vectorized: rows are packed into fixed-shape [batch_rows, row_len]
+    batches (long rows split with m-1 overlap so no m-mer is lost), the
+    device scan emits per-position masked canonical m-mer ids, and the host
+    bincounts them — ~1000x the per-position Python loop this replaces.
+    """
     m = params.m
     n = _check_m(m)
-    mask = space_mask_int(m, params.spaces) if params.spaces > 0 else (1 << (2 * m)) - 1
     counts = np.zeros(n, np.int64)
+    buf: list = []
+
+    def flush():
+        if not buf:
+            return
+        from . import encode
+
+        codes, _ = encode.pack_batch(buf, row_len)
+        ids = np.asarray(_mmer_rank_ids(codes, params)).ravel()
+        counts[:] += np.bincount(ids[ids >= 0], minlength=n)
+        buf.clear()
+
+    step = row_len - (m - 1)
     for row in code_rows:
-        row = np.asarray(row)
-        for i in range(len(row) - m + 1):
-            w = row[i : i + m]
-            if (w >= 4).any():
-                continue
-            v = 0
-            for c in w:
-                v = (v << 2) | int(c)
-            if params.canonical:
-                rc = 0
-                for c in w[::-1]:
-                    rc = (rc << 2) | (int(c) ^ 3)
-                v = min(v, rc)
-            counts[v & mask] += 1
+        row = np.asarray(row, np.uint8)
+        for off in range(0, max(len(row) - m + 1, 1), step):
+            buf.append(row[off : off + row_len])
+            if len(buf) >= batch_rows:
+                flush()
+    flush()
     return counts

@@ -103,8 +103,8 @@ from .ops.minimizers import window_minimizers as _window_minimizers
 
 
 @_partial(_jax.jit, static_argnums=(1,))
-def _library_scan_kernel(codes, mp):
-    wm = _window_minimizers(codes, mp)
+def _library_scan_kernel(codes, mp, lut=None):
+    wm = _window_minimizers(codes, mp, lut)
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start, wm.valid
 
 
@@ -125,7 +125,7 @@ def library_span_data(idx, library, batch_rows: int = 64, row_len: int = 1 << 16
         if not buf:
             return
         codes, _ = _encode.pack_batch(buf, row_len)
-        hi, lo, starts, valid = _library_scan_kernel(codes, mp)
+        hi, lo, starts, valid = _library_scan_kernel(codes, mp, idx.device_lut)
         hi = _np.asarray(hi); lo = _np.asarray(lo)
         starts = _np.asarray(starts); valid = _np.asarray(valid)
         taxa_arr = _np.array(buf_taxa, _np.int32)

@@ -227,3 +227,47 @@ def test_real_testdata_readers():
         assert np.array_equal(
             packed.codes[i, : packed.lengths[i]], encode.encode_seq(fq[i][1])
         )
+
+
+def test_cli_build_ordering_frequency(library_dir, tmp_path, capsys):
+    """`build --ordering frequency` samples the library, persists the rank
+    LUT, and the resulting index classifies library reads correctly
+    (MinimizerCLIConf.scala:81-95)."""
+    t, leaves, genomes, lib, taxdir, base = library_dir
+    idx_loc = str(base / "idx_freq")
+    assert (
+        cli.main(
+            ["build", "-i", idx_loc, "-l", lib, "-t", taxdir,
+             "-k", "21", "-m", "11", "-s", "2", "--ordering", "frequency"]
+        )
+        == 0
+    )
+    assert os.path.exists(os.path.join(idx_loc, "ordering_lut.npy"))
+
+    rng = np.random.default_rng(7)
+    reads = []
+    for i in range(10):
+        taxon = leaves[i % len(leaves)]
+        g = genomes[taxon]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append((f"r{i}_t{taxon}", g[s : s + 101]))
+    write_fastq(base / "freads.fastq", reads)
+    out_loc = str(base / "fout")
+    assert (
+        cli.main(
+            ["classify", "-i", idx_loc, str(base / "freads.fastq"), "-o", out_loc,
+             "-c", "0.0"]
+        )
+        == 0
+    )
+    with gzip.open(out_loc + "_c0.0/sample=all/part-00000.txt.gz", "rt") as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 10
+    ok = 0
+    for line in lines:
+        flag, title, taxon_s = line.split("\t")[:3]
+        src = int(title.split("_t")[1])
+        if flag == "C":
+            assert t.has_ancestor(src, int(taxon_s))
+            ok += 1
+    assert ok >= 9

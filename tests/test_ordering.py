@@ -102,3 +102,72 @@ def test_frequency_prefers_rare(rng):
     codes = np.array([0, 0, 1, 1, 1, 0, 0, 0], np.uint8)  # AACCCAAA
     wm = window_minimizers(codes[None, :], mp, lut)
     assert np.asarray(wm.minimizer.lo)[0, 0] == 0
+
+
+def test_ordering_index_end_to_end(rng, tmp_path):
+    """Indexes built with explicit orderings classify correctly end to end:
+    lexicographic == toggle_mask=0 XOR bit-exactly, frequency classifies
+    reads to the source taxon or an ancestor, and the rank LUT survives a
+    save/load round-trip (MinimizerCLIConf.scala:81-95 `--ordering`)."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from test_index import make_genomes
+    from test_taxonomy import random_taxonomy
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=500)
+    reads = []
+    sources = []
+    for i in range(30):
+        tx, seq = genomes[rng.integers(0, len(genomes))]
+        start = rng.integers(0, len(seq) - 80)
+        reads.append(Fragment(f"r{i}", seq[start : start + 80]))
+        sources.append(tx)
+    cpar = ClassifyParams(thresholds=[0.0])
+
+    def classify(idx):
+        res = Classifier(idx).classify(reads, cpar)[0.0]
+        return [(r.classified, r.taxon, r.hit_details) for r in res]
+
+    # lexicographic ranks ARE the m-mer values when spaces=0, so results
+    # must be bit-identical to the XOR path with a zero toggle mask
+    p_lex = IndexParams(k=21, m=11, spaces=0, ordering="lexicographic")
+    p_xor0 = IndexParams(k=21, m=11, spaces=0, toggle_mask=0)
+    idx_lex = KeyValueIndex.build(genomes, p_lex, t)
+    idx_xor0 = KeyValueIndex.build(genomes, p_xor0, t)
+    assert np.array_equal(idx_lex.keys, idx_xor0.keys)
+    assert np.array_equal(idx_lex.taxa, idx_xor0.taxa)
+    assert classify(idx_lex) == classify(idx_xor0)
+
+    # frequency ordering: sample the library itself, build, classify
+    from slacken_tpu.ops import encode as encode_ops
+
+    p_freq = IndexParams(k=21, m=9, spaces=2, ordering="frequency")
+    mp = p_freq.minimizer_params
+    counts = ordering.sample_mmer_counts(
+        [encode_ops.encode_seq(s) for _, s in genomes], mp
+    )
+    lut = ordering.frequency_lut(counts, 9)
+    idx_f = KeyValueIndex.build(genomes, p_freq, t, ordering_lut=lut)
+    got = classify(idx_f)
+    n_cls = 0
+    for (classified, taxon, _), src in zip(got, sources):
+        if classified:
+            n_cls += 1
+            assert t.has_ancestor(src, taxon)
+    assert n_cls > 25
+
+    # save/load round-trip: LUT persisted, classifications identical
+    idx_f.save(str(tmp_path / "freq_idx"))
+    idx2 = KeyValueIndex.load(str(tmp_path / "freq_idx"))
+    assert idx2.params.ordering == "frequency"
+    assert np.array_equal(idx2.ordering_lut, idx_f.ordering_lut)
+    assert classify(idx2) == got
+
+    # mixing an xor index with a LUT (or vice versa) is rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        KeyValueIndex.build(genomes, IndexParams(k=21, m=9), t, ordering_lut=lut)
+    with pytest.raises(ValueError):
+        KeyValueIndex.build(genomes, p_freq, t)
