@@ -39,6 +39,7 @@ from .ops.minimizers import DEFAULT_TOGGLE_MASK, MinimizerParams, space_mask_int
 from .ops import encode
 from . import native
 from .taxonomy import Taxonomy
+from . import storage
 
 FORMAT_VERSION = 1
 
@@ -695,37 +696,39 @@ class KeyValueIndex:
     # -- persistence --------------------------------------------------------
 
     def save(self, location: str):
-        os.makedirs(location, exist_ok=True)
+        """Persist to a local directory or remote URI (gs://, s3://...);
+        remote paths go through fsspec (HDFSUtil.scala:31-156 parity)."""
+        storage.makedirs(location)
         meta = self.params.to_json()
         meta["num_records"] = int(len(self.keys))
-        with open(os.path.join(location, "params.json"), "w") as f:
+        with storage.open_file(storage.join(location, "params.json"), "w") as f:
             json.dump(meta, f, indent=2)
-        np.save(os.path.join(location, "keys.npy"), self.keys)
-        np.save(os.path.join(location, "taxa.npy"), self.taxa)
+        storage.np_save(storage.join(location, "keys.npy"), self.keys)
+        storage.np_save(storage.join(location, "taxa.npy"), self.taxa)
         if self.ordering_lut is not None:
-            np.save(os.path.join(location, "ordering_lut.npy"), self.ordering_lut)
+            storage.np_save(storage.join(location, "ordering_lut.npy"), self.ordering_lut)
         if self.record_keys is not None:
-            np.save(os.path.join(location, "record_keys.npy"), self.record_keys)
-            np.save(os.path.join(location, "record_taxa.npy"), self.record_taxa)
-        self.taxonomy.save(os.path.join(location, "taxonomy"))
+            storage.np_save(storage.join(location, "record_keys.npy"), self.record_keys)
+            storage.np_save(storage.join(location, "record_taxa.npy"), self.record_taxa)
+        self.taxonomy.save(storage.join(location, "taxonomy"))
         self.location = location
 
     @classmethod
     def load(cls, location: str, taxonomy: Optional[Taxonomy] = None) -> "KeyValueIndex":
-        with open(os.path.join(location, "params.json")) as f:
+        with storage.open_file(storage.join(location, "params.json")) as f:
             params = IndexParams.from_json(json.load(f))
-        keys = np.load(os.path.join(location, "keys.npy"), mmap_mode="r")
-        taxa = np.load(os.path.join(location, "taxa.npy"), mmap_mode="r")
+        keys = storage.np_load(storage.join(location, "keys.npy"))
+        taxa = storage.np_load(storage.join(location, "taxa.npy"))
         if taxonomy is None:
-            taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
+            taxonomy = Taxonomy.load(storage.join(location, "taxonomy"))
         idx = cls(keys, taxa, params, taxonomy, location)
-        olp = os.path.join(location, "ordering_lut.npy")
-        if os.path.exists(olp):
-            idx.ordering_lut = np.load(olp)
-        rk = os.path.join(location, "record_keys.npy")
-        if os.path.exists(rk):
-            idx.record_keys = np.load(rk, mmap_mode="r")
-            idx.record_taxa = np.load(os.path.join(location, "record_taxa.npy"), mmap_mode="r")
+        olp = storage.join(location, "ordering_lut.npy")
+        if storage.exists(olp):
+            idx.ordering_lut = storage.np_load(olp, mmap=False)
+        rk = storage.join(location, "record_keys.npy")
+        if storage.exists(rk):
+            idx.record_keys = storage.np_load(rk)
+            idx.record_taxa = storage.np_load(storage.join(location, "record_taxa.npy"))
         return idx
 
     def with_records(self, keys: np.ndarray, taxa: np.ndarray) -> "KeyValueIndex":
@@ -755,17 +758,17 @@ class KeyValueIndex:
         Parquet layout (KeyValueIndex.scala:125-139, `buckets` =
         IndexParams.buckets)."""
         n_shards = n_shards or self.params.buckets
-        os.makedirs(location, exist_ok=True)
+        storage.makedirs(location)
         bounds = np.linspace(0, len(self.keys), n_shards + 1).astype(np.int64)
         meta = self.params.to_json()
         meta["num_records"] = int(len(self.keys))
         meta["shards"] = [int(bounds[i + 1] - bounds[i]) for i in range(n_shards)]
-        with open(os.path.join(location, "params.json"), "w") as f:
+        with storage.open_file(storage.join(location, "params.json"), "w") as f:
             json.dump(meta, f, indent=2)
         for i in range(n_shards):
-            np.save(os.path.join(location, f"keys.{i:05d}.npy"), self.keys[bounds[i] : bounds[i + 1]])
-            np.save(os.path.join(location, f"taxa.{i:05d}.npy"), self.taxa[bounds[i] : bounds[i + 1]])
-        self.taxonomy.save(os.path.join(location, "taxonomy"))
+            storage.np_save(storage.join(location, f"keys.{i:05d}.npy"), self.keys[bounds[i] : bounds[i + 1]])
+            storage.np_save(storage.join(location, f"taxa.{i:05d}.npy"), self.taxa[bounds[i] : bounds[i + 1]])
+        self.taxonomy.save(storage.join(location, "taxonomy"))
 
     @classmethod
     def load_shards(
@@ -773,19 +776,19 @@ class KeyValueIndex:
     ) -> "KeyValueIndex":
         """Load a subset of shards (default: all) from a sharded layout.
         Hosts in a mesh pass their own shard id ranges."""
-        with open(os.path.join(location, "params.json")) as f:
+        with storage.open_file(storage.join(location, "params.json")) as f:
             meta = json.load(f)
         params = IndexParams.from_json(meta)
         n_shards = len(meta["shards"])
         ids = shard_ids if shard_ids is not None else list(range(n_shards))
         keys = np.concatenate(
-            [np.load(os.path.join(location, f"keys.{i:05d}.npy"), mmap_mode="r") for i in ids]
+            [storage.np_load(storage.join(location, f"keys.{i:05d}.npy")) for i in ids]
         ) if ids else np.zeros(0, np.uint64)
         taxa = np.concatenate(
-            [np.load(os.path.join(location, f"taxa.{i:05d}.npy"), mmap_mode="r") for i in ids]
+            [storage.np_load(storage.join(location, f"taxa.{i:05d}.npy")) for i in ids]
         ) if ids else np.zeros(0, np.int32)
         if taxonomy is None:
-            taxonomy = Taxonomy.load(os.path.join(location, "taxonomy"))
+            taxonomy = Taxonomy.load(storage.join(location, "taxonomy"))
         return cls(keys, taxa, params, taxonomy, location)
 
     # -- tooling ------------------------------------------------------------

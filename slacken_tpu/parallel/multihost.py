@@ -100,9 +100,10 @@ def load_index_for_host(location: str, ctx: HostContext, taxonomy=None):
     executors (KeyValueIndex.scala:150-159)."""
     import json
 
+    from .. import storage
     from ..index import KeyValueIndex
 
-    with open(os.path.join(location, "params.json")) as f:
+    with storage.open_file(storage.join(location, "params.json")) as f:
         n_shards = len(json.load(f)["shards"])
     ids = host_shard_ids(n_shards, ctx)
     return KeyValueIndex.load_shards(location, ids, taxonomy=taxonomy)

@@ -119,23 +119,25 @@ class Taxonomy:
     def load(cls, directory: str) -> "Taxonomy":
         """Read NCBI nodes.dmp / names.dmp / merged.dmp (Taxonomy.scala:116-137)."""
 
+        from . import storage
+
         def rows(path):
-            with open(path, "r", encoding="utf-8", errors="replace") as f:
+            with storage.open_file(path, "r") as f:
                 for line in f:
                     yield [p.strip() for p in line.split("|")]
 
         nodes = [
-            (int(x[0]), int(x[1]), x[2]) for x in rows(os.path.join(directory, "nodes.dmp"))
+            (int(x[0]), int(x[1]), x[2]) for x in rows(storage.join(directory, "nodes.dmp"))
         ]
         names = [
             (int(x[0]), x[1])
-            for x in rows(os.path.join(directory, "names.dmp"))
+            for x in rows(storage.join(directory, "names.dmp"))
             if len(x) > 3 and x[3] == "scientific name"
         ]
-        merged_path = os.path.join(directory, "merged.dmp")
+        merged_path = storage.join(directory, "merged.dmp")
         merged = (
             [(int(x[0]), int(x[1])) for x in rows(merged_path)]
-            if os.path.exists(merged_path)
+            if storage.exists(merged_path)
             else []
         )
         return cls.from_nodes_and_names(nodes, names, merged)
@@ -144,8 +146,10 @@ class Taxonomy:
         """Write nodes.dmp / names.dmp / merged.dmp in NCBI format, so the
         index directory is self-contained (cf. Taxonomy.copyToLocation,
         Taxonomy.scala:142-146)."""
-        os.makedirs(directory, exist_ok=True)
-        with open(os.path.join(directory, "nodes.dmp"), "w") as f:
+        from . import storage
+
+        storage.makedirs(directory)
+        with storage.open_file(storage.join(directory, "nodes.dmp"), "w") as f:
             for t in self.taxa():
                 title = None
                 if self.rank_titles is not None:
@@ -154,12 +158,12 @@ class Taxonomy:
                     d = int(self.rank_depth[t])
                     title = depth_to_title(d) or "no rank"
                 f.write(f"{t}\t|\t{int(self.parents[t])}\t|\t{title}\t|\n")
-        with open(os.path.join(directory, "names.dmp"), "w") as f:
+        with storage.open_file(storage.join(directory, "names.dmp"), "w") as f:
             for t in self.taxa():
                 name = self.names[t] if t < len(self.names) else None
                 if name is not None:
                     f.write(f"{t}\t|\t{name}\t|\t\t|\tscientific name\t|\n")
-        with open(os.path.join(directory, "merged.dmp"), "w") as f:
+        with storage.open_file(storage.join(directory, "merged.dmp"), "w") as f:
             for sec in range(len(self.primary)):
                 if self.primary[sec] != sec:
                     f.write(f"{sec}\t|\t{int(self.primary[sec])}\t|\n")

@@ -196,3 +196,46 @@ def test_spilled_build_matches_in_memory(rng, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "spill"))  # cleaned up
+
+
+def test_remote_storage_memory_fs(rng):
+    """Index + taxonomy persistence works against a remote fsspec URI
+    (memory://), matching the reference's HDFS/S3/GCS support
+    (HDFSUtil.scala:31-156). Covers save/load, sharded layouts, and the
+    per-host shard loader."""
+    import pytest
+
+    fsspec = pytest.importorskip("fsspec")
+    from slacken_tpu import storage
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=300)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+
+    loc = "memory://stpu_test/idx"
+    storage.delete_recursive("memory://stpu_test")
+    idx.save(loc)
+    idx2 = KeyValueIndex.load(loc)
+    assert np.array_equal(np.asarray(idx2.keys), np.asarray(idx.keys))
+    assert np.array_equal(np.asarray(idx2.taxa), np.asarray(idx.taxa))
+    assert idx2.params.to_json() == idx.params.to_json()
+    assert np.array_equal(idx2.taxonomy.parents, idx.taxonomy.parents)
+    assert np.array_equal(idx2.taxonomy.primary, idx.taxonomy.primary)
+
+    # sharded remote layout + partial (per-host) loads
+    sloc = "memory://stpu_test/idx_sharded"
+    idx.save_sharded(sloc, n_shards=4)
+    full = KeyValueIndex.load_shards(sloc)
+    assert np.array_equal(np.asarray(full.keys), np.asarray(idx.keys))
+    part = KeyValueIndex.load_shards(sloc, [0, 1], taxonomy=t)
+    n0 = len(part.keys)
+    assert 0 < n0 < len(idx.keys)
+    assert np.array_equal(np.asarray(part.keys), np.asarray(idx.keys)[:n0])
+
+    # storage helpers: find/copy/exists round-trip
+    found = storage.find_files("memory://stpu_test/idx", ".npy")
+    assert any(f.endswith("keys.npy") for f in found)
+    storage.copy(storage.join(loc, "params.json"), "memory://stpu_test/p2.json")
+    assert storage.exists("memory://stpu_test/p2.json")
+    storage.delete_recursive("memory://stpu_test")
+    assert not storage.exists(loc)
