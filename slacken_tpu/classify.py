@@ -17,7 +17,6 @@ for output (the |:| marker, TaxonCounts.scala:94-110).
 
 from __future__ import annotations
 
-import gzip
 import os
 import re
 from dataclasses import dataclass
@@ -37,6 +36,7 @@ from .ops.minimizers import MinimizerParams, window_minimizers
 from .ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
 from .report import KrakenReport
 from .taxonomy import NONE, Taxonomy
+from .zio import ParallelGzipWriter
 
 AMBIGUOUS_SPAN = -1  # package.scala:30
 MATE_PAIR_BORDER = -2  # package.scala:31
@@ -801,8 +801,8 @@ class Classifier:
                 loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
                 d = os.path.join(loc, f"sample={sample}")
                 os.makedirs(d, exist_ok=True)
-                writers[key] = gzip.open(
-                    os.path.join(d, "part-00000.txt.gz"), "wt", compresslevel=1
+                writers[key] = ParallelGzipWriter(
+                    os.path.join(d, "part-00000.txt.gz"), level=1
                 )
             return writers[key]
 
@@ -977,8 +977,8 @@ def write_per_sample_output(
         if cpar.per_read_output:
             d = os.path.join(location, f"sample={sample}")
             os.makedirs(d, exist_ok=True)
-            # compresslevel 1: per-read outputs are write-throughput-bound
-            with gzip.open(os.path.join(d, "part-00000.txt.gz"), "wt", compresslevel=1) as f:
+            # level 1 + pooled compression: write-throughput-bound
+            with ParallelGzipWriter(os.path.join(d, "part-00000.txt.gz"), level=1) as f:
                 chunk = 1 << 14
                 for i in range(0, len(rs), chunk):
                     f.write("\n".join(r.output_line() for r in rs[i : i + chunk]) + "\n")

@@ -26,6 +26,12 @@ DEFAULT_MAX_FRAGMENT = 1 << 20
 
 def open_maybe_compressed(path: str, mode: str = "rt"):
     if path.endswith(".gz"):
+        if mode in ("rb", "r"):
+            # binary fast path: inflate in a gzip child process so the
+            # parse/pack thread keeps its whole core (zio docstring)
+            from .zio import open_gz_subprocess
+
+            return open_gz_subprocess(path)
         return gzip.open(path, mode)
     if path.endswith(".bz2"):
         return bz2.open(path, mode)

@@ -52,3 +52,41 @@ def test_prefetch_iterator_order_and_errors():
 
     with pytest.raises(ValueError, match="producer failed"):
         list(it)
+
+
+def test_parallel_gzip_writer_roundtrip(tmp_path):
+    """ParallelGzipWriter output is a valid (multi-member) gzip stream,
+    byte-equal to the concatenated input."""
+    import gzip
+
+    from slacken_tpu.zio import ParallelGzipWriter
+
+    path = str(tmp_path / "out.txt.gz")
+    chunks = [f"line{i}\n" * 100 for i in range(200)]
+    with ParallelGzipWriter(path, level=1, block_bytes=4096) as w:
+        for c in chunks:
+            w.write(c)
+    with gzip.open(path, "rt") as f:
+        assert f.read() == "".join(chunks)
+
+
+def test_open_gz_subprocess(tmp_path):
+    import gzip
+
+    from slacken_tpu.zio import open_gz_subprocess
+
+    path = str(tmp_path / "in.gz")
+    data = b"ACGT" * 100000
+    with gzip.open(path, "wb") as f:
+        f.write(data)
+    with open_gz_subprocess(path) as f:
+        assert f.read() == data
+    # streamed reads too
+    with open_gz_subprocess(path) as f:
+        got = b""
+        while True:
+            b = f.read(8192)
+            if not b:
+                break
+            got += b
+    assert got == data
