@@ -468,9 +468,20 @@ def exp_build():
 LAT_S = 0.0
 
 
+def ensure_latency():
+    """Measure null-dispatch latency once (timeit_loop subtracts it)."""
+    global LAT_S
+    if LAT_S == 0.0:
+        f = jax.jit(lambda a: a + 1)
+        z = jax.device_put(np.zeros(8, np.int32))
+        t, _ = timeit(lambda: f(z), n=10, warmup=2)
+        LAT_S = t
+
+
 def timeit_loop(step, init, R=16, n=3):
     """Time one iteration of `step` (carry -> carry) amortized over an
     R-iteration on-device fori_loop; subtracts null-dispatch latency."""
+    ensure_latency()
     body = jax.jit(lambda c: jax.lax.fori_loop(0, R, step, c))
     jax.block_until_ready(body(init))
     ts = []
@@ -483,20 +494,19 @@ def timeit_loop(step, init, R=16, n=3):
 
 @guard("roofline")
 def exp_roofline():
-    global LAT_S
     out = {}
-    f = jax.jit(lambda a: a + 1)
-    z = jax.device_put(np.zeros(8, np.int32))
-    t, _ = timeit(lambda: f(z), n=10, warmup=2)
-    LAT_S = t
-    out["dispatch_latency_ms"] = round(t * 1e3, 2)
+    ensure_latency()
+    out["dispatch_latency_ms"] = round(LAT_S * 1e3, 2)
 
     # true HBM bandwidth: a pointwise chain fuses into ONE pass regardless
     # of length, and anything algebraically distributive gets hoisted out of
     # the loop (sum of constants) or splat-folded (jnp.ones is a broadcast,
     # no memory behind it). So: random data, and a non-distributive max
     # against the varying carry — 1 GB of mandatory reads per loop step.
-    mats = jax.device_put(np.random.default_rng(0).random((8, 32 << 20), np.float32))
+    # ALL data generated on device: a 1 GB device_put through the tunnel
+    # takes tens of minutes (the h2d rates above are the tunnel, not PCIe).
+    gen = jax.jit(lambda k: jax.random.uniform(k, (8, 32 << 20), jnp.float32))
+    mats = gen(jax.random.PRNGKey(0))
     jax.block_until_ready(mats)
     c0 = jnp.zeros(32 << 20, jnp.float32)
     per = timeit_loop(
@@ -507,28 +517,47 @@ def exp_roofline():
 
     # element-gather rate: pointer-chase permutation, 1M parallel chains
     n = 1 << 22  # 4M-entry i32 table (16 MB), ~index scale
-    rng = np.random.default_rng(0)
-    perm = jnp.asarray(rng.permutation(n).astype(np.int32))
-    c0 = jnp.asarray(rng.integers(0, n, 1 << 20).astype(np.int32))
+    kk = jax.random.PRNGKey(1)
+    perm = jax.jit(
+        lambda k: jax.random.permutation(k, jnp.arange(n, dtype=jnp.int32))
+    )(kk)
+    c0 = jax.jit(
+        lambda k: jax.random.randint(k, (1 << 20,), 0, n, jnp.int32)
+    )(jax.random.PRNGKey(2))
+    jax.block_until_ready((perm, c0))
     per = timeit_loop(lambda i, c: perm[c], c0, R=16)
     out["elem_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
 
     # row-gather rate: same chase but each hop fetches a contiguous
     # 16-lane row (the tiled-probe access shape, 64 B/row)
-    rows = jnp.asarray(
-        np.tile(rng.permutation(n // 16).astype(np.int32)[:, None], (1, 16))
-    )
-    c1 = jnp.asarray(rng.integers(0, n // 16, 1 << 20).astype(np.int32))
+    rows = jax.jit(
+        lambda k: jnp.tile(
+            jax.random.permutation(k, jnp.arange(n // 16, dtype=jnp.int32))[:, None],
+            (1, 16),
+        )
+    )(jax.random.PRNGKey(3))
+    c1 = jax.jit(
+        lambda k: jax.random.randint(k, (1 << 20,), 0, n // 16, jnp.int32)
+    )(jax.random.PRNGKey(4))
+    jax.block_until_ready((rows, c1))
     per = timeit_loop(lambda i, c: rows[c][:, 0], c1, R=16)
     out["row_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
     out["row_gather_GBps"] = round((1 << 20) * 64 / per / (1 << 30), 1)
     return out
 
 
+def ensure_index():
+    """Load the index/codes if the load_index experiment was not selected
+    (each experiment must be runnable standalone after a tunnel recovery)."""
+    if IDX is None:
+        exp_load_index()
+
+
 def ensure_queries():
     global QUERIES
     if QUERIES is not None:
         return
+    ensure_index()
     rng = np.random.default_rng(1)
     nq = lookup_ops.span_query_cap(8192 * 128)
     hit = IDX.keys[rng.integers(0, len(IDX.keys), nq // 2)]
@@ -595,6 +624,7 @@ def exp_probe2():
 def exp_kernel2():
     """Fused classify kernel, latency-corrected, routed vs tiled probe,
     B=8192 and B=32768."""
+    ensure_index()
     mp = IDX.params.minimizer_params
     table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
     dk, dt = IDX.device_keys, IDX.device_taxa
@@ -639,6 +669,7 @@ def exp_kernel2():
 def exp_components2():
     """Latency-corrected component breakdown at B=8192 (scan / compact /
     probe / scatter / compact_hits / resolve)."""
+    ensure_index()
     from slacken_tpu.ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
 
     mp = IDX.params.minimizer_params
@@ -688,6 +719,7 @@ def exp_components2():
 @guard("e2e2")
 def exp_e2e2():
     """Host pipeline e2e with the tiled probe and bigger batches."""
+    ensure_index()
     from slacken_tpu import native
     from slacken_tpu.inputs import packed_reads_from_file
     from slacken_tpu.ops import encode as enc

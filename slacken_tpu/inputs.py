@@ -110,10 +110,16 @@ def _strip_pair_suffix(title: str) -> str:
     return re.sub(r"/[12]$", "", tok)
 
 
-def read_pairs(path1: str, path2: str) -> Iterator[Tuple[str, str, str]]:
+def read_pairs(
+    path1: str, path2: str, max_pending: int = 1 << 20
+) -> Iterator[Tuple[str, str, str]]:
     """Yield (header, seq1, seq2) joining two mate files. Reads are matched
     by position with header verification (falling back to a join by header
-    when the files disagree in order)."""
+    when the files disagree in order). The out-of-order buffer is bounded:
+    mate files whose orders diverge by more than `max_pending` reads raise
+    instead of silently buffering a whole file in memory (the reference's
+    by-header Spark join has no such bound but also no single-process
+    memory ceiling, InputReader.scala:109-123)."""
     it1 = read_sequences(path1)
     it2 = read_sequences(path2)
     pending2 = {}
@@ -129,6 +135,12 @@ def read_pairs(path1: str, path2: str) -> Iterator[Tuple[str, str, str]]:
                 matched = True
                 break
             pending2[_strip_pair_suffix(h2)] = s2
+            if len(pending2) > max_pending:
+                raise ValueError(
+                    f"mate files {path1!r} and {path2!r} diverge in read order "
+                    f"by more than {max_pending} reads; sort them consistently "
+                    "or raise max_pending"
+                )
         if not matched and key in pending2:
             yield h1, s1, pending2.pop(key)
 

@@ -44,7 +44,7 @@ def test_kraken_line_and_report_golden(tmp_path):
     assert lines[0] == "C\treadA\t100\t101\t100:67"
     assert lines[1] == "C\treadB\t100\t70|80\t100:36 |:| 100:46"
     assert lines[2] == "C\treadC\t100\t72\tA:6 100:32"
-    assert lines[3].startswith("U\treadD\t0\t") or lines[3].startswith("C\treadD")
+    assert lines[3] == "U\treadD\t0\t120\t0:86"
 
     report = KrakenReport(tax, [(100, 30), (101, 10), (0, 10)])
     assert report.lines() == [
