@@ -166,28 +166,62 @@ def _build_parser():
     ic.add_argument("-t", "--taxonomy", required=True)
     ic.add_argument("--labels", help="Sequence taxonomic label file")
 
+    # library acquisition (reference: scripts/k2/ download tooling)
+    dl = sub.add_parser(
+        "download", help="Download genome libraries + taxonomy from NCBI"
+    )
+    dl.add_argument(
+        "what",
+        nargs="+",
+        help="'taxonomy', 'standard', or library names "
+        "(archaea bacteria viral fungi plant human protozoa plasmid "
+        "UniVec UniVec_Core refseq)",
+    )
+    dl.add_argument("-d", "--db", required=True, help="Destination library directory")
+    dl.add_argument(
+        "--level",
+        default="Complete Genome",
+        choices=["Complete Genome", "Chromosome", "Scaffold", "Contig"],
+        help="Minimum assembly completeness (default 'Complete Genome'; "
+        "'Chromosome' = the prefer-complete rspc sets)",
+    )
+    dl.add_argument("--max-assemblies", type=int, help="Cap assemblies per library")
+    dl.add_argument(
+        "--mask",
+        action="store_true",
+        help="Hard-mask low-complexity regions (native windowed-entropy "
+        "filter replacing k2mask)",
+    )
+    dl.add_argument("-j", "--jobs", type=int, default=4, help="Parallel downloads")
+
     return ap
 
 
 def main(argv=None):
     args = _build_parser().parse_args(argv)
 
-    import jax
+    if args.command not in ("download",):
+        import jax
 
-    # explicit platform override (flag or env) BEFORE any backend init: lets
-    # users escape a hung remote-TPU connection (e.g. `--platform cpu`)
-    platform = getattr(args, "platform", None) or os.environ.get("STPU_PLATFORM")
-    if platform:
-        jax.config.update("jax_platforms", platform)
+        # explicit platform override (flag or env) BEFORE any backend init:
+        # lets users escape a hung remote-TPU connection (`--platform cpu`)
+        platform = getattr(args, "platform", None) or os.environ.get("STPU_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
 
-    # persistent compile cache: TPU only (XLA:CPU AOT cache entries can load
-    # across machine-feature mismatches and silently corrupt results)
-    try:
-        if jax.devices()[0].platform != "cpu":
-            jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except RuntimeError:
-        pass
+        # persistent compile cache: TPU only (XLA:CPU AOT cache entries can
+        # load across machine-feature mismatches and silently corrupt
+        # results)
+        try:
+            if jax.devices()[0].platform != "cpu":
+                cache = os.environ.get(
+                    "STPU_JIT_CACHE",
+                    os.path.expanduser("~/.cache/slacken_tpu/jax_cache"),
+                )
+                jax.config.update("jax_compilation_cache_dir", cache)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except RuntimeError:
+            pass
     t0 = time.time()
     rc = COMMANDS[args.command](args)
     print(f"Total time: {time.time() - t0:.1f} s", file=sys.stderr)
@@ -442,6 +476,26 @@ def cmd_input_check(args):
     return 0
 
 
+def cmd_download(args):
+    from .download import LibraryDownloader
+
+    dl = LibraryDownloader(args.db, parallel=args.jobs)
+    for what in args.what:
+        if what == "taxonomy":
+            dl.download_taxonomy()
+        elif what == "standard":
+            dl.download_standard(level=args.level)
+        else:
+            n_asm, n_seq = dl.download_library(
+                what,
+                level=args.level,
+                max_assemblies=args.max_assemblies,
+                mask=args.mask,
+            )
+            print(f"{what}: {n_asm} assemblies, {n_seq} sequences")
+    return 0
+
+
 COMMANDS = {
     "build": cmd_build,
     "classify": cmd_classify,
@@ -453,6 +507,7 @@ COMMANDS = {
     "compareIndex": cmd_compare_index,
     "compare": cmd_compare,
     "inputCheck": cmd_input_check,
+    "download": cmd_download,
 }
 
 
