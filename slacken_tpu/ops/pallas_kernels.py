@@ -30,9 +30,12 @@ def _scan_kernel(codes_ref, hi_ref, lo_ref, valid_ref, start_ref, distinct_ref, 
     wm = window_minimizers_impl(codes_ref[:].astype(jnp.int32), params)
     hi_ref[:] = wm.minimizer.hi
     lo_ref[:] = wm.minimizer.lo
-    valid_ref[:] = wm.valid.astype(jnp.uint8)
-    start_ref[:] = wm.span_start.astype(jnp.uint8)
-    distinct_ref[:] = wm.distinct.astype(jnp.uint8)
+    # masks leave the kernel as i32 selects: Mosaic rejects the i1->i8/i32
+    # vreg bitcasts that .astype() on a bool vector produces
+    one, zero = jnp.int32(1), jnp.int32(0)
+    valid_ref[:] = jnp.where(wm.valid, one, zero)
+    start_ref[:] = jnp.where(wm.span_start, one, zero)
+    distinct_ref[:] = jnp.where(wm.distinct, one, zero)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
@@ -51,9 +54,9 @@ def window_minimizers_pallas(
     out_shapes = [
         jax.ShapeDtypeStruct((b, l), jnp.uint32),
         jax.ShapeDtypeStruct((b, l), jnp.uint32),
-        jax.ShapeDtypeStruct((b, l), jnp.uint8),
-        jax.ShapeDtypeStruct((b, l), jnp.uint8),
-        jax.ShapeDtypeStruct((b, l), jnp.uint8),
+        jax.ShapeDtypeStruct((b, l), jnp.int32),
+        jax.ShapeDtypeStruct((b, l), jnp.int32),
+        jax.ShapeDtypeStruct((b, l), jnp.int32),
     ]
     hi, lo, valid, start, distinct = pl.pallas_call(
         partial(_scan_kernel, params=params),
