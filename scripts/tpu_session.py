@@ -498,51 +498,75 @@ def exp_roofline():
     ensure_latency()
     out["dispatch_latency_ms"] = round(LAT_S * 1e3, 2)
 
-    # true HBM bandwidth: a pointwise chain fuses into ONE pass regardless
-    # of length, and anything algebraically distributive gets hoisted out of
-    # the loop (sum of constants) or splat-folded (jnp.ones is a broadcast,
-    # no memory behind it). So: random data, and a non-distributive max
-    # against the varying carry — 1 GB of mandatory reads per loop step.
-    # ALL data generated on device: a 1 GB device_put through the tunnel
-    # takes tens of minutes (the h2d rates above are the tunnel, not PCIe).
-    gen = jax.jit(lambda k: jax.random.uniform(k, (8, 32 << 20), jnp.float32))
-    mats = gen(jax.random.PRNGKey(0))
-    jax.block_until_ready(mats)
-    c0 = jnp.zeros(32 << 20, jnp.float32)
-    per = timeit_loop(
-        lambda i, c: jnp.maximum(mats, c[None, :] * 0.999).sum(0) * 0.124, c0, R=8
-    )
-    out["hbm_GBps_read"] = round((8 * 128 + 2 * 128) / per / 1024, 1)
-    del mats
+    # Data is generated on device with a multiply-hash over iota — NOT
+    # jax.random: the 1 GB threefry generation program crashed the tunnel's
+    # compile helper twice (sessions 2 and 3, "Broken pipe" at
+    # remote_compile), and a knuth-hash compiles to a handful of vector ops.
+    # Each sub-measurement is individually guarded so one failure still
+    # leaves the rest recorded.
+    def hashu(shape, salt):
+        n = int(np.prod(shape))
+        i = jax.lax.iota(jnp.uint32, n) + jnp.uint32(salt)
+        h = (i * jnp.uint32(2654435761)) ^ (i >> 15)
+        return (h * jnp.uint32(0x9E3779B1)).reshape(shape)
+
+    # true HBM bandwidth: non-distributive max against the varying carry so
+    # XLA can neither hoist nor fold; 512 MB of mandatory reads per step.
+    try:
+        mats = jax.jit(lambda: (hashu((8, 16 << 20), 1) >> 8).astype(jnp.float32))()
+        jax.block_until_ready(mats)
+        c0 = jnp.zeros(16 << 20, jnp.float32)
+        per = timeit_loop(
+            lambda i, c: jnp.maximum(mats, c[None, :] * 0.999).sum(0) * 0.124, c0, R=8
+        )
+        out["hbm_GBps_read"] = round((8 * 64 + 2 * 64) / per / 1024, 1)
+        del mats
+    except Exception as e:  # noqa: BLE001
+        out["hbm_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # element-gather rate: pointer-chase permutation, 1M parallel chains
     n = 1 << 22  # 4M-entry i32 table (16 MB), ~index scale
-    kk = jax.random.PRNGKey(1)
-    perm = jax.jit(
-        lambda k: jax.random.permutation(k, jnp.arange(n, dtype=jnp.int32))
-    )(kk)
-    c0 = jax.jit(
-        lambda k: jax.random.randint(k, (1 << 20,), 0, n, jnp.int32)
-    )(jax.random.PRNGKey(2))
-    jax.block_until_ready((perm, c0))
-    per = timeit_loop(lambda i, c: perm[c], c0, R=16)
-    out["elem_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+    try:
+        perm = jax.jit(
+            lambda: jnp.argsort(hashu((n,), 2)).astype(jnp.int32)
+        )()
+        c0 = jax.jit(lambda: (hashu((1 << 20,), 3) % n).astype(jnp.int32))()
+        jax.block_until_ready((perm, c0))
+        per = timeit_loop(lambda i, c: perm[c], c0, R=16)
+        out["elem_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        out["elem_gather_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # row-gather rate: same chase but each hop fetches a contiguous
     # 16-lane row (the tiled-probe access shape, 64 B/row)
-    rows = jax.jit(
-        lambda k: jnp.tile(
-            jax.random.permutation(k, jnp.arange(n // 16, dtype=jnp.int32))[:, None],
-            (1, 16),
-        )
-    )(jax.random.PRNGKey(3))
-    c1 = jax.jit(
-        lambda k: jax.random.randint(k, (1 << 20,), 0, n // 16, jnp.int32)
-    )(jax.random.PRNGKey(4))
-    jax.block_until_ready((rows, c1))
-    per = timeit_loop(lambda i, c: rows[c][:, 0], c1, R=16)
-    out["row_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
-    out["row_gather_GBps"] = round((1 << 20) * 64 / per / (1 << 30), 1)
+    try:
+        rows = jax.jit(
+            lambda: jnp.tile(
+                jnp.argsort(hashu((n // 16,), 4)).astype(jnp.int32)[:, None], (1, 16)
+            )
+        )()
+        c1 = jax.jit(lambda: (hashu((1 << 20,), 5) % (n // 16)).astype(jnp.int32))()
+        jax.block_until_ready((rows, c1))
+        per = timeit_loop(lambda i, c: rows[c][:, 0], c1, R=16)
+        out["row_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+        out["row_gather_GBps"] = round((1 << 20) * 64 / per / (1 << 30), 1)
+    except Exception as e:  # noqa: BLE001
+        out["row_gather_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    # wider row gather: 48-lane rows = one tiled-probe row (tile*3 u32)
+    try:
+        rows = jax.jit(
+            lambda: jnp.tile(
+                jnp.argsort(hashu((n // 48, ), 6)).astype(jnp.int32)[:, None], (1, 48)
+            )
+        )()
+        c2 = jax.jit(lambda: (hashu((1 << 20,), 7) % (n // 48)).astype(jnp.int32))()
+        jax.block_until_ready((rows, c2))
+        per = timeit_loop(lambda i, c: rows[c][:, 0], c2, R=16)
+        out["row48_gather_M_s"] = round((1 << 20) / per / 1e6, 1)
+        out["row48_gather_GBps"] = round((1 << 20) * 192 / per / (1 << 30), 1)
+    except Exception as e:  # noqa: BLE001
+        out["row48_gather_error"] = f"{type(e).__name__}: {e}"[:300]
     return out
 
 
@@ -766,30 +790,46 @@ def exp_e2e2():
             best = max(best, n_reads / (time.time() - t0))
         out[f"{label}_reads_s"] = round(best)
         out.setdefault("n_classified", sum(1 for r in res if r.classified))
+
+    # detailed per-read output + gzip writing at TPU speed (VERDICT weak #9:
+    # detailed mode should stay within ~10% of reports-only throughput)
+    import shutil
+    import tempfile
+
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    cls = Classifier(IDX, target_batch_bp=1 << 22, probe="tiled", packed_transfer=True)
+    loc = tempfile.mkdtemp(prefix="stpu_e2e_")
+    try:
+        cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
+        t0 = time.time()
+        cls.classify_and_write_packed(packed, loc + "/run", dpar)
+        out["tiled_4M_detailed_reads_s"] = round(n_reads / (time.time() - t0))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
     return out
 
 
 if __name__ == "__main__":
-    only = sys.argv[1:] or None
-    steps = [
-        ("transfer", exp_transfer),
-        ("load_index", exp_load_index),
-        ("scan", exp_scan),
-        ("probe", exp_probe),
-        ("kernel", exp_kernel),
-        ("batch_sweep", exp_batch_sweep),
-        ("e2e", exp_e2e),
-        ("bracken", exp_bracken),
-        ("build", exp_build),
-        ("roofline", exp_roofline),
-        ("probe2", exp_probe2),
-        ("kernel2", exp_kernel2),
-        ("components2", exp_components2),
-        ("e2e2", exp_e2e2),
-    ]
-    for name, fn in steps:
-        if only and name not in only:
-            continue
-        fn()
+    steps = {
+        "transfer": exp_transfer,
+        "load_index": exp_load_index,
+        "scan": exp_scan,
+        "probe": exp_probe,
+        "kernel": exp_kernel,
+        "batch_sweep": exp_batch_sweep,
+        "e2e": exp_e2e,
+        "bracken": exp_bracken,
+        "build": exp_build,
+        "roofline": exp_roofline,
+        "probe2": exp_probe2,
+        "kernel2": exp_kernel2,
+        "components2": exp_components2,
+        "e2e2": exp_e2e2,
+    }
+    # argv order is honored so risky experiments can be sequenced LAST
+    # (roofline killed the tunnel in sessions 2 and 3)
+    names = sys.argv[1:] or list(steps)
+    for name in names:
+        steps[name]()
     record("done", ok=True)
     print(json.dumps(results, indent=2, default=str))

@@ -381,10 +381,15 @@ class Classifier:
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
 
-        # probe kernel: routed binary search (default) or direct-bucket
-        # wide gather (STPU_PROBE=bucketed; see ops.lookup)
+        # probe kernel (see ops.lookup). Platform-aware default, measured on
+        # the bench workload: "tiled" row-gather wins 9.3x on TPU v5e
+        # (92.9 vs 10.0 Mq/s, .tpu_results/r2_session3.json) while "routed"
+        # binary search wins 2.7x on the CPU backend (55k vs 21k reads/s) —
+        # contiguous-burst gathers are HBM-friendly but thrash CPU caches.
         self._dev_lut = index.device_lut  # None for the xor ordering
-        probe = probe or os.environ.get("STPU_PROBE", "routed")
+        if probe is None:
+            default = "routed" if (jax.default_backend() == "cpu" or index.wide) else "tiled"
+            probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe != "routed":
             raise NotImplementedError("wide (m > 31) indexes support only the routed probe")
         if probe == "bucketed":
