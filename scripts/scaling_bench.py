@@ -67,10 +67,10 @@ def main():
             table,
         )
         out = ring(*args_dev)
-        np.asarray(out[4])  # warm up + sync
+        np.asarray(out[5])  # warm up + sync (psum'd report counts)
         t0 = time.time()
         out = ring(*args_dev)
-        np.asarray(out[4])
+        np.asarray(out[5])
         dt = time.time() - t0
         rate = rows / dt
         if base_rate is None:

@@ -666,7 +666,7 @@ def exp_kernel2():
 
         def routed_step(i, c, cd=cd):
             cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
-            wt, nd, ch, res = _classify_kernel(
+            wt, nd, ch, res, hp = _classify_kernel(
                 cc, dk.hi, dk.lo, dt, router, table_tax, mp, 32,
                 IDX.router_rounds, IDX.router_bits,
             )
@@ -678,7 +678,7 @@ def exp_kernel2():
 
         def tiled_step(i, c, cd=cd):
             cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
-            wt, nd, ch, res = _classify_kernel_tiled(
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
                 cc, ttab, router, table_tax, mp, 32, IDX.router_bits, tile
             )
             return res.max_taxon.sum()
@@ -703,7 +703,15 @@ def exp_components2():
     def scan_step(i, c):
         cc = CODES_RES.at[0, 0].set((c & 3).astype(jnp.uint8))
         wm = window_minimizers(cc, mp)
-        return wm.minimizer.lo[0, 0].astype(jnp.int32)
+        # reduce over EVERY output so XLA cannot dead-code-eliminate the
+        # bulk of the scan (a [0, 0] carry lets it slice the whole batch
+        # away — the round-3 "9.1 Gbp/s" was that artifact)
+        return (
+            wm.minimizer.lo.sum().astype(jnp.int32)
+            + wm.valid.sum().astype(jnp.int32)
+            + wm.span_start.sum().astype(jnp.int32)
+            + wm.distinct.sum().astype(jnp.int32)
+        )
 
     per = timeit_loop(scan_step, jnp.int32(0), R=8)
     out["scan_ms"] = round(per * 1e3, 2)
@@ -737,6 +745,115 @@ def exp_components2():
 
     per = timeit_loop(resolve_step, jnp.int32(0), R=8)
     out["compact_resolve_ms"] = round(per * 1e3, 2)
+    return out
+
+
+@guard("components3")
+def exp_components3():
+    """Split the compact+resolve cost: sort-based vs rounds-based compaction
+    and the resolve core, each latency-corrected at B=8192."""
+    ensure_index()
+    from slacken_tpu.ops.resolve import (
+        INVALID_WINDOW,
+        compact_hits_rounds,
+        compact_hits_sort,
+        resolve_hits,
+    )
+
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    out = {}
+
+    # realistic window taxa from the resident reads
+    wm = window_minimizers(CODES_RES, mp)
+    dk, dt = IDX.device_keys, IDX.device_taxa
+    looked = lookup_ops.lookup_taxa_routed(
+        dk, dt, IDX.device_router, wm.minimizer, IDX.router_rounds, IDX.router_bits
+    )
+    wt0 = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
+    jax.block_until_ready(wt0)
+
+    def mk_step(fn):
+        def step(i, c):
+            wt = wt0.at[0, 0].set(c)
+            ch = fn(wt, 32)
+            return ch.counts.sum() + ch.taxa.sum()
+        return step
+
+    per = timeit_loop(mk_step(compact_hits_sort), jnp.int32(0), R=8)
+    out["compact_sort_ms"] = round(per * 1e3, 2)
+    per = timeit_loop(mk_step(compact_hits_rounds), jnp.int32(0), R=8)
+    out["compact_rounds_ms"] = round(per * 1e3, 2)
+
+    ch0 = compact_hits_rounds(wt0, 32)
+    jax.block_until_ready(ch0.taxa)
+
+    def resolve_step(i, c):
+        res = resolve_hits(ch0.taxa.at[0, 0].set(c), ch0.counts, table_tax)
+        return res.max_taxon.sum() + res.clade.sum()
+
+    per = timeit_loop(resolve_step, jnp.int32(0), R=8)
+    out["resolve_ms"] = round(per * 1e3, 2)
+    return out
+
+
+@guard("pallas_probe")
+def exp_pallas_probe():
+    """Micro-kernels isolating which mask idiom Mosaic rejects (the scan
+    kernel dies on an i1->i32 tpu.bitcast_vreg even after switching the
+    outputs to selects)."""
+    from jax.experimental import pallas as pl
+
+    out = {}
+    x0 = jnp.arange(8 * 128, dtype=jnp.int32).reshape(8, 128)
+
+    def trial(name, body):
+        try:
+            f = pl.pallas_call(
+                body, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int32)
+            )
+            r = jax.jit(f)(x0)
+            jax.block_until_ready(r)
+            out[name] = "ok"
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            key = [l for l in msg.split("\n") if "Mosaic failed" in l or "NotImplemented" in l]
+            out[name] = (key[0] if key else msg)[:160]
+
+    def k_select(x_ref, o_ref):
+        m = x_ref[:] > 64
+        o_ref[:] = jnp.where(m, jnp.int32(1), jnp.int32(0))
+
+    def k_astype(x_ref, o_ref):
+        o_ref[:] = (x_ref[:] > 64).astype(jnp.int32)
+
+    def k_concat(x_ref, o_ref):
+        m = x_ref[:] > 64
+        z = jnp.zeros((8, 1), bool)
+        m2 = jnp.concatenate([m[:, 1:], z], axis=-1)
+        o_ref[:] = jnp.where(m & m2, jnp.int32(1), jnp.int32(0))
+
+    def k_carry(x_ref, o_ref):
+        # the _carry_forward idiom: where on values + or on masks
+        m = x_ref[:] > 64
+        v = x_ref[:]
+        z = jnp.zeros((8, 16), x_ref.dtype)
+        zb = jnp.zeros((8, 16), bool)
+        pv = jnp.concatenate([z, v[:, :-16]], axis=-1)
+        pm = jnp.concatenate([zb, m[:, :-16]], axis=-1)
+        take = (~m) & pm
+        o_ref[:] = jnp.where(take, pv, v)
+
+    def k_sum_bool(x_ref, o_ref):
+        m = x_ref[:] > 64
+        s = jnp.sum(jnp.where(m, 1, 0))
+        o_ref[:] = x_ref[:] + s
+
+    trial("select", k_select)
+    trial("astype", k_astype)
+    trial("concat", k_concat)
+    trial("carry", k_carry)
+    trial("sum_bool", k_sum_bool)
     return out
 
 
@@ -824,6 +941,8 @@ if __name__ == "__main__":
         "probe2": exp_probe2,
         "kernel2": exp_kernel2,
         "components2": exp_components2,
+        "components3": exp_components3,
+        "pallas_probe": exp_pallas_probe,
         "e2e2": exp_e2e2,
     }
     # argv order is honored so risky experiments can be sequenced LAST

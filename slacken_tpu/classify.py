@@ -176,7 +176,29 @@ def _classify_body(
     ).astype(jnp.int32)
     ch = compact_hits(window_taxa, max_taxa)
     res = resolve_hits(ch.taxa, ch.counts, rpath_table)
-    return window_taxa, num_distinct, ch, res
+    return window_taxa, num_distinct, ch, res, _host_bundle(num_distinct, ch, res)
+
+
+def _host_bundle(num_distinct, ch, res):
+    """Everything the host post-processing needs, in ONE i32 array
+    [B, 5 + 2*D]: columns (num_distinct, n_hit_kmers, n_none_kmers,
+    overflow, max_taxon, path[D], clade[D]). A single device->host transfer
+    replaces six — each fetch pays the link's round-trip latency (~30 ms on
+    the axon tunnel; one dma setup on real PCIe), which dominated the e2e
+    gap between the 88k reads/s kernel and the 53k reads/s pipeline
+    (.tpu_results/r2_session4.json)."""
+    return jnp.concatenate(
+        [
+            num_distinct[:, None],
+            ch.n_hit_kmers[:, None],
+            ch.n_none_kmers[:, None],
+            jnp.where(ch.overflow, 1, 0).astype(jnp.int32)[:, None],
+            res.max_taxon[:, None],
+            res.path,
+            res.clade,
+        ],
+        axis=1,
+    )
 
 
 def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), key_bits=62):
@@ -496,14 +518,14 @@ class Classifier:
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
-                window_taxa, num_distinct, ch, res = _classify_kernel_packed_wide(
+                window_taxa, _, ch, _, hostpack = _classify_kernel_packed_wide(
                     packed, valid, *common
                 )
             else:
-                window_taxa, num_distinct, ch, res = _classify_kernel_wide(
+                window_taxa, _, ch, _, hostpack = _classify_kernel_wide(
                     codes, *common
                 )
-            return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+            return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
         if self._probe_static[0] == "tiled":
             common = (
                 self._dev_keys,
@@ -517,14 +539,14 @@ class Classifier:
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
-                window_taxa, num_distinct, ch, res = _classify_kernel_packed_tiled(
+                window_taxa, _, ch, _, hostpack = _classify_kernel_packed_tiled(
                     packed, valid, *common
                 )
             else:
-                window_taxa, num_distinct, ch, res = _classify_kernel_tiled(
+                window_taxa, _, ch, _, hostpack = _classify_kernel_tiled(
                     codes, *common
                 )
-            return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+            return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
         common = (
             self._dev_keys.hi,
             self._dev_keys.lo,
@@ -540,22 +562,26 @@ class Classifier:
         )
         if self._packed_transfer and bucket % 8 == 0:
             packed, valid = encode.pack_2bit(codes)
-            window_taxa, num_distinct, ch, res = _classify_kernel_packed(
+            window_taxa, _, ch, _, hostpack = _classify_kernel_packed(
                 packed, valid, *common
             )
         else:
-            window_taxa, num_distinct, ch, res = _classify_kernel(codes, *common)
-        return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+            window_taxa, _, ch, _, hostpack = _classify_kernel(codes, *common)
+        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
 
     def _harvest(self, dispatched) -> _BatchResult:
-        window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens = dispatched
+        window_taxa, ch, hostpack, codes, titles, splits, row_lens = dispatched
         bucket = codes.shape[1]
         idx = self.index
         n = len(titles)
         k = idx.params.k
+        # ONE device->host transfer for all the scalar-per-read outputs
+        # (see _host_bundle); window_taxa stays device-lazy
+        hp = np.asarray(hostpack)[:n]
+        d = self.max_path
         # ambiguous pseudo-kmer accounting: only rows that actually contain
         # invalid bases inside their content need the run scan
-        total = (np.asarray(ch.n_hit_kmers) + np.asarray(ch.n_none_kmers))[:n].astype(np.int64)
+        total = (hp[:, 1] + hp[:, 2]).astype(np.int64)
         n_invalid = (codes[:n] == encode.INVALID).sum(axis=1)
         for i in np.flatnonzero(
             n_invalid
@@ -569,12 +595,12 @@ class Classifier:
             codes=codes[:n],
             mate_split=splits,
             row_lens=row_lens,
-            num_distinct=np.asarray(num_distinct)[:n],
+            num_distinct=hp[:, 0],
             total_kmers=total,
-            res_max_taxon=np.asarray(res.max_taxon)[:n],
-            res_path=np.asarray(res.path)[:n],
-            res_clade=np.asarray(res.clade)[:n],
-            overflow=np.asarray(ch.overflow)[:n],
+            res_max_taxon=hp[:, 4],
+            res_path=hp[:, 5 : 5 + d],
+            res_clade=hp[:, 5 + d : 5 + 2 * d],
+            overflow=hp[:, 3] != 0,
             hit_taxa=ch.taxa,  # device; rarely needed on host
             hit_counts=ch.counts,
         )

@@ -43,8 +43,10 @@ class CompactHits(NamedTuple):
 
 
 @partial(jax.jit, static_argnums=(1,))
-def compact_hits(window_taxa: jnp.ndarray, max_taxa: int) -> CompactHits:
-    """Compact per-window LCA taxa [B, L] into per-read (taxon, count) lists.
+def compact_hits_sort(window_taxa: jnp.ndarray, max_taxa: int) -> CompactHits:
+    """Sort-based reference implementation of compact_hits (kept for tests;
+    compact_hits_rounds below is the production kernel — bit-identical, but
+    ~max_taxa fused VPU passes instead of a bitonic sort network).
 
     window_taxa: int32, INVALID_WINDOW for non-window positions, 0 (NONE) for
     index misses, >0 for hits. Equivalent to TaxonCounts.toMap
@@ -74,6 +76,59 @@ def compact_hits(window_taxa: jnp.ndarray, max_taxa: int) -> CompactHits:
         n_none_kmers=jnp.sum(wt == NONE, axis=-1).astype(jnp.int32),
         overflow=n_runs > max_taxa,
     )
+
+
+@partial(jax.jit, static_argnums=(1,))
+def compact_hits_rounds(window_taxa: jnp.ndarray, max_taxa: int) -> CompactHits:
+    """compact_hits without the [B, L] row sort: extract the distinct hit
+    taxa in ascending order with `max_taxa` successive-minimum rounds.
+
+    Each round is a handful of fused VPU passes (compare/select/min/sum) over
+    the [B, L] window taxa — no comparator network, no materialised
+    permutation — so on TPU it is bandwidth-bound at ~max_taxa full-array
+    passes where jnp.sort's bitonic network costs O(log^2 L) passes plus
+    scatter traffic. Outputs are bit-identical to compact_hits (taxa emerge
+    ascending, exactly like the sorted-run compaction).
+    """
+    wt = jnp.asarray(window_taxa, jnp.int32)
+    hit = wt > 0
+    vals = jnp.where(hit, wt, INT_MAX)
+    b = wt.shape[0]
+    prev = jnp.zeros((b, 1), jnp.int32)
+    taxa_cols = []
+    count_cols = []
+    for _ in range(max_taxa):
+        masked = jnp.where(vals > prev, vals, INT_MAX)
+        cur = jnp.min(masked, axis=-1, keepdims=True)  # [B, 1]
+        found = cur != INT_MAX
+        cnt = jnp.sum(jnp.where(vals == cur, 1, 0), axis=-1, keepdims=True)
+        taxa_cols.append(jnp.where(found, cur, 0))
+        count_cols.append(jnp.where(found, cnt, 0))
+        prev = jnp.where(found, cur, prev)
+    remaining = jnp.min(jnp.where(vals > prev, vals, INT_MAX), axis=-1)
+    return CompactHits(
+        taxa=jnp.concatenate(taxa_cols, axis=-1),
+        counts=jnp.concatenate(count_cols, axis=-1),
+        n_hit_kmers=jnp.sum(hit, axis=-1).astype(jnp.int32),
+        n_none_kmers=jnp.sum(wt == NONE, axis=-1).astype(jnp.int32),
+        overflow=remaining != INT_MAX,
+    )
+
+
+def compact_hits(window_taxa: jnp.ndarray, max_taxa: int) -> CompactHits:
+    """Platform-dispatched compaction (both variants are bit-identical).
+
+    Measured at [8192, 128], T=32 on the bench workload: the sort wins on
+    the CPU backend (15.0 vs 21.1 ms, its merge sort beats 32 full-array
+    passes in cache), while on TPU the XLA bitonic sort network dominates
+    the whole classify kernel (compact+resolve = 48.5 ms of 92.6 ms,
+    .tpu_results/r2_session4.json) and the successive-minimum rounds are
+    plain fused VPU passes. The backend is fixed by trace time, so this
+    resolves statically under jit.
+    """
+    if jax.default_backend() == "cpu":
+        return compact_hits_sort(window_taxa, max_taxa)
+    return compact_hits_rounds(window_taxa, max_taxa)
 
 
 class ResolveResult(NamedTuple):

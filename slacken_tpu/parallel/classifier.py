@@ -99,10 +99,10 @@ class MeshClassifier(Classifier):
         if codes.shape[0] < b_fixed:
             pad = np.full((b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8)
             codes = np.concatenate([codes, pad], axis=0)
-        window_taxa, num_distinct, ch, res, _counts = self._mesh_fn(
+        window_taxa, _, ch, _, hostpack, _counts = self._mesh_fn(
             codes, *self._mesh_args
         )
-        return (window_taxa, num_distinct, ch, res, codes, titles, splits, row_lens)
+        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
 
 
 def make_classifier(

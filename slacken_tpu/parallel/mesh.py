@@ -70,13 +70,15 @@ def _window_scan(codes, mp):
 
 
 def _postprocess(wm, looked, rpath_table, max_taxa):
+    from ..classify import _host_bundle
+
     window_taxa = jnp.where(wm.valid, looked, INVALID_WINDOW).astype(jnp.int32)
     num_distinct = jnp.sum(
         wm.span_start & wm.distinct & (looked > 0) & wm.valid, axis=-1
     ).astype(jnp.int32)
     ch = compact_hits(window_taxa, max_taxa)
     res = resolve_hits(ch.taxa, ch.counts, rpath_table)
-    return window_taxa, num_distinct, ch, res
+    return window_taxa, num_distinct, ch, res, _host_bundle(num_distinct, ch, res)
 
 
 def classify_replicated_fn(
@@ -100,17 +102,19 @@ def classify_replicated_fn(
         looked = lookup_ops.lookup_taxa_routed(
             u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
         )
-        window_taxa, num_distinct, ch, res = _postprocess(wm, looked, rpath_table, max_taxa)
+        window_taxa, num_distinct, ch, res, hostpack = _postprocess(
+            wm, looked, rpath_table, max_taxa
+        )
         # per-taxon counts of winning taxa (report aggregation): psum over mesh
         counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)
         counts = jax.lax.psum(counts, "data")
-        return window_taxa, num_distinct, ch, res, counts
+        return window_taxa, num_distinct, ch, res, hostpack, counts
 
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P("data"), P(), P(), P(), P(), P()),
-        out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )
     return jax.jit(shard)
@@ -184,16 +188,18 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
 
         acc = jax.lax.cond(overflow_any, full, compacted, operand=None)
 
-        window_taxa, num_distinct, ch, res = _postprocess(wm, acc, rpath_table, max_taxa)
+        window_taxa, num_distinct, ch, res, hostpack = _postprocess(
+            wm, acc, rpath_table, max_taxa
+        )
         counts = jnp.zeros(rpath_table.shape[0], jnp.int32).at[res.max_taxon].add(1)
         counts = jax.lax.psum(counts, "data")
-        return window_taxa, num_distinct, ch, res, counts
+        return window_taxa, num_distinct, ch, res, hostpack, counts
 
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
-        out_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )
     return jax.jit(shard)

@@ -62,7 +62,7 @@ def main():
     table = tax.rpath_table()
 
     ring = pmesh.classify_ring_fn(mesh, params.minimizer_params, 16, rounds, bits)
-    wt, nd, ch, res, counts = ring(codes, kh, kl, tx, rt, table)
+    wt, nd, ch, res, hp, counts = ring(codes, kh, kl, tx, rt, table)
 
     local_taxon = multihost.collect_local(res.max_taxon)
     local_nd = multihost.collect_local(nd)

@@ -348,3 +348,27 @@ def test_bucketed_lookup_matches_routed(rng):
         lookup_ops.lookup_taxa_tiled(table, idx.device_router, qv, tile, idx.router_bits)
     )
     assert np.array_equal(routed, tiled)
+
+
+def test_compact_hits_rounds_matches_sort(rng):
+    """The production successive-minimum compaction must stay bit-identical
+    to the sort-based reference implementation (ops/resolve.py)."""
+    from slacken_tpu.ops.resolve import (
+        INVALID_WINDOW,
+        compact_hits_rounds,
+        compact_hits_sort,
+    )
+
+    # dense random taxa incl. sentinels, plus structured edge rows:
+    # all-invalid, all-miss, more distinct taxa than max_taxa
+    wt = rng.integers(-3, 60, (64, 96)).astype(np.int32)
+    wt[0] = INVALID_WINDOW
+    wt[1] = 0
+    wt[2] = np.arange(96) + 1
+    for t in (1, 4, 32):
+        a = compact_hits_sort(wt, t)
+        b = compact_hits_rounds(wt, t)
+        for field in ("taxa", "counts", "n_hit_kmers", "n_none_kmers", "overflow"):
+            assert np.array_equal(
+                np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
+            ), (field, t)

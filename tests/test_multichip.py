@@ -45,14 +45,14 @@ def test_ring_matches_single_device(rng):
 
     table = t.rpath_table()
     rep = pmesh.classify_replicated_fn(m, mp, 16, idx.router_rounds, idx.router_bits)
-    wt_p, nd_p, ch_p, res_p, counts_p = rep(
+    wt_p, nd_p, ch_p, res_p, hp_p, counts_p = rep(
         codes, kh, kl, idx.taxa, np.asarray(idx.device_router), table
     )
 
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
     routers, rounds, rbits = pmesh.shard_routers(sk)
     ring = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits)
-    wt_r, nd_r, ch_r, res_r, counts_r = ring(
+    wt_r, nd_r, ch_r, res_r, hp_r, counts_r = ring(
         codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
         routers, table
     )
@@ -60,7 +60,7 @@ def test_ring_matches_single_device(rng):
     # single-device reference
     from slacken_tpu.classify import _classify_kernel
 
-    wt_1, nd_1, ch_1, res_1 = _classify_kernel(
+    wt_1, nd_1, ch_1, res_1, hp_1 = _classify_kernel(
         codes, kh, kl, idx.taxa, idx.device_router, table, mp, 16,
         idx.router_rounds, idx.router_bits,
     )
@@ -109,7 +109,7 @@ def test_ring_overflow_consensus_matches_single_device(rng):
     sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
     routers, rounds, rbits = pmesh.shard_routers(sk)
     ring = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits)
-    wt_r, nd_r, ch_r, res_r, counts_r = ring(
+    wt_r, nd_r, ch_r, res_r, hp_r, counts_r = ring(
         codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32), st,
         routers, table
     )
@@ -118,7 +118,7 @@ def test_ring_overflow_consensus_matches_single_device(rng):
 
     kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
     kl = idx.keys.astype(np.uint32)
-    wt_1, nd_1, ch_1, res_1 = _classify_kernel(
+    wt_1, nd_1, ch_1, res_1, hp_1 = _classify_kernel(
         codes, kh, kl, idx.taxa, idx.device_router, table, mp, 16,
         idx.router_rounds, idx.router_bits,
     )
@@ -372,7 +372,7 @@ def test_multihost_two_process_ring(rng, tmp_path):
 
     kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
     kl = idx.keys.astype(np.uint32)
-    wt_1, nd_1, ch_1, res_1 = _classify_kernel(
+    wt_1, nd_1, ch_1, res_1, hp_1 = _classify_kernel(
         codes, kh, kl, idx.taxa, idx.device_router, t.rpath_table(),
         idx.params.minimizer_params, 16, idx.router_rounds, idx.router_bits,
     )
