@@ -794,6 +794,36 @@ def exp_components3():
 
     per = timeit_loop(resolve_step, jnp.int32(0), R=8)
     out["resolve_ms"] = round(per * 1e3, 2)
+
+    # span-query compaction (cumsum + scatter into the compact buffer) and
+    # the scatter-back gather — the two remaining data-movement stages
+    cap = lookup_ops.span_query_cap(8192 * 128)
+
+    def cq_step(i, c):
+        wm2 = wm._replace(
+            span_start=wm.span_start.at[0, 0].set((c & 1) != 0)
+        )
+        qh, ql, sid, n_spans = lookup_ops.compact_span_queries(wm2, cap)
+        return (qh.sum() + ql.sum()).astype(jnp.int32) + n_spans
+
+    per = timeit_loop(cq_step, jnp.int32(0), R=8)
+    out["compact_queries_ms"] = round(per * 1e3, 2)
+
+    qh0, ql0, sid0, _ = lookup_ops.compact_span_queries(wm, cap)
+    looked0 = lookup_ops.lookup_taxa_routed(
+        dk, dt, IDX.device_router, u64.U64(qh0, ql0), IDX.router_rounds, IDX.router_bits
+    )
+    jax.block_until_ready(looked0)
+
+    def sb_step(i, c):
+        lk = looked0.at[0].set(c)
+        wt = jnp.where(
+            wm.valid, lk[jnp.clip(sid0, 0, cap - 1)].reshape(8192, 128), INVALID_WINDOW
+        ).astype(jnp.int32)
+        return wt.sum()
+
+    per = timeit_loop(sb_step, jnp.int32(0), R=8)
+    out["scatter_back_ms"] = round(per * 1e3, 2)
     return out
 
 
