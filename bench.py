@@ -120,7 +120,11 @@ def main(force_cpu: bool = False):
         file=sys.stderr,
     )
 
-    cls = Classifier(idx, target_batch_bp=1 << 20)
+    # batch size measured per platform (e2e2, .tpu_results/r2_session4.json):
+    # 4 Mbp batches amortise the tunnel/dispatch overhead on TPU (53.3k vs
+    # 28.3k reads/s at 1 Mbp); 1 Mbp stays best on CPU (cache residency)
+    bp = 1 << 20 if jax.default_backend() == "cpu" else 1 << 22
+    cls = Classifier(idx, target_batch_bp=bp)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
 
     # warmup (compile)

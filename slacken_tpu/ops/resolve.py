@@ -148,39 +148,28 @@ def resolve_hits(
     rpath_table: precomputed root-aligned ancestor table [n_taxa, D]
     (Taxonomy.rpath_table) replicated in HBM — every tree walk becomes one
     contiguous row gather. score(candidate j) = sum of counts over j's root
-    path restricted to the hit set; membership is a per-row binary search
-    over the sorted taxa list (O(T * D * log T) per read).
+    path restricted to the hit set. The ancestor test is pure equality on
+    root-aligned paths: hit taxon i is an ancestor-or-self of candidate j
+    iff taxa[i] appears anywhere in rp[j, :] (paths hold distinct positive
+    nodes; pads are -1 and pad taxa are 0, so they never spuriously match).
+    D passes of [B, T, T] compares + one [B, T]x[B, T, T] integer matmul —
+    gather-free. The previous per-element binary search cost
+    T*D*log2(T) data-dependent gathers per read, which at the measured TPU
+    gather wall (~95 M/s, .tpu_results/r2_session4.json roofline) dominated
+    the whole classify kernel.
     """
     taxa = jnp.asarray(taxa, jnp.int32)
     counts = jnp.asarray(counts, jnp.int32)
     b, t = taxa.shape
     max_path = rpath_table.shape[-1]
-
-    # sort rows ascending with pads (NONE) pushed to the top; compact_hits
-    # already emits this layout, so for the hot path this sort is cheap.
-    sort_key = jnp.where(taxa != NONE, taxa, INT_MAX)
-    search, counts, taxa = jax.lax.sort((sort_key, counts, taxa), num_keys=1)
     present = taxa != NONE
 
     rp = rpath_table[taxa]  # [B, T, D]: ancestors-or-self by real depth
 
-    flat = rp.reshape(b, t * max_path)
-    # unrolled per-row lower_bound (vmapped jnp.searchsorted lowers to a slow
-    # scan; t is a small static bound)
-    pos = jnp.zeros_like(flat)
-    bit = 1
-    while bit * 2 <= t:
-        bit *= 2
-    while bit:
-        cand = pos + bit
-        idx = jnp.minimum(cand - 1, t - 1)
-        less = (cand <= t) & (jnp.take_along_axis(search, idx, axis=1) < flat)
-        pos = jnp.where(less, cand, pos)
-        bit >>= 1
-    pos_c = jnp.minimum(pos, t - 1)
-    hit = (jnp.take_along_axis(search, pos_c, axis=1) == flat) & (flat > 0)
-    term = jnp.where(hit, jnp.take_along_axis(counts, pos_c, axis=1), 0)
-    scores = term.reshape(b, t, max_path).sum(axis=-1)
+    eq = rp[:, None, :, 0] == taxa[:, :, None]  # [B, T(i=hit), T(j=candidate)]
+    for dd in range(1, max_path):
+        eq = eq | (rp[:, None, :, dd] == taxa[:, :, None])
+    scores = jnp.einsum("bi,bij->bj", counts, eq.astype(jnp.int32))
     scores = jnp.where(present, scores, 0)
 
     max_score = jnp.max(scores, axis=-1)
