@@ -686,6 +686,17 @@ def exp_kernel2():
         per = timeit_loop(tiled_step, jnp.int32(0), R=4)
         out[f"B{b}_tiled_ms"] = round(per * 1e3, 1)
         out[f"B{b}_tiled_reads_s"] = round(b / per)
+
+        def tiled_dense_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, ttab, router, table_tax, mp, 32, IDX.router_bits, tile, True
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(tiled_dense_step, jnp.int32(0), R=4)
+        out[f"B{b}_tiled_dense_ms"] = round(per * 1e3, 1)
+        out[f"B{b}_tiled_dense_reads_s"] = round(b / per)
     return out
 
 
@@ -723,7 +734,12 @@ def exp_components2():
         def pscan_step(i, c):
             cc = CODES_RES.at[0, 0].set((c & 3).astype(jnp.uint8))
             wm = window_minimizers_pallas(cc, mp)
-            return wm.minimizer.lo[0, 0].astype(jnp.int32)
+            return (
+                wm.minimizer.lo.sum().astype(jnp.int32)
+                + wm.valid.sum().astype(jnp.int32)
+                + wm.span_start.sum().astype(jnp.int32)
+                + wm.distinct.sum().astype(jnp.int32)
+            )
 
         per = timeit_loop(pscan_step, jnp.int32(0), R=8)
         out["pallas_scan_ms"] = round(per * 1e3, 2)

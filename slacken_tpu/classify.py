@@ -111,28 +111,31 @@ def _classify_kernel_packed(
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _classify_kernel_tiled(
     codes, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int, lut=None,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+    dense: bool = False, lut=None,
 ):
     """_classify_kernel with the tiled row-gather probe: `table` is the
-    interleaved [n_rows, tile, 3] array from build_tiled."""
+    interleaved [n_rows, tile, 3] array from build_tiled. dense=True probes
+    every window position instead of compacting to span starts."""
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile), lut,
+        ("tiled", tile, dense), lut,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _classify_kernel_packed_tiled(
     packed, valid, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int, lut=None,
+    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
+    dense: bool = False, lut=None,
 ):
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile), lut,
+        ("tiled", tile, dense), lut,
     )
 
 
@@ -231,13 +234,26 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
 
         q_compact = u128_mod.from_limbs(*q_limbs)
     elif probe[0] == "tiled":
-        q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
 
         def lookup(q):
             return lookup_ops.lookup_taxa_tiled(
                 keys, router, q, probe[1], bits, key_bits
             )
 
+        if len(probe) > 2 and probe[2]:
+            # Dense probing ("tiled", tile, True): on TPU the tiled probe
+            # runs at the gather wall (~280 M gathers/s with independent
+            # queries), so probing every position costs ~11 ms/Mquery while
+            # the compaction machinery it would save costs ~25 ms
+            # (compact_queries 13.7 + scatter_back 11.4, components3 in
+            # .tpu_results/r2_session5.json). Span compaction stays for the
+            # routed/bucketed/wide probes (probe cost dominates) and the
+            # ring layout (it saves ICI bytes, parallel/mesh.py). Outputs
+            # are identical: all windows of a span probe the same key, and
+            # invalid-position garbage is masked by wm.valid downstream
+            # (exactly the established overflow-fallback semantics).
+            return lookup(wm.minimizer)
+        q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
         q_compact = u64.U64(q_hi, q_lo)
     else:
         q_hi, q_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
@@ -420,7 +436,15 @@ class Classifier:
         elif probe == "tiled":
             dk, tile = index.device_tiled
             dt = None
-            self._probe_static = ("tiled", tile)
+            # dense (per-position) probing beats span compaction wherever
+            # gathers pipeline (every accelerator backend); see _probe_spans.
+            env_dense = os.environ.get("STPU_TILED_DENSE")
+            dense = (
+                env_dense == "1"
+                if env_dense is not None
+                else jax.default_backend() != "cpu"
+            )
+            self._probe_static = ("tiled", tile, dense)
         elif probe == "routed":
             dk = index.device_keys
             dt = index.device_taxa
@@ -535,6 +559,7 @@ class Classifier:
                 self.max_taxa,
                 idx.router_bits,
                 self._probe_static[1],
+                self._probe_static[2],
                 self._dev_lut,
             )
             if self._packed_transfer and bucket % 8 == 0:

@@ -86,6 +86,25 @@ def _shift_u32(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
     return jnp.concatenate([x[..., d:], pad], axis=-1)
 
 
+def _shift_mask(x: jnp.ndarray, d: int, back: bool = False) -> jnp.ndarray:
+    """Shift a boolean mask along the last axis (False fill) WITHOUT
+    concatenating i1 vectors: Mosaic lowers an i1 concatenate through an
+    i1->i32 vreg bitcast it then rejects ("Invalid vector register cast";
+    isolated by the pallas_probe 'concat' micro-kernel,
+    .tpu_results/r2_session5.json), so the mask rides through the concat as
+    i32 and is re-compared. XLA folds the round-trip on the non-Pallas path.
+    """
+    if d == 0:
+        return x
+    xi = jnp.where(x, jnp.int32(1), jnp.int32(0))
+    pad = jnp.zeros(x.shape[:-1] + (d,), jnp.int32)
+    if back:
+        out = jnp.concatenate([pad, xi[..., :-d]], axis=-1)
+    else:
+        out = jnp.concatenate([xi[..., d:], pad], axis=-1)
+    return out != 0
+
+
 def _shift_pair(x: U64, d: int, fill_int: int = 0) -> U64:
     hi_fill = jnp.uint32((fill_int >> 32) & 0xFFFFFFFF)
     lo_fill = jnp.uint32(fill_int & 0xFFFFFFFF)
@@ -286,12 +305,12 @@ def sliding_all(valid: jnp.ndarray, width: int) -> jnp.ndarray:
     p = 1
     while p * 2 <= width:
         v = pow_vals[p]
-        pow_vals[p * 2] = v & _shift_u32(v, p, False)
+        pow_vals[p * 2] = v & _shift_mask(v, p)
         p *= 2
     acc = None
     off = 0
     for p in _powers_desc(width):
-        block = _shift_u32(pow_vals[p], off, False)
+        block = _shift_mask(pow_vals[p], off)
         acc = block if acc is None else (acc & block)
         off += p
     return acc
@@ -366,9 +385,7 @@ def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams, lut=None
     win_valid = sliding_all(jnp.asarray(codes) < 4, params.k)
 
     # span_start: first valid window, or previous window invalid, or value change
-    prev_valid = jnp.concatenate(
-        [jnp.zeros(win_valid.shape[:-1] + (1,), bool), win_valid[..., :-1]], axis=-1
-    )
+    prev_valid = _shift_mask(win_valid, 1, back=True)
     prev_min = rebuild([_unshift1(x) for x in limbs])
     value_change = ne_fn(win_min, prev_min)
     span_start = win_valid & (~prev_valid | value_change)
@@ -379,9 +396,7 @@ def window_minimizers_impl(codes: jnp.ndarray, params: MinimizerParams, lut=None
     carry_vals, carry_has = _carry_forward(limbs, win_valid)
     # shift right: state strictly before i
     before = rebuild([_unshift1(x) for x in carry_vals])
-    before_has = jnp.concatenate(
-        [jnp.zeros(carry_has.shape[:-1] + (1,), bool), carry_has[..., :-1]], axis=-1
-    )
+    before_has = _shift_mask(carry_has, 1, back=True)
     differs = ne_fn(win_min, before)
     distinct = span_start & (~before_has | differs)
 
@@ -407,7 +422,7 @@ def _carry_forward(vals, has: jnp.ndarray):
     step = 1
     while step < n:
         prevs = [_shift_back(v, step) for v in vals]
-        phas = _shift_back_bool(has, step)
+        phas = _shift_mask(has, step, back=True)
         take_prev = ~has & phas
         vals = [jnp.where(take_prev, p, v) for p, v in zip(prevs, vals)]
         has = has | phas
@@ -418,9 +433,4 @@ def _carry_forward(vals, has: jnp.ndarray):
 def _shift_back(x: jnp.ndarray, d: int) -> jnp.ndarray:
     """out[..., i] = x[..., i-d] (zero fill)."""
     pad = jnp.zeros(x.shape[:-1] + (d,), x.dtype)
-    return jnp.concatenate([pad, x[..., :-d]], axis=-1)
-
-
-def _shift_back_bool(x: jnp.ndarray, d: int) -> jnp.ndarray:
-    pad = jnp.zeros(x.shape[:-1] + (d,), bool)
     return jnp.concatenate([pad, x[..., :-d]], axis=-1)

@@ -315,6 +315,20 @@ def test_probe_and_transfer_variants_identical(rng):
             for a, b in zip(base[conf], got[conf]):
                 assert a == b, (kw, conf, a, b)
 
+    # dense tiled probing (the TPU default) must also match exactly
+    import os
+
+    os.environ["STPU_TILED_DENSE"] = "1"
+    try:
+        cls = Classifier(idx, probe="tiled", packed_transfer=False)
+        assert cls._probe_static == ("tiled", cls._probe_static[1], True)
+        got = cls.classify(frags, cpar)
+    finally:
+        del os.environ["STPU_TILED_DENSE"]
+    for conf in cpar.thresholds:
+        for a, b in zip(base[conf], got[conf]):
+            assert a == b, ("tiled-dense", conf, a, b)
+
 
 def test_pack_2bit_roundtrip(rng):
     from slacken_tpu.ops import encode as enc
