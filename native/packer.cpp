@@ -255,18 +255,20 @@ int64_t emit_mate(const uint8_t* codes, const int32_t* wt, int64_t a, int64_t b,
 
 extern "C" {
 
-// For each row: write "<length_string>\t<hit_details>\n" into `out`.
-// splits[r] = -1 for single reads, else the R1 length (separator column at
-// that index). Returns total bytes written; offsets[r] = start of row r,
-// offsets[n_rows] = end.
+// For each row: write "<hit_details>\t<length_string>\n" into the row's
+// private slot out + r * cap_row (cap_row = row_stride * 14 + 64, matching
+// the Python-side allocation), so rows are independent and the loop is
+// OpenMP-parallel. splits[r] = -1 for single reads, else the R1 length
+// (separator column at that index). offsets[r] = END of row r's bytes
+// (absolute); the caller derives each start as r * cap_row.
 int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
                        int64_t row_stride, const int64_t* splits,
                        const int64_t* row_lens, int64_t k,
                        char* out, int64_t* offsets) {
-    HitWriter w(out);
+    const int64_t cap_row = row_stride * 14 + 64;
+#pragma omp parallel for schedule(static)
     for (int64_t r = 0; r < n_rows; r++) {
-        offsets[r] = w.p - out;
-        w.start = w.p;
+        HitWriter w(out + r * cap_row);
         const uint8_t* c = codes + r * row_stride;
         const int32_t* t = wt + r * row_stride;
         int64_t last_taxon = 0, last_count = 0;
@@ -299,9 +301,10 @@ int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
             w.put_int(len2 + (k - 1));
         }
         w.put_ch('\n');
+        offsets[r] = w.p - out;
     }
-    offsets[n_rows] = w.p - out;
-    return w.p - out;
+    offsets[n_rows] = n_rows ? offsets[n_rows - 1] : 0;
+    return n_rows ? offsets[n_rows - 1] : 0;
 }
 
 }  // extern "C"

@@ -277,8 +277,8 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
     b, l = codes.shape
     splits_arr = np.asarray(splits, np.int64)
     lens_arr = np.asarray(row_lens, np.int64)
-    cap = b * (l * 14 + 64)
-    out = ctypes.create_string_buffer(cap)
+    cap_row = l * 14 + 64
+    out = ctypes.create_string_buffer(b * cap_row)
     offsets = np.empty(b + 1, np.int64)
     lib.stpu_hit_lines(
         _as_ptr(codes, ctypes.c_uint8),
@@ -291,10 +291,12 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
         out,
         _as_ptr(offsets, ctypes.c_int64),
     )
+    # each row writes into its private slot [r*cap_row, offsets[r]) so the
+    # C++ loop parallelises row-wise; offsets[r] is the row's END
     raw = out.raw
     result = []
     for r in range(b):
-        row = raw[offsets[r] : offsets[r + 1] - 1].decode("ascii")  # strip \n
+        row = raw[r * cap_row : offsets[r] - 1].decode("ascii")  # strip \n
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result
