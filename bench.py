@@ -127,20 +127,31 @@ def main(force_cpu: bool = False):
     cls = Classifier(idx, target_batch_bp=bp)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
 
-    # warmup (compile)
-    cls.classify_packed(packed[:1], cpar)
+    # reports-only production path (the reference's SQL classifier,
+    # Classifier.scala:259-410): streaming (sample, taxon) aggregation, no
+    # per-read objects materialised
+    import shutil
+    import tempfile
+
+    outdir = tempfile.mkdtemp(prefix="stpu_bench_")
+    cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)  # compile
 
     best = 0.0
-    for trial in range(3):
-        t0 = time.time()
-        res = cls.classify_packed(packed, cpar)[0.0]
-        dt = time.time() - t0
-        rate = n_reads / dt
-        best = max(best, rate)
-        print(f"trial {trial}: {dt:.2f}s = {rate:.0f} reads/s", file=sys.stderr)
-
-    n_classified = sum(1 for r in res if r.classified)
-    print(f"classified: {n_classified}/{len(res)}", file=sys.stderr)
+    try:
+        for trial in range(3):
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, outdir + f"/t{trial}", cpar)
+            dt = time.time() - t0
+            rate = n_reads / dt
+            best = max(best, rate)
+            print(f"trial {trial}: {dt:.2f}s = {rate:.0f} reads/s", file=sys.stderr)
+        report = open(outdir + "/t2_c0.0/all_kreport.txt").read().splitlines()
+        uncl = next(
+            (int(l.split("\t")[1]) for l in report if l.endswith("unclassified")), 0
+        )
+        print(f"classified: {n_reads - uncl}/{n_reads}", file=sys.stderr)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
     # second north-star metric (BASELINE.json): DB-build throughput, built
     # fresh every run (2 Mbp / 3 genomes, same (k,m,s) as the classify index)
