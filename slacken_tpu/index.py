@@ -154,7 +154,14 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int, lut
     out_hi = jnp.zeros(cap, jnp.uint32).at[out_idx].set(shi, mode="drop")
     out_lo = jnp.zeros(cap, jnp.uint32).at[out_idx].set(slo, mode="drop")
     out_tax = jnp.zeros(cap, jnp.int32).at[out_idx].set(stax, mode="drop")
-    return out_hi, out_lo, out_tax, count
+    # ONE [3, cap+1] u32 output: element [0, cap] carries the count, so the
+    # host pays a single device->host fetch per batch instead of four (each
+    # fetch costs a full link round trip — ~37 ms on the axon tunnel)
+    out = jnp.stack([out_hi, out_lo, out_tax.astype(jnp.uint32)], axis=0)
+    tail = jnp.stack(
+        [count.astype(jnp.uint32), jnp.uint32(0), jnp.uint32(0)]
+    )[:, None]
+    return jnp.concatenate([out, tail], axis=1)
 
 
 def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams, lut=None):
@@ -617,6 +624,21 @@ class KeyValueIndex:
         # spans occupy ~1/3 of positions on typical DNA; cap at 1/2 with a
         # raw-records fallback on overflow
         cap = (batch_rows * row_len) // 2
+        import collections as _collections
+
+        pending = _collections.deque()  # (device out, codes, taxa_rows)
+
+        def harvest(item):
+            out_dev, codes, taxa_rows = item
+            out = np.asarray(out_dev)
+            count = int(out[0, cap])
+            if count > cap:
+                # dense-span batch: fall back to raw record extraction
+                k, t = spans_to_records(codes, taxa_rows, mp, lut)
+                collector.add(k, t)
+            else:
+                keys = (out[0, :count].astype(np.uint64) << np.uint64(32)) | out[1, :count]
+                collector.add(keys, out[2, :count].view(np.int32).copy())
 
         def flush():
             if not buf_seqs:
@@ -629,25 +651,19 @@ class KeyValueIndex:
                     (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
                 )
                 codes = np.concatenate([codes, pad], axis=0)
+            buf_seqs.clear()
+            buf_taxa.clear()
             if mp.wide:
                 k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
                 collector.add(k2, t2)
-                buf_seqs.clear()
-                buf_taxa.clear()
                 return
-            hi, lo, tax, count = _build_batch_kernel(codes, taxa_rows, mp, cap, lut)
-            count = int(count)
-            if count > cap:
-                # dense-span batch: fall back to raw record extraction
-                k, t = spans_to_records(codes, taxa_rows, mp, lut)
-                collector.add(k, t)
-            else:
-                hi = np.asarray(hi[:count])
-                lo = np.asarray(lo[:count])
-                keys = (hi.astype(np.uint64) << np.uint64(32)) | lo
-                collector.add(keys, np.asarray(tax[:count]))
-            buf_seqs.clear()
-            buf_taxa.clear()
+            # async dispatch: the next batch packs on the host while this one
+            # scans/sorts on device and its single output array transfers
+            pending.append(
+                (_build_batch_kernel(codes, taxa_rows, mp, cap, lut), codes, taxa_rows)
+            )
+            while len(pending) > 2:
+                harvest(pending.popleft())
 
         for taxon, seq in fragments:
             taxon = int(taxonomy.primary[taxon]) if taxon < len(taxonomy.primary) else taxon
@@ -665,6 +681,8 @@ class KeyValueIndex:
                 if len(buf_seqs) >= batch_rows:
                     flush()
         flush()
+        while pending:
+            harvest(pending.popleft())
 
         if spill_dir:
             keys, taxa, recs = collector.reduce(taxonomy, keep_records)
