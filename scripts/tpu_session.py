@@ -903,6 +903,81 @@ def exp_pallas_probe():
     return out
 
 
+@guard("bench2")
+def exp_bench2():
+    """Exactly the driver bench workload (bench.py): reports-path
+    classify_and_write_packed + a fresh 2 Mbp build, on this device."""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    from slacken_tpu import native
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.inputs import packed_reads_from_file
+    from slacken_tpu.ops import encode as enc
+    from slacken_tpu.taxonomy import Taxonomy
+
+    packed = list(
+        packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq")
+    )
+    sim_rng = np.random.default_rng(7)
+    sizes = {455631: 4_100_000, 526997: 3_100_000, 9606: 800_000}
+    lutb = np.frombuffer(b"ACGT", dtype=np.uint8)
+    rng = np.random.default_rng(20260816)
+    sim = []
+    for taxon, n in sizes.items():
+        seq = lutb[rng.integers(0, 4, n)].tobytes().decode("ascii")
+        cf = enc.encode_seq(seq)
+        st = sim_rng.integers(0, len(cf) - 101, 3334)
+        rows = cf[st[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = sim_rng.random(rows.shape) < 0.01
+        rows[mut] = sim_rng.integers(0, 4, mut.sum())
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(
+            native.PackedReads(
+                rows, np.full(len(rows), 101, np.int32),
+                [f"sim{taxon}_{j}" for j in range(len(rows))],
+            )
+        )
+    packed = (packed + sim) * 4
+    n_reads = sum(len(p) for p in packed)
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    cls = Classifier(IDX, target_batch_bp=1 << 22)
+    outdir = tempfile.mkdtemp(prefix="stpu_bench2_")
+    try:
+        cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
+        best = 0.0
+        for t in range(3):
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, outdir + f"/t{t}", cpar)
+            best = max(best, n_reads / (time.time() - t0))
+        out["classify_write_reads_s"] = round(best)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+    def build_library(rng2):
+        bsz = {455631: 1_000_000, 526997: 800_000, 9606: 200_000}
+        for taxon, n in bsz.items():
+            yield taxon, lutb[rng2.integers(0, 4, n)].tobytes().decode("ascii")
+
+    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
+    KeyValueIndex.build(  # compile
+        [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
+        batch_rows=16, row_len=1 << 16,
+    )
+    t0 = time.time()
+    bidx = KeyValueIndex.build(
+        build_library(np.random.default_rng(99)),
+        IndexParams(k=35, m=31, spaces=7), tax, batch_rows=16, row_len=1 << 16,
+    )
+    dt = time.time() - t0
+    out["build_records"] = len(bidx.keys)
+    out["build_mbp_s"] = round(2.0 / dt, 2)
+    return out
+
+
 @guard("e2e2")
 def exp_e2e2():
     """Host pipeline e2e with the tiled probe and bigger batches."""
@@ -990,6 +1065,7 @@ if __name__ == "__main__":
         "components3": exp_components3,
         "pallas_probe": exp_pallas_probe,
         "e2e2": exp_e2e2,
+        "bench2": exp_bench2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3)
