@@ -1068,9 +1068,14 @@ if __name__ == "__main__":
         "bench2": exp_bench2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
-    # (roofline killed the tunnel in sessions 2 and 3)
+    # (roofline killed the tunnel in sessions 2 and 3); unknown names are
+    # recorded and skipped — a typo must not burn the tunnel window
     names = sys.argv[1:] or list(steps)
     for name in names:
-        steps[name]()
+        fn = steps.get(name)
+        if fn is None:
+            record(name, ok=False, error=f"unknown experiment {name!r}")
+            continue
+        fn()
     record("done", ok=True)
     print(json.dumps(results, indent=2, default=str))

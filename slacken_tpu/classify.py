@@ -439,11 +439,17 @@ class Classifier:
             # dense (per-position) probing beats span compaction wherever
             # gathers pipeline (every accelerator backend); see _probe_spans.
             env_dense = os.environ.get("STPU_TILED_DENSE")
-            dense = (
-                env_dense == "1"
-                if env_dense is not None
-                else jax.default_backend() != "cpu"
-            )
+            if env_dense is not None:
+                if env_dense.lower() in ("1", "true", "yes", "on"):
+                    dense = True
+                elif env_dense.lower() in ("0", "false", "no", "off"):
+                    dense = False
+                else:
+                    raise ValueError(
+                        f"STPU_TILED_DENSE={env_dense!r}: use 1/0 (true/false)"
+                    )
+            else:
+                dense = jax.default_backend() != "cpu"
             self._probe_static = ("tiled", tile, dense)
         elif probe == "routed":
             dk = index.device_keys
