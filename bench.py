@@ -153,25 +153,20 @@ def main(force_cpu: bool = False):
     finally:
         shutil.rmtree(outdir, ignore_errors=True)
 
-    # second north-star metric (BASELINE.json): DB-build throughput, built
-    # fresh every run (2 Mbp / 3 genomes, same (k,m,s) as the classify index)
-    def build_library(rng):
-        sizes = {455631: 1_000_000, 526997: 800_000, 9606: 200_000}
-        lut = np.frombuffer(b"ACGT", dtype=np.uint8)
-        for taxon, n in sizes.items():
-            yield taxon, lut[rng.integers(0, 4, n)].tobytes().decode("ascii")
-
-    build_bp = 2_000_000
+    # second north-star metric (BASELINE.json): DB-build throughput — build
+    # the classify library itself (8 Mbp / 3 genomes) fresh every run, so the
+    # number measures the production build at a non-toy scale
+    build_bp = 8_000_000
     KeyValueIndex.build(  # warm up / compile the build kernel shapes
         [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
-        batch_rows=16, row_len=1 << 16,
+        batch_rows=32, row_len=1 << 16,
     )
     t0 = time.time()
     bidx = KeyValueIndex.build(
-        build_library(np.random.default_rng(99)),
+        synthetic_library(np.random.default_rng(20260816)),
         IndexParams(k=35, m=31, spaces=7),
         tax,
-        batch_rows=16,
+        batch_rows=32,
         row_len=1 << 16,
     )
     build_dt = time.time() - t0
@@ -180,6 +175,11 @@ def main(force_cpu: bool = False):
         f"{build_dt:.1f}s = {build_bp / build_dt / 1e6:.2f} Mbp/s",
         file=sys.stderr,
     )
+    if len(bidx.keys) != len(idx.keys):
+        print(
+            f"WARNING: fresh build records {len(bidx.keys)} != cached {len(idx.keys)}",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

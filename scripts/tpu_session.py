@@ -957,24 +957,23 @@ def exp_bench2():
         shutil.rmtree(outdir, ignore_errors=True)
 
     def build_library(rng2):
-        bsz = {455631: 1_000_000, 526997: 800_000, 9606: 200_000}
-        for taxon, n in bsz.items():
+        for taxon, n in sizes.items():
             yield taxon, lutb[rng2.integers(0, 4, n)].tobytes().decode("ascii")
 
     nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
     tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
     KeyValueIndex.build(  # compile
         [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
-        batch_rows=16, row_len=1 << 16,
+        batch_rows=32, row_len=1 << 16,
     )
     t0 = time.time()
     bidx = KeyValueIndex.build(
-        build_library(np.random.default_rng(99)),
-        IndexParams(k=35, m=31, spaces=7), tax, batch_rows=16, row_len=1 << 16,
+        build_library(np.random.default_rng(20260816)),
+        IndexParams(k=35, m=31, spaces=7), tax, batch_rows=32, row_len=1 << 16,
     )
     dt = time.time() - t0
     out["build_records"] = len(bidx.keys)
-    out["build_mbp_s"] = round(2.0 / dt, 2)
+    out["build_mbp_s"] = round(8.0 / dt, 2)
     return out
 
 

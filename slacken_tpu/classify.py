@@ -868,19 +868,48 @@ class Classifier:
                 )
             return writers[key]
 
+        sre = re.compile(cpar.sample_regex) if cpar.sample_regex else None
         try:
             for batch in self.packed_batches(packed_iter):
+                n = len(batch.titles)
+                pairs = self._hit_pairs(batch)
+                if sre is not None:
+                    samples = []
+                    for title in batch.titles:
+                        m = sre.search(title)
+                        samples.append(m.group(1) if m else "other")
+                    samples = np.array(samples)
+                else:
+                    samples = None
                 for t in cpar.thresholds:
-                    reads = self.finalize(batch, t, cpar)
-                    by_sample: Dict[str, List[str]] = {}
-                    for r in reads:
-                        if not cpar.with_unclassified and not r.classified:
+                    # bulk formatting: no per-read objects or method calls —
+                    # one vectorised threshold pass + a single comprehension
+                    taxon, classified = self._finalize_taxa(batch, t, cpar)
+                    rtax = np.where(classified, taxon, NONE)
+                    keep = (
+                        classified if not cpar.with_unclassified else np.ones(n, bool)
+                    )
+                    groups = (
+                        [("all", np.flatnonzero(keep))]
+                        if samples is None
+                        else [
+                            (str(s), np.flatnonzero(keep & (samples == s)))
+                            for s in np.unique(samples[keep])
+                        ]
+                    )
+                    titles = batch.titles
+                    for sample, idxs in groups:
+                        if len(idxs) == 0:
                             continue
-                        by_sample.setdefault(r.sample_id, []).append(r.output_line())
-                        agg = counts[t].setdefault(r.sample_id, {})
-                        agg[r.taxon] = agg.get(r.taxon, 0) + 1
-                    for sample, lines in by_sample.items():
+                        lines = [
+                            f"{'C' if classified[i] else 'U'}\t{titles[i]}\t{rtax[i]}\t{pairs[i][1]}\t{pairs[i][0]}"
+                            for i in idxs
+                        ]
                         writer_for(t, sample).write("\n".join(lines) + "\n")
+                        agg = counts[t].setdefault(sample, {})
+                        vals, cts = np.unique(rtax[idxs], return_counts=True)
+                        for v, c in zip(vals.tolist(), cts.tolist()):
+                            agg[v] = agg.get(v, 0) + c
         finally:
             for f in writers.values():
                 f.close()

@@ -657,6 +657,14 @@ class KeyValueIndex:
                 k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
                 collector.add(k2, t2)
                 return
+            if jax.default_backend() == "cpu":
+                # on the CPU backend the kernel's lax.sort costs ~3.4x the
+                # whole raw-extraction + C++ radix dedup path (1013 vs
+                # 131+168 ms on a 2 Mbp batch); the device sort/dedup only
+                # pays where it shrinks the device->host transfer (TPU)
+                k, t = spans_to_records(codes, taxa_rows, mp, lut)
+                collector.add(k, t)
+                return
             # async dispatch: the next batch packs on the host while this one
             # scans/sorts on device and its single output array transfers
             pending.append(

@@ -386,3 +386,38 @@ def test_compact_hits_rounds_matches_sort(rng):
             assert np.array_equal(
                 np.asarray(getattr(a, field)), np.asarray(getattr(b, field))
             ), (field, t)
+
+
+def test_stream_detailed_lines_match_api(rng, tmp_path):
+    """The bulk-formatted streaming detailed writer must emit exactly the
+    lines the per-read API produces (order within each sample preserved)."""
+    import gzip
+
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode as enc
+
+    t, parents, genomes, idx, idx_map = setup(rng)
+    reads = []
+    for i in range(40):
+        _, seq = sample_read(rng, genomes)
+        reads.append((f"s{i % 2}|read{i}", seq))
+    rows = np.stack(
+        [np.pad(enc.encode_seq(s), (0, 128 - len(s)), constant_values=4) for _, s in reads]
+    )
+    packed = native.PackedReads(
+        rows, np.array([len(s) for _, s in reads], "int32"), [h for h, _ in reads]
+    )
+    cpar = ClassifyParams(
+        thresholds=[0.0, 0.1], per_read_output=True, sample_regex=r"(s\d+)\|.*"
+    )
+    cls = Classifier(idx)
+    out = str(tmp_path / "det")
+    cls.classify_and_write_packed([packed], out, cpar)
+    api = cls.classify_packed([packed], cpar)
+    for th_label, th in (("_c0.0", 0.0), ("_c0.1", 0.1)):
+        for s in ("s0", "s1"):
+            got = gzip.open(
+                out + th_label + f"/sample={s}/part-00000.txt.gz", "rt"
+            ).read().splitlines()
+            want = [r.output_line() for r in api[th] if r.sample_id == s]
+            assert got == want, (th, s)
