@@ -843,6 +843,117 @@ def exp_components3():
     return out
 
 
+@guard("components4")
+def exp_components4():
+    """Stage split of the dense-tiled kernel at the production batch size
+    (B=32768): find where kernel2's unexplained time goes (stage sums were
+    ~2x below the measured whole-kernel time at this size)."""
+    ensure_index()
+    from slacken_tpu.ops.resolve import (
+        INVALID_WINDOW,
+        compact_hits_rounds,
+        resolve_hits,
+    )
+
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    ttab, tile = IDX.device_tiled
+    router = IDX.device_router
+    out = {"B": 32768}
+    codes_h = np.asarray(CODES_RES)
+    cd = jax.device_put(np.concatenate([codes_h] * 4))
+    jax.block_until_ready((cd, ttab))
+
+    def scan_step(i, c):
+        cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+        wm = window_minimizers(cc, mp)
+        return (
+            wm.minimizer.lo.sum().astype(jnp.int32)
+            + wm.valid.sum().astype(jnp.int32)
+            + wm.span_start.sum().astype(jnp.int32)
+            + wm.distinct.sum().astype(jnp.int32)
+        )
+
+    per = timeit_loop(scan_step, jnp.int32(0), R=4)
+    out["scan_ms"] = round(per * 1e3, 2)
+
+    wm0 = window_minimizers(cd, mp)
+    jax.block_until_ready(wm0.minimizer.hi)
+
+    def probe_step(i, c):
+        q = u64.U64(wm0.minimizer.hi, wm0.minimizer.lo ^ (c & 1).astype(jnp.uint32))
+        r = lookup_ops.lookup_taxa_tiled(ttab, router, q, tile, IDX.router_bits)
+        return r.sum()
+
+    per = timeit_loop(probe_step, jnp.int32(0), R=4)
+    out["probe_dense_ms"] = round(per * 1e3, 2)
+
+    looked0 = lookup_ops.lookup_taxa_tiled(
+        ttab, router, wm0.minimizer, tile, IDX.router_bits
+    )
+    jax.block_until_ready(looked0)
+
+    def mask_nd_step(i, c):
+        lk = looked0.at[0, 0].set(c)
+        wt = jnp.where(wm0.valid, lk, INVALID_WINDOW).astype(jnp.int32)
+        nd = jnp.sum(
+            wm0.span_start & wm0.distinct & (lk > 0) & wm0.valid, axis=-1
+        ).astype(jnp.int32)
+        return wt.sum() + nd.sum()
+
+    per = timeit_loop(mask_nd_step, jnp.int32(0), R=4)
+    out["mask_nd_ms"] = round(per * 1e3, 2)
+
+    wt0 = jnp.where(wm0.valid, looked0, INVALID_WINDOW).astype(jnp.int32)
+    jax.block_until_ready(wt0)
+
+    def compact_step(i, c):
+        ch = compact_hits_rounds(wt0.at[0, 0].set(c), 32)
+        return ch.counts.sum() + ch.taxa.sum()
+
+    per = timeit_loop(compact_step, jnp.int32(0), R=4)
+    out["compact_rounds_ms"] = round(per * 1e3, 2)
+
+    ch0 = compact_hits_rounds(wt0, 32)
+    jax.block_until_ready(ch0.taxa)
+
+    def resolve_step(i, c):
+        res = resolve_hits(ch0.taxa.at[0, 0].set(c), ch0.counts, table_tax)
+        return res.max_taxon.sum() + res.clade.sum()
+
+    per = timeit_loop(resolve_step, jnp.int32(0), R=4)
+    out["resolve_ms"] = round(per * 1e3, 2)
+
+    # the packed-transfer unpack stage (what e2e actually runs)
+    packed, valid = encode.pack_2bit(codes_h)
+    pd = jax.device_put(np.concatenate([packed] * 4))
+    vd = jax.device_put(np.concatenate([valid] * 4))
+    jax.block_until_ready((pd, vd))
+
+    def unpack_step(i, c):
+        codes = encode.unpack_2bit_device(pd.at[0, 0].set(c.astype(pd.dtype)), vd)
+        return codes.astype(jnp.int32).sum()
+
+    per = timeit_loop(unpack_step, jnp.int32(0), R=4)
+    out["unpack_ms"] = round(per * 1e3, 2)
+
+    # true d2h: fetch a FRESH 16 MB device array (the detailed-mode
+    # window_taxa transfer) — content varies per run so nothing caches
+    bump = jax.jit(lambda a, c: a + c)
+    wt_dev = jnp.zeros((32768, 128), jnp.int32)
+    jax.block_until_ready(wt_dev)
+    ts = []
+    for r in range(4):
+        wt_dev = bump(wt_dev, jnp.int32(r + 1))
+        jax.block_until_ready(wt_dev)
+        t0 = time.perf_counter()
+        np.asarray(wt_dev)
+        ts.append(time.perf_counter() - t0)
+    out["d2h_16MB_ms"] = round(min(ts) * 1e3, 1)
+    out["d2h_MBps"] = round(16 / min(ts), 1)
+    return out
+
+
 @guard("pallas_probe")
 def exp_pallas_probe():
     """Micro-kernels isolating which mask idiom Mosaic rejects (the scan
@@ -1065,6 +1176,7 @@ if __name__ == "__main__":
         "pallas_probe": exp_pallas_probe,
         "e2e2": exp_e2e2,
         "bench2": exp_bench2,
+        "components4": exp_components4,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are
