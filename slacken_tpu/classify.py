@@ -470,6 +470,9 @@ class Classifier:
             else:
                 packed_transfer = jax.default_backend() != "cpu"
         self._packed_transfer = packed_transfer
+        #: set per call by the detailed-output paths (window_taxa is only
+        #: fetched to host when per-read lines are produced)
+        self._fetch_window_taxa = False
 
     # -- batching -----------------------------------------------------------
 
@@ -620,6 +623,14 @@ class Classifier:
         ):
             total[i] += _ambig_kmers(codes[i], splits[i], row_lens[i], k)
 
+        if self._fetch_window_taxa:
+            # detailed mode reads window_taxa on host (_hit_pairs): start the
+            # device->host copy now so it overlaps the host post-processing
+            # between harvest and formatting
+            try:
+                window_taxa.copy_to_host_async()
+            except AttributeError:
+                pass
         return _BatchResult(
             titles=titles,
             window_taxa=window_taxa,  # device array; transferred lazily
@@ -751,6 +762,7 @@ class Classifier:
             yield self._harvest(pending.popleft())
 
     def classify_packed(self, packed_iter, cpar: ClassifyParams):
+        self._fetch_window_taxa = bool(cpar.per_read_output)
         results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
         for batch in self.packed_batches(packed_iter):
             for t in cpar.thresholds:
@@ -828,6 +840,7 @@ class Classifier:
         """Classify all fragments at every threshold (one device pass total,
         generalising the reference's multi-threshold cache,
         Classifier.scala:156-170). Results preserve input order."""
+        self._fetch_window_taxa = bool(cpar.per_read_output)
         acc: Dict[float, List] = {t: [] for t in cpar.thresholds}
         for batch, positions in self.batches(fragments):
             for t in cpar.thresholds:
@@ -854,6 +867,7 @@ class Classifier:
         """Detailed mode, streaming: write each batch's per-read lines as
         device results arrive (constant memory; writing overlaps the next
         batch's device compute via the double-buffered batcher)."""
+        self._fetch_window_taxa = True
         writers: Dict[tuple, object] = {}
         counts: Dict[float, Dict[str, Dict[int, int]]] = {t: {} for t in cpar.thresholds}
 
