@@ -128,10 +128,11 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from .. import storage
     from ..index import IndexParams
     from ..ops import lookup as lookup_ops
 
-    with open(os.path.join(location, "params.json")) as f:
+    with storage.open_file(storage.join(location, "params.json")) as f:
         meta = json.load(f)
     params = IndexParams.from_json(meta)
     sizes = meta["shards"]
@@ -154,10 +155,10 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
     for d in local_rows:
         ids = range(d * s0, (d + 1) * s0)
         keys = np.concatenate(
-            [np.load(os.path.join(location, f"keys.{i:05d}.npy")) for i in ids]
+            [storage.np_load(storage.join(location, f"keys.{i:05d}.npy")) for i in ids]
         )
         taxa = np.concatenate(
-            [np.load(os.path.join(location, f"taxa.{i:05d}.npy")) for i in ids]
+            [storage.np_load(storage.join(location, f"taxa.{i:05d}.npy")) for i in ids]
         )
         pad = row_len - len(keys)
         keys = np.concatenate([keys, np.full(pad, sent)])
