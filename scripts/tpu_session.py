@@ -679,7 +679,8 @@ def exp_kernel2():
         def tiled_step(i, c, cd=cd):
             cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
             wt, nd, ch, res, hp = _classify_kernel_tiled(
-                cc, ttab, router, table_tax, mp, 32, IDX.router_bits, tile
+                cc, ttab, router, table_tax, mp, 32, IDX.router_bits,
+                ("tiled", tile, False),
             )
             return res.max_taxon.sum()
 
@@ -690,13 +691,29 @@ def exp_kernel2():
         def tiled_dense_step(i, c, cd=cd):
             cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
             wt, nd, ch, res, hp = _classify_kernel_tiled(
-                cc, ttab, router, table_tax, mp, 32, IDX.router_bits, tile, True
+                cc, ttab, router, table_tax, mp, 32, IDX.router_bits,
+                ("tiled", tile, True),
             )
             return res.max_taxon.sum()
 
         per = timeit_loop(tiled_dense_step, jnp.int32(0), R=4)
         out[f"B{b}_tiled_dense_ms"] = round(per * 1e3, 1)
         out[f"B{b}_tiled_dense_reads_s"] = round(b / per)
+
+        htab, htile, hbits = IDX.device_hashed
+        jax.block_until_ready(htab)
+
+        def hashed_dense_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, htab, router, table_tax, mp, 32, 0,
+                ("hashed", htile, hbits, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(hashed_dense_step, jnp.int32(0), R=4)
+        out[f"B{b}_hashed_dense_ms"] = round(per * 1e3, 1)
+        out[f"B{b}_hashed_dense_reads_s"] = round(b / per)
     return out
 
 

@@ -111,31 +111,33 @@ def _classify_kernel_packed(
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _classify_kernel_tiled(
     codes, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
-    dense: bool = False, lut=None,
+    mp: MinimizerParams, max_taxa: int, bits: int, probe: tuple = ("tiled", 16, False),
+    lut=None,
 ):
-    """_classify_kernel with the tiled row-gather probe: `table` is the
-    interleaved [n_rows, tile, 3] array from build_tiled. dense=True probes
-    every window position instead of compacting to span starts."""
+    """_classify_kernel for the table-layout probes: `table` is the
+    interleaved [n_rows, tile, 3] array from build_tiled (probe
+    ("tiled", tile, dense)) or build_hashed (probe ("hashed", tile, hash
+    bits, dense) — router unused). dense=True probes every window position
+    instead of compacting to span starts."""
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile, dense), lut,
+        probe, lut,
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _classify_kernel_packed_tiled(
     packed, valid, table, router, rpath_table,
-    mp: MinimizerParams, max_taxa: int, bits: int, tile: int,
-    dense: bool = False, lut=None,
+    mp: MinimizerParams, max_taxa: int, bits: int, probe: tuple = ("tiled", 16, False),
+    lut=None,
 ):
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
         codes, table, None, router, rpath_table, mp, max_taxa, 0, bits,
-        ("tiled", tile, dense), lut,
+        probe, lut,
     )
 
 
@@ -233,14 +235,25 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
             )
 
         q_compact = u128_mod.from_limbs(*q_limbs)
-    elif probe[0] == "tiled":
+    elif probe[0] in ("tiled", "hashed"):
 
-        def lookup(q):
-            return lookup_ops.lookup_taxa_tiled(
-                keys, router, q, probe[1], bits, key_bits
-            )
+        if probe[0] == "hashed":
+            # routerless: two independent row gathers per query (the key's
+            # own scrambled top bits are the home-slot hash; ops/lookup.py
+            # build_hashed). `router` is an unused dummy here.
+            def lookup(q):
+                return lookup_ops.lookup_taxa_hashed(
+                    keys, q, probe[1], probe[2], key_bits
+                )
 
-        if len(probe) > 2 and probe[2]:
+        else:
+
+            def lookup(q):
+                return lookup_ops.lookup_taxa_tiled(
+                    keys, router, q, probe[1], bits, key_bits
+                )
+
+        if probe[-1]:
             # Dense probing ("tiled", tile, True): on TPU the tiled probe
             # runs at the gather wall (~280 M gathers/s with independent
             # queries), so probing every position costs ~11 ms/Mquery while
@@ -433,9 +446,7 @@ class Classifier:
         if probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
-        elif probe == "tiled":
-            dk, tile = index.device_tiled
-            dt = None
+        elif probe in ("tiled", "hashed"):
             # dense (per-position) probing beats span compaction wherever
             # gathers pipeline (every accelerator backend); see _probe_spans.
             env_dense = os.environ.get("STPU_TILED_DENSE")
@@ -450,7 +461,13 @@ class Classifier:
                     )
             else:
                 dense = jax.default_backend() != "cpu"
-            self._probe_static = ("tiled", tile, dense)
+            dt = None
+            if probe == "hashed":
+                dk, tile, hbits = index.device_hashed
+                self._probe_static = ("hashed", tile, hbits, dense)
+            else:
+                dk, tile = index.device_tiled
+                self._probe_static = ("tiled", tile, dense)
         elif probe == "routed":
             dk = index.device_keys
             dt = index.device_taxa
@@ -473,6 +490,8 @@ class Classifier:
         #: set per call by the detailed-output paths (window_taxa is only
         #: fetched to host when per-read lines are produced)
         self._fetch_window_taxa = False
+        with jax.ensure_compile_time_eval():
+            self._router_dummy = jnp.zeros(2, jnp.int32)
 
     # -- batching -----------------------------------------------------------
 
@@ -559,16 +578,17 @@ class Classifier:
                     codes, *common
                 )
             return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
-        if self._probe_static[0] == "tiled":
+        if self._probe_static[0] in ("tiled", "hashed"):
+            hashed = self._probe_static[0] == "hashed"
             common = (
                 self._dev_keys,
-                idx.device_router,
+                # the hashed probe is routerless: never build the router
+                self._router_dummy if hashed else idx.device_router,
                 self._table_dev,
                 idx.params.minimizer_params,
                 self.max_taxa,
-                idx.router_bits,
-                self._probe_static[1],
-                self._probe_static[2],
+                0 if hashed else idx.router_bits,
+                self._probe_static,
                 self._dev_lut,
             )
             if self._packed_transfer and bucket % 8 == 0:
@@ -623,14 +643,11 @@ class Classifier:
         ):
             total[i] += _ambig_kmers(codes[i], splits[i], row_lens[i], k)
 
-        if self._fetch_window_taxa:
-            # detailed mode reads window_taxa on host (_hit_pairs): start the
-            # device->host copy now so it overlaps the host post-processing
-            # between harvest and formatting
-            try:
-                window_taxa.copy_to_host_async()
-            except AttributeError:
-                pass
+        # NOTE: an eager window_taxa.copy_to_host_async() here was measured
+        # COUNTERPRODUCTIVE on the axon tunnel (detailed e2e 41.5k -> 18.2k
+        # reads/s, r2_session9): the link is serial at ~41 MB/s d2h, so the
+        # early 16 MB copy stalls the next batch's dispatch instead of
+        # overlapping. Leave the transfer lazy (_hit_pairs fetches on use).
         return _BatchResult(
             titles=titles,
             window_taxa=window_taxa,  # device array; transferred lazily

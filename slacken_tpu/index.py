@@ -534,6 +534,21 @@ class KeyValueIndex:
         return self._device_bucketed
 
     @property
+    def device_hashed(self):
+        """(routerless hashed [n_rows, tile, 3] uint32 table, tile, hash
+        bits) for lookup_taxa_hashed: two independent row gathers per query
+        instead of the tiled probe's router + 2-row dependent chain."""
+        if getattr(self, "_device_hashed", None) is None:
+            if self.wide:
+                raise NotImplementedError("hashed probe requires m <= 31")
+            table, tile, hbits = lookup_ops.build_hashed(
+                self.keys, self.taxa, self.key_bits
+            )
+            with jax.ensure_compile_time_eval():
+                self._device_hashed = (jnp.asarray(table), tile, hbits)
+        return self._device_hashed
+
+    @property
     def router_rounds(self) -> int:
         self.device_router
         return self._router_rounds

@@ -303,6 +303,108 @@ def lookup_taxa_tiled(
     return taxon.reshape(shape)
 
 
+# ---------------------------------------------------------------------------
+# Hashed probe: routerless, displacement-bounded home slots
+# ---------------------------------------------------------------------------
+
+
+def build_hashed(
+    keys: np.ndarray, taxa: np.ndarray, key_bits: int = 62, tile: int = 16
+):
+    """Place the sorted keys at bounded displacement from the home slot
+    implied by their own top bits, eliminating the router (and its gather).
+
+    The XOR toggle scrambles minimizer priorities uniformly, so
+    h = key >> (key_bits - bits) is already a uniform hash AND nondecreasing
+    over the sorted array. Linear-probing placement over sorted hashes is the
+    vectorised "parking" scan pos = cummax(h - i) + i; slots (= 2^bits) and
+    `tile` grow until every key satisfies the 2-row coverage bound
+    disp <= 2*tile - 1 - (h % tile), i.e. the rows h//tile and h//tile + 1
+    always contain the key. Lookup is then TWO independent row gathers —
+    versus the tiled probe's router gather + 2 row gathers in a 2-deep
+    dependent chain, at a memory cost of ~(slots/n)x the flat arrays.
+
+    Returns (table [n_rows, tile, 3] uint32 (hi, lo, taxon), tile, bits).
+    """
+    n = len(keys)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    bits = max(12, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    bits = min(bits, key_bits)
+    # uniformity guard: keys clustered in a tiny fraction of the declared
+    # keyspace (e.g. a wrong key_bits) would grow slots/tile without bound
+    max_bytes = max(64 * 12 * max(n, 1), 1 << 26)
+    if n == 0:
+        pos = np.zeros(0, np.int64)
+    else:
+        ar = np.arange(n, dtype=np.int64)
+        while True:
+            h = (keys >> np.uint64(key_bits - bits)).astype(np.int64)
+            pos = np.maximum.accumulate(h - ar) + ar
+            disp = pos - h
+            # smallest power-of-two tile (>= `tile`) covering every key with
+            # the two fetched rows: disp + (h % tile) <= 2*tile - 1
+            found = False
+            t = tile
+            while t <= 128 or (bits >= key_bits and t <= (1 << 24)):
+                if int(np.max(disp + (h & (t - 1)))) <= 2 * t - 1:
+                    tile = t
+                    found = True
+                    break
+                t *= 2
+            if found:
+                break
+            if bits < key_bits:
+                bits += 1
+            else:
+                raise ValueError(
+                    "keys too skewed for the hashed layout in a "
+                    f"{key_bits}-bit keyspace (n={n}); use the tiled/routed probe"
+                )
+    # size by the last occupied slot only: query hashes beyond it clamp into
+    # the trailing sentinel rows (such keys exceed every stored key, so a
+    # miss is correct), which keeps dense-keyspace tables compact
+    max_pos = int(pos[-1]) if n else 0
+    n_rows = max_pos // tile + 3
+    if n_rows * tile * 12 > max_bytes:
+        raise ValueError(
+            "keys too skewed for the hashed layout in a "
+            f"{key_bits}-bit keyspace (n={n}); use the tiled/routed probe"
+        )
+    # one contiguous sentinel fill (column-strided fills cost seconds at
+    # 100s of MB). The sentinel taxon is therefore -1, which is safe: a
+    # sentinel row can only key-match an all-ones garbage query, and the
+    # probe's max(taxon, 0) reduction absorbs negative taxa into a miss.
+    table = np.full((n_rows * tile, 3), 0xFFFFFFFF, np.uint32)
+    table[pos, 0] = (keys >> np.uint64(32)).astype(np.uint32)
+    table[pos, 1] = keys.astype(np.uint32)
+    table[pos, 2] = np.asarray(taxa, np.int32).view(np.uint32)
+    return table.reshape(n_rows, tile, 3), tile, bits
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def lookup_taxa_hashed(
+    table: jnp.ndarray, q: U64, tile: int, bits: int, key_bits: int = 62
+) -> jnp.ndarray:
+    """Routerless lookup against a build_hashed table: two INDEPENDENT
+    contiguous row gathers per query (depth-1 chain), full-key equality,
+    misses return 0."""
+    shape = q.hi.shape
+    qh = q.hi.reshape(-1)
+    ql = q.lo.reshape(-1)
+    h = u64.shr(U64(qh, ql), key_bits - bits).lo.astype(jnp.int32)
+    row = h // tile
+    r0 = table[row]
+    r1 = table[row + 1]
+    kh = jnp.concatenate([r0[:, :, 0], r1[:, :, 0]], axis=1)
+    kl = jnp.concatenate([r0[:, :, 1], r1[:, :, 1]], axis=1)
+    tx = jnp.concatenate([r0[:, :, 2], r1[:, :, 2]], axis=1).view(jnp.int32)
+    eq = (kh == qh[:, None]) & (kl == ql[:, None])
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    # an all-ones garbage query can key-match ONLY sentinel slots (taxon -1);
+    # if every compared lane is sentinel the 0 never enters the max
+    return jnp.maximum(taxon, 0).reshape(shape)
+
+
 def compact_span_queries(wm, cap: int):
     """Compact a batch's span-start minimizers into a [cap] query buffer.
 

@@ -309,6 +309,8 @@ def test_probe_and_transfer_variants_identical(rng):
         dict(probe="bucketed", packed_transfer=True),
         dict(probe="tiled", packed_transfer=False),
         dict(probe="tiled", packed_transfer=True),
+        dict(probe="hashed", packed_transfer=False),
+        dict(probe="hashed", packed_transfer=True),
     ):
         got = Classifier(idx, **kw).classify(frags, cpar)
         for conf in cpar.thresholds:
@@ -362,6 +364,11 @@ def test_bucketed_lookup_matches_routed(rng):
         lookup_ops.lookup_taxa_tiled(table, idx.device_router, qv, tile, idx.router_bits)
     )
     assert np.array_equal(routed, tiled)
+    htab, htile, hbits = idx.device_hashed
+    hashed = np.asarray(
+        lookup_ops.lookup_taxa_hashed(htab, qv, htile, hbits, idx.key_bits)
+    )
+    assert np.array_equal(routed, hashed)
 
 
 def test_compact_hits_rounds_matches_sort(rng):
