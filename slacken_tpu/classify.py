@@ -30,6 +30,7 @@ import numpy as np
 from .index import KeyValueIndex
 from .ops import encode
 from .ops import lookup as lookup_ops
+from .ops import rle as rle_ops
 from .ops import u64
 from .ops import u128 as u128_mod
 from .ops.minimizers import MinimizerParams, window_minimizers
@@ -413,6 +414,9 @@ class _BatchResult:
     overflow: np.ndarray
     hit_taxa: np.ndarray  # [B, T]
     hit_counts: np.ndarray  # [B, T]
+    #: device RLE bundle of window_taxa (ops.rle) when detailed output is on
+    #: and the backend benefits from compact d2h transfers; None otherwise
+    window_rle: Optional[object] = None
 
 
 class Classifier:
@@ -490,6 +494,15 @@ class Classifier:
         #: set per call by the detailed-output paths (window_taxa is only
         #: fetched to host when per-read lines are produced)
         self._fetch_window_taxa = False
+        #: compact the window_taxa d2h transfer with device RLE (ops.rle):
+        #: the [B, L] dense transfer is detailed mode's measured bottleneck
+        #: on TPU (STATUS.md), while on the CPU backend the "transfer" is
+        #: free and RLE only adds work
+        env_rle = os.environ.get("STPU_WT_RLE")
+        if env_rle is not None:
+            self._wt_rle = env_rle == "1"
+        else:
+            self._wt_rle = jax.default_backend() != "cpu"
         with jax.ensure_compile_time_eval():
             self._router_dummy = jnp.zeros(2, jnp.int32)
 
@@ -629,6 +642,15 @@ class Classifier:
         idx = self.index
         n = len(titles)
         k = idx.params.k
+        window_rle = None
+        if self._fetch_window_taxa and self._wt_rle:
+            # dispatch the RLE compaction now (async) so it runs while the
+            # host blocks on hostpack below; _hit_pairs fetches the compact
+            # bundle instead of the dense [B, L] array
+            window_rle = rle_ops.encode_rows(
+                window_taxa,
+                window_taxa.shape[0] * rle_ops.DEFAULT_RUNS_PER_ROW,
+            )
         # ONE device->host transfer for all the scalar-per-read outputs
         # (see _host_bundle); window_taxa stays device-lazy
         hp = np.asarray(hostpack)[:n]
@@ -662,6 +684,7 @@ class Classifier:
             overflow=hp[:, 3] != 0,
             hit_taxa=ch.taxa,  # device; rarely needed on host
             hit_counts=ch.counts,
+            window_rle=window_rle,
         )
 
     def _rows_target(self, bucket: int) -> int:
@@ -833,7 +856,17 @@ class Classifier:
             return cached
         n = len(batch.titles)
         k = self.index.params.k
-        wt_host = np.asarray(batch.window_taxa)[:n]
+        wt_host = None
+        if batch.window_rle is not None:
+            B, L = batch.window_taxa.shape
+            dense = rle_ops.decode_rows(
+                np.asarray(batch.window_rle), B, L,
+                B * rle_ops.DEFAULT_RUNS_PER_ROW,
+            )
+            if dense is not None:
+                wt_host = dense[:n]
+        if wt_host is None:
+            wt_host = np.asarray(batch.window_taxa)[:n]
         from . import native
 
         splits = np.array([-1 if s is None else s for s in batch.mate_split], np.int64)

@@ -428,3 +428,58 @@ def test_stream_detailed_lines_match_api(rng, tmp_path):
             ).read().splitlines()
             want = [r.output_line() for r in api[th] if r.sample_id == s]
             assert got == want, (th, s)
+
+
+def test_window_rle_roundtrip(rng):
+    """ops.rle encode/decode must reconstruct window_taxa exactly, never let
+    runs cross row boundaries, and flag cap overflow instead of corrupting."""
+    import jax.numpy as jnp
+    from slacken_tpu.ops import rle as rle_ops
+
+    B, L = 16, 40
+    # runs within rows, including a value continuing across a row boundary
+    wt = np.zeros((B, L), np.int32)
+    wt[:, 10:20] = 7
+    wt[3, :] = 7  # row 3 ends with 7, row 4 starts with 0 then 7
+    wt[5, 25:] = -3
+    cap = B * rle_ops.DEFAULT_RUNS_PER_ROW
+    bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
+    dense = rle_ops.decode_rows(bundle, B, L, cap)
+    assert dense is not None and np.array_equal(dense, wt)
+    nruns = bundle[1 : 1 + B]
+    assert nruns[3] == 1 and nruns.sum() == bundle[0]
+
+    # random rows fuzz
+    wt = rng.integers(0, 3, (B, L)).astype(np.int32)
+    bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
+    dense = rle_ops.decode_rows(bundle, B, L, cap)
+    if dense is not None:
+        assert np.array_equal(dense, wt)
+
+    # forced overflow: every position a distinct run
+    wt = np.arange(B * L, dtype=np.int32).reshape(B, L)
+    bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
+    assert rle_ops.decode_rows(bundle, B, L, cap) is None
+
+
+def test_detailed_output_rle_identical(rng, monkeypatch):
+    """Per-read detailed output must be byte-identical with the RLE
+    window-taxa transfer forced on vs off (classify.py _hit_pairs)."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(25):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.4:
+            chars = list(seq)
+            for p in rng.integers(0, len(seq), 3):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        frags.append(Fragment(f"read{i}", seq))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+
+    monkeypatch.setenv("STPU_WT_RLE", "0")
+    base = Classifier(idx).classify(frags, cpar)
+    monkeypatch.setenv("STPU_WT_RLE", "1")
+    got = Classifier(idx).classify(frags, cpar)
+    for conf in cpar.thresholds:
+        assert base[conf] == got[conf]
