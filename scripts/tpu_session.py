@@ -1105,10 +1105,8 @@ def exp_bench2():
     return out
 
 
-@guard("e2e2")
-def exp_e2e2():
-    """Host pipeline e2e with the tiled probe and bigger batches."""
-    ensure_index()
+def _e2e_reads():
+    """10k real + 10k simulated reads, 4x replicated (the bench workload)."""
     from slacken_tpu import native
     from slacken_tpu.inputs import packed_reads_from_file
     from slacken_tpu.ops import encode as enc
@@ -1137,7 +1135,14 @@ def exp_e2e2():
             )
         )
     packed = (packed + sim) * 4
-    n_reads = sum(len(p) for p in packed)
+    return packed, sum(len(p) for p in packed)
+
+
+@guard("e2e2")
+def exp_e2e2():
+    """Host pipeline e2e with the tiled probe and bigger batches."""
+    ensure_index()
+    packed, n_reads = _e2e_reads()
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
     out = {"n_reads": n_reads}
     for label, bp, kw in (
@@ -1174,6 +1179,49 @@ def exp_e2e2():
     return out
 
 
+@guard("e2e3")
+def exp_e2e3():
+    """Round-2 late additions: the routerless hashed probe e2e, and detailed
+    mode with the device-RLE window-taxa transfer (on vs off)."""
+    import os
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for label, kw in (
+        ("hashed_4M", dict(probe="hashed", packed_transfer=True)),
+        ("tiled_4M", dict(probe="tiled", packed_transfer=True)),
+    ):
+        cls = Classifier(IDX, target_batch_bp=1 << 22, **kw)
+        cls.classify_packed(packed[:2], cpar)  # warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            cls.classify_packed(packed, cpar)
+            best = max(best, n_reads / (time.time() - t0))
+        out[f"{label}_reads_s"] = round(best)
+
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    for label, rle_flag in (("rle", "1"), ("dense", "0")):
+        os.environ["STPU_WT_RLE"] = rle_flag
+        cls = Classifier(
+            IDX, target_batch_bp=1 << 22, probe="tiled", packed_transfer=True
+        )
+        loc = tempfile.mkdtemp(prefix="stpu_e2e3_")
+        try:
+            cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/run", dpar)
+            out[f"detailed_{label}_reads_s"] = round(n_reads / (time.time() - t0))
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_WT_RLE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1194,6 +1242,7 @@ if __name__ == "__main__":
         "e2e2": exp_e2e2,
         "bench2": exp_bench2,
         "components4": exp_components4,
+        "e2e3": exp_e2e3,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

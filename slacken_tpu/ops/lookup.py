@@ -308,76 +308,94 @@ def lookup_taxa_tiled(
 # ---------------------------------------------------------------------------
 
 
+def _xorshift64_np(x: "np.ndarray") -> "np.ndarray":
+    """Bijective xorshift64 mix (Marsaglia shift triple 13/7/17): makes the
+    top bits of canonical m-mer keys uniform. Canonical keys min(fw, rc) are
+    VALUE-biased toward the low half of the keyspace (density 2(1-x)), which
+    would otherwise force oversized hashed tables; mixing low-bit entropy
+    upward removes the bias without a multiply (TPU u64s are u32 limb pairs,
+    so shift/xor is ~1 op/limb while 64-bit multiplies are emulated)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x << np.uint64(13)
+    x ^= x >> np.uint64(7)
+    x ^= x << np.uint64(17)
+    return x
+
+
+def _xorshift64_u64(x: U64) -> U64:
+    x = u64.bxor(x, u64.shl(x, 13))
+    x = u64.bxor(x, u64.shr(x, 7))
+    return u64.bxor(x, u64.shl(x, 17))
+
+
 def build_hashed(
     keys: np.ndarray, taxa: np.ndarray, key_bits: int = 62, tile: int = 16
 ):
-    """Place the sorted keys at bounded displacement from the home slot
-    implied by their own top bits, eliminating the router (and its gather).
+    """Place xorshift-scrambled keys at bounded displacement from the home
+    slot implied by their scrambled top bits, eliminating the router (and
+    its gather).
 
-    The XOR toggle scrambles minimizer priorities uniformly, so
-    h = key >> (key_bits - bits) is already a uniform hash AND nondecreasing
-    over the sorted array. Linear-probing placement over sorted hashes is the
-    vectorised "parking" scan pos = cummax(h - i) + i; slots (= 2^bits) and
-    `tile` grow until every key satisfies the 2-row coverage bound
-    disp <= 2*tile - 1 - (h % tile), i.e. the rows h//tile and h//tile + 1
-    always contain the key. Lookup is then TWO independent row gathers —
-    versus the tiled probe's router gather + 2 row gathers in a 2-deep
-    dependent chain, at a memory cost of ~(slots/n)x the flat arrays.
+    The scramble is bijective, so equality on scrambled values is equality
+    on keys, and its output is uniform, so h = key' >> (64 - bits) is a good
+    hash. Sorting by key' makes h nondecreasing; linear-probing placement
+    over sorted hashes is then the vectorised "parking" scan
+    pos = cummax(h - i) + i. `tile` (then slot count) grows until every key
+    satisfies the 2-row coverage bound disp <= 2*tile - 1 - (h % tile),
+    i.e. the rows h//tile and h//tile + 1 always contain the key. Lookup is
+    TWO independent row gathers — versus the tiled probe's router gather +
+    2 row gathers in a 2-deep dependent chain — at a memory cost of
+    ~(slots/n)x the flat arrays (typically ~2x at the default load <= 0.5).
 
-    Returns (table [n_rows, tile, 3] uint32 (hi, lo, taxon), tile, bits).
+    Returns (table [n_rows, tile, 3] uint32 (hi', lo', taxon), tile, bits).
     """
     n = len(keys)
-    keys = np.ascontiguousarray(keys, np.uint64)
+    skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    staxa = np.asarray(taxa, np.int32)[order]
     bits = max(12, int(np.ceil(np.log2(max(n, 2)))) + 1)
-    bits = min(bits, key_bits)
-    # uniformity guard: keys clustered in a tiny fraction of the declared
-    # keyspace (e.g. a wrong key_bits) would grow slots/tile without bound
-    max_bytes = max(64 * 12 * max(n, 1), 1 << 26)
+    # the scramble guarantees near-uniform hashes, so a blowout can only
+    # mean adversarial inputs; cap the search (<=30 keeps h in int32)
+    max_bits = min(30, bits + 6)
     if n == 0:
         pos = np.zeros(0, np.int64)
     else:
         ar = np.arange(n, dtype=np.int64)
         while True:
-            h = (keys >> np.uint64(key_bits - bits)).astype(np.int64)
+            h = (skeys >> np.uint64(64 - bits)).astype(np.int64)
             pos = np.maximum.accumulate(h - ar) + ar
             disp = pos - h
-            # smallest power-of-two tile (>= `tile`) covering every key with
-            # the two fetched rows: disp + (h % tile) <= 2*tile - 1
+            # smallest power-of-two tile (>= requested) covering every key
+            # with the two fetched rows: disp + (h % tile) <= 2*tile - 1
             found = False
             t = tile
-            while t <= 128 or (bits >= key_bits and t <= (1 << 24)):
+            while t <= 128:
                 if int(np.max(disp + (h & (t - 1)))) <= 2 * t - 1:
                     tile = t
                     found = True
                     break
                 t *= 2
-            if found:
+            if found or bits >= max_bits:
                 break
-            if bits < key_bits:
-                bits += 1
-            else:
-                raise ValueError(
-                    "keys too skewed for the hashed layout in a "
-                    f"{key_bits}-bit keyspace (n={n}); use the tiled/routed probe"
-                )
-    # size by the last occupied slot only: query hashes beyond it clamp into
-    # the trailing sentinel rows (such keys exceed every stored key, so a
-    # miss is correct), which keeps dense-keyspace tables compact
+            bits += 1
+        if not found:
+            raise ValueError(
+                f"hashed layout did not converge (n={n}); "
+                "use the tiled/routed probe"
+            )
+    # size by the last occupied slot only: query hashes beyond it clamp
+    # (jax gather) into the trailing sentinel rows, a correct miss
     max_pos = int(pos[-1]) if n else 0
     n_rows = max_pos // tile + 3
-    if n_rows * tile * 12 > max_bytes:
-        raise ValueError(
-            "keys too skewed for the hashed layout in a "
-            f"{key_bits}-bit keyspace (n={n}); use the tiled/routed probe"
-        )
     # one contiguous sentinel fill (column-strided fills cost seconds at
-    # 100s of MB). The sentinel taxon is therefore -1, which is safe: a
-    # sentinel row can only key-match an all-ones garbage query, and the
-    # probe's max(taxon, 0) reduction absorbs negative taxa into a miss.
+    # 100s of MB). The sentinel taxon is therefore -1, which is safe: the
+    # probe's max(taxon, 0) reduction absorbs negative taxa into a miss,
+    # and a real key whose scramble happens to BE all-ones still wins the
+    # max with its own non-negative taxon.
     table = np.full((n_rows * tile, 3), 0xFFFFFFFF, np.uint32)
-    table[pos, 0] = (keys >> np.uint64(32)).astype(np.uint32)
-    table[pos, 1] = keys.astype(np.uint32)
-    table[pos, 2] = np.asarray(taxa, np.int32).view(np.uint32)
+    table[pos, 0] = (skeys >> np.uint64(32)).astype(np.uint32)
+    table[pos, 1] = skeys.astype(np.uint32)
+    table[pos, 2] = staxa.view(np.uint32)
     return table.reshape(n_rows, tile, 3), tile, bits
 
 
@@ -385,13 +403,15 @@ def build_hashed(
 def lookup_taxa_hashed(
     table: jnp.ndarray, q: U64, tile: int, bits: int, key_bits: int = 62
 ) -> jnp.ndarray:
-    """Routerless lookup against a build_hashed table: two INDEPENDENT
-    contiguous row gathers per query (depth-1 chain), full-key equality,
-    misses return 0."""
+    """Routerless lookup against a build_hashed table: scramble the query
+    (pure ALU), then two INDEPENDENT contiguous row gathers (depth-1 chain),
+    full scrambled-key equality; misses return 0. `key_bits` is unused (the
+    scrambled hash spans the full 64-bit domain) but kept for probe-signature
+    uniformity."""
     shape = q.hi.shape
-    qh = q.hi.reshape(-1)
-    ql = q.lo.reshape(-1)
-    h = u64.shr(U64(qh, ql), key_bits - bits).lo.astype(jnp.int32)
+    sq = _xorshift64_u64(U64(q.hi.reshape(-1), q.lo.reshape(-1)))
+    qh, ql = sq.hi, sq.lo
+    h = u64.shr(sq, 64 - bits).lo.astype(jnp.int32)
     row = h // tile
     r0 = table[row]
     r1 = table[row + 1]
@@ -400,8 +420,8 @@ def lookup_taxa_hashed(
     tx = jnp.concatenate([r0[:, :, 2], r1[:, :, 2]], axis=1).view(jnp.int32)
     eq = (kh == qh[:, None]) & (kl == ql[:, None])
     taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
-    # an all-ones garbage query can key-match ONLY sentinel slots (taxon -1);
-    # if every compared lane is sentinel the 0 never enters the max
+    # a garbage query can key-match ONLY sentinel slots (taxon -1); if every
+    # compared lane is sentinel the 0 never enters the max
     return jnp.maximum(taxon, 0).reshape(shape)
 
 
