@@ -207,6 +207,63 @@ def _host_bundle(num_distinct, ch, res):
     )
 
 
+@jax.jit
+def _finalize_kernel(res, num_distinct, n_hit, n_none, overflow, ambig, req_lut):
+    """Per-threshold confidence resolution ON DEVICE (Classifier.scala:439-467
+    semantics, bit-exact): replaces the [B, 5+2D] host bundle with a
+    [B, 3+nthr] one — the big bundle's path/clade vectors exist only to let
+    the host walk thresholds, and on a slow d2h link (41 MB/s axon tunnel)
+    their ~5.9 MB/batch rivals the whole classify kernel.
+
+    Exactness: the host computes required = ceil_f64(threshold * total).
+    `total` is a small integer, so the host precomputes that f64 expression
+    for EVERY possible total into req_lut [nthr, tmax+1] (int32) — the
+    device then just gathers, reproducing float64 ceil semantics without
+    needing f64 on TPU. `ambig` is the host-side ambiguous pseudo-kmer
+    count per row (cheap, and only N-containing rows are scanned).
+
+    Returns [B, 3+nthr] int32: (num_distinct, total, overflow, taxon per
+    threshold — RAW, i.e. before the min-hit-groups gate, which the host
+    applies so ClassifyParams stays a host concern).
+    """
+    total = n_hit + n_none + ambig  # [B] int32
+    tmax = req_lut.shape[1] - 1
+    req = req_lut[:, jnp.clip(total, 0, tmax)]  # [nthr, B]
+    path, clade = res.path, res.clade  # [B, D]
+    ok = (path != -1)[None] & (clade[None] >= req[:, :, None])  # [nthr, B, D]
+    any_ok = ok.any(-1)
+    d = path.shape[1]
+    # deepest satisfying path position (host: argmax over the reversed row)
+    dsel = d - 1 - jnp.argmax(ok[:, :, ::-1], axis=-1)  # [nthr, B]
+    picked = path[jnp.arange(path.shape[0])[None, :], dsel]
+    taxon = jnp.where(any_ok, picked, NONE)
+    taxon = jnp.where(res.max_taxon[None] == NONE, NONE, taxon)
+    return jnp.concatenate(
+        [
+            num_distinct[:, None],
+            total[:, None],
+            jnp.where(overflow, 1, 0).astype(jnp.int32)[:, None],
+            taxon.T.astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
+def _ambig_array(codes, splits, row_lens, k, n):
+    """[B] int32 ambiguous pseudo-kmer counts (_ambig_kmers per row); only
+    rows whose invalid-char count exceeds pure padding are scanned."""
+    ambig = np.zeros(codes.shape[0], np.int32)
+    bucket = codes.shape[1]
+    n_invalid = (codes[:n] == encode.INVALID).sum(axis=1)
+    suspects = np.flatnonzero(
+        n_invalid
+        > (bucket - np.array(row_lens)) + np.array([s is not None for s in splits])
+    )
+    for i in suspects:
+        ambig[i] = _ambig_kmers(codes[i], splits[i], row_lens[i], k)
+    return ambig
+
+
 def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), key_bits=62):
     """Probe the index once per super-mer span instead of once per window.
 
@@ -408,15 +465,18 @@ class _BatchResult:
     row_lens: List[int]  # true row content length (trailing Ns are content!)
     num_distinct: np.ndarray
     total_kmers: np.ndarray  # valid windows + ambiguous pseudo-kmers
-    res_max_taxon: np.ndarray
-    res_path: np.ndarray
-    res_clade: np.ndarray
+    res_max_taxon: Optional[np.ndarray]  # None when finalised on device
+    res_path: Optional[np.ndarray]
+    res_clade: Optional[np.ndarray]
     overflow: np.ndarray
     hit_taxa: np.ndarray  # [B, T]
     hit_counts: np.ndarray  # [B, T]
     #: device RLE bundle of window_taxa (ops.rle) when detailed output is on
     #: and the backend benefits from compact d2h transfers; None otherwise
     window_rle: Optional[object] = None
+    #: {threshold: raw per-read taxon} computed by _finalize_kernel on
+    #: device (before the min-hit-groups gate); None in legacy host mode
+    final_taxa: Optional[Dict[float, np.ndarray]] = None
 
 
 class Classifier:
@@ -494,15 +554,18 @@ class Classifier:
         #: set per call by the detailed-output paths (window_taxa is only
         #: fetched to host when per-read lines are produced)
         self._fetch_window_taxa = False
-        #: compact the window_taxa d2h transfer with device RLE (ops.rle):
-        #: the [B, L] dense transfer is detailed mode's measured bottleneck
-        #: on TPU (STATUS.md), while on the CPU backend the "transfer" is
-        #: free and RLE only adds work
-        env_rle = os.environ.get("STPU_WT_RLE")
-        if env_rle is not None:
-            self._wt_rle = env_rle == "1"
-        else:
-            self._wt_rle = jax.default_backend() != "cpu"
+        #: compact the window_taxa d2h transfer with device RLE (ops.rle).
+        #: MEASURED OFF by default: the global-scatter encode costs more
+        #: than the transfer saves even on the 41 MB/s tunnel (detailed e2e
+        #: 16.3k vs 36.7k reads/s, r2_session10) — XLA's TPU scatter at 3M
+        #: updates is the problem, not the idea; opt in with STPU_WT_RLE=1
+        self._wt_rle = os.environ.get("STPU_WT_RLE") == "1"
+        #: thresholds for on-device finalisation (set per call from cpar by
+        #: the high-level entry points); None => legacy host finalize with
+        #: the full path/clade bundle. STPU_DEVICE_FINALIZE=0 forces legacy.
+        self._finalize_thresholds: Optional[Tuple[float, ...]] = None
+        self._device_finalize = os.environ.get("STPU_DEVICE_FINALIZE", "1") == "1"
+        self._req_lut_cache: Dict[tuple, object] = {}
         with jax.ensure_compile_time_eval():
             self._router_dummy = jnp.zeros(2, jnp.int32)
 
@@ -583,14 +646,10 @@ class Classifier:
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
-                window_taxa, _, ch, _, hostpack = _classify_kernel_packed_wide(
-                    packed, valid, *common
-                )
+                outs = _classify_kernel_packed_wide(packed, valid, *common)
             else:
-                window_taxa, _, ch, _, hostpack = _classify_kernel_wide(
-                    codes, *common
-                )
-            return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
+                outs = _classify_kernel_wide(codes, *common)
+            return self._post_dispatch(outs, codes, titles, splits, row_lens)
         if self._probe_static[0] in ("tiled", "hashed"):
             hashed = self._probe_static[0] == "hashed"
             common = (
@@ -606,14 +665,10 @@ class Classifier:
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
-                window_taxa, _, ch, _, hostpack = _classify_kernel_packed_tiled(
-                    packed, valid, *common
-                )
+                outs = _classify_kernel_packed_tiled(packed, valid, *common)
             else:
-                window_taxa, _, ch, _, hostpack = _classify_kernel_tiled(
-                    codes, *common
-                )
-            return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
+                outs = _classify_kernel_tiled(codes, *common)
+            return self._post_dispatch(outs, codes, titles, splits, row_lens)
         common = (
             self._dev_keys.hi,
             self._dev_keys.lo,
@@ -629,62 +684,109 @@ class Classifier:
         )
         if self._packed_transfer and bucket % 8 == 0:
             packed, valid = encode.pack_2bit(codes)
-            window_taxa, _, ch, _, hostpack = _classify_kernel_packed(
-                packed, valid, *common
-            )
+            outs = _classify_kernel_packed(packed, valid, *common)
         else:
-            window_taxa, _, ch, _, hostpack = _classify_kernel(codes, *common)
-        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
+            outs = _classify_kernel(codes, *common)
+        return self._post_dispatch(outs, codes, titles, splits, row_lens)
+
+    def _req_lut(self, thresholds: Tuple[float, ...], tmax: int):
+        """Device [nthr, tmax+1] int32 table of ceil_f64(t * total) for every
+        possible integer total — the exact host expression, precomputed."""
+        key = (thresholds, tmax)
+        lut = self._req_lut_cache.get(key)
+        if lut is None:
+            totals = np.arange(tmax + 1, dtype=np.float64)
+            lut = jnp.asarray(
+                np.stack([np.ceil(t * totals) for t in thresholds]).astype(
+                    np.int32
+                )
+            )
+            self._req_lut_cache[key] = lut
+        return lut
+
+    def _post_dispatch(self, outs, codes, titles, splits, row_lens):
+        """Attach either the device-finalised [B, 3+nthr] bundle (thresholds
+        known up front — the production paths) or the legacy full host
+        bundle to the dispatched batch."""
+        window_taxa, num_distinct, ch, res, hostpack = outs
+        if self._finalize_thresholds is not None and self._device_finalize:
+            ambig = _ambig_array(
+                codes, splits, row_lens, self.index.params.k, len(titles)
+            )
+            lut = self._req_lut(self._finalize_thresholds, codes.shape[1])
+            pack = _finalize_kernel(
+                res,
+                num_distinct,
+                ch.n_hit_kmers,
+                ch.n_none_kmers,
+                ch.overflow,
+                jnp.asarray(ambig),
+                lut,
+            )
+            return (window_taxa, ch, pack, codes, titles, splits, row_lens, True)
+        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens, False)
 
     def _harvest(self, dispatched) -> _BatchResult:
-        window_taxa, ch, hostpack, codes, titles, splits, row_lens = dispatched
-        bucket = codes.shape[1]
+        window_taxa, ch, pack, codes, titles, splits, row_lens, devfin = dispatched
         idx = self.index
         n = len(titles)
         k = idx.params.k
         window_rle = None
         if self._fetch_window_taxa and self._wt_rle:
             # dispatch the RLE compaction now (async) so it runs while the
-            # host blocks on hostpack below; _hit_pairs fetches the compact
+            # host blocks on the bundle below; _hit_pairs fetches the compact
             # bundle instead of the dense [B, L] array
             window_rle = rle_ops.encode_rows(
                 window_taxa,
                 window_taxa.shape[0] * rle_ops.DEFAULT_RUNS_PER_ROW,
             )
-        # ONE device->host transfer for all the scalar-per-read outputs
-        # (see _host_bundle); window_taxa stays device-lazy
-        hp = np.asarray(hostpack)[:n]
-        d = self.max_path
-        # ambiguous pseudo-kmer accounting: only rows that actually contain
-        # invalid bases inside their content need the run scan
-        total = (hp[:, 1] + hp[:, 2]).astype(np.int64)
-        n_invalid = (codes[:n] == encode.INVALID).sum(axis=1)
-        for i in np.flatnonzero(
-            n_invalid
-            > (bucket - np.array(row_lens)) + np.array([s is not None for s in splits])
-        ):
-            total[i] += _ambig_kmers(codes[i], splits[i], row_lens[i], k)
-
-        # NOTE: an eager window_taxa.copy_to_host_async() here was measured
-        # COUNTERPRODUCTIVE on the axon tunnel (detailed e2e 41.5k -> 18.2k
-        # reads/s, r2_session9): the link is serial at ~41 MB/s d2h, so the
-        # early 16 MB copy stalls the next batch's dispatch instead of
-        # overlapping. Leave the transfer lazy (_hit_pairs fetches on use).
-        return _BatchResult(
+        # ONE device->host transfer for all the scalar-per-read outputs;
+        # window_taxa stays device-lazy
+        common = dict(
             titles=titles,
             window_taxa=window_taxa,  # device array; transferred lazily
             codes=codes[:n],
             mate_split=splits,
             row_lens=row_lens,
+            hit_taxa=ch.taxa,  # device; rarely needed on host
+            hit_counts=ch.counts,
+            window_rle=window_rle,
+        )
+        # NOTE: an eager window_taxa.copy_to_host_async() here was measured
+        # COUNTERPRODUCTIVE on the axon tunnel (detailed e2e 41.5k -> 18.2k
+        # reads/s, r2_session9): the link is serial at ~41 MB/s d2h, so the
+        # early 16 MB copy stalls the next batch's dispatch instead of
+        # overlapping. Leave the transfer lazy (_hit_pairs fetches on use).
+        if devfin:
+            fb = np.asarray(pack)[:n]
+            thresholds = self._finalize_thresholds
+            return _BatchResult(
+                num_distinct=fb[:, 0],
+                total_kmers=fb[:, 1].astype(np.int64),
+                res_max_taxon=None,
+                res_path=None,
+                res_clade=None,
+                overflow=fb[:, 2] != 0,
+                final_taxa={
+                    t: fb[:, 3 + i].astype(np.int64)
+                    for i, t in enumerate(thresholds)
+                },
+                **common,
+            )
+        hp = np.asarray(pack)[:n]
+        d = self.max_path
+        # ambiguous pseudo-kmer accounting (device finalize folds this into
+        # the bundle's total column via _ambig_array instead)
+        total = (hp[:, 1] + hp[:, 2]).astype(np.int64)
+        total += _ambig_array(codes, splits, row_lens, k, n)[:n]
+        return _BatchResult(
             num_distinct=hp[:, 0],
             total_kmers=total,
             res_max_taxon=hp[:, 4],
             res_path=hp[:, 5 : 5 + d],
             res_clade=hp[:, 5 + d : 5 + 2 * d],
             overflow=hp[:, 3] != 0,
-            hit_taxa=ch.taxa,  # device; rarely needed on host
-            hit_counts=ch.counts,
-            window_rle=window_rle,
+            **common,
         )
 
     def _rows_target(self, bucket: int) -> int:
@@ -803,6 +905,7 @@ class Classifier:
 
     def classify_packed(self, packed_iter, cpar: ClassifyParams):
         self._fetch_window_taxa = bool(cpar.per_read_output)
+        self._finalize_thresholds = tuple(cpar.thresholds)
         results: Dict[float, List[ClassifiedRead]] = {t: [] for t in cpar.thresholds}
         for batch in self.packed_batches(packed_iter):
             for t in cpar.thresholds:
@@ -891,6 +994,7 @@ class Classifier:
         generalising the reference's multi-threshold cache,
         Classifier.scala:156-170). Results preserve input order."""
         self._fetch_window_taxa = bool(cpar.per_read_output)
+        self._finalize_thresholds = tuple(cpar.thresholds)
         acc: Dict[float, List] = {t: [] for t in cpar.thresholds}
         for batch, positions in self.batches(fragments):
             for t in cpar.thresholds:
@@ -918,6 +1022,7 @@ class Classifier:
         device results arrive (constant memory; writing overlaps the next
         batch's device compute via the double-buffered batcher)."""
         self._fetch_window_taxa = True
+        self._finalize_thresholds = tuple(cpar.thresholds)
         writers: Dict[tuple, object] = {}
         counts: Dict[float, Dict[str, Dict[int, int]]] = {t: {} for t in cpar.thresholds}
 
@@ -992,6 +1097,8 @@ class Classifier:
         return out
 
     def _aggregate_and_write(self, packed_iter, output_location, cpar):
+        self._fetch_window_taxa = False
+        self._finalize_thresholds = tuple(cpar.thresholds)
         counts: Dict[float, Dict[str, Dict[int, int]]] = {
             t: {} for t in cpar.thresholds
         }
@@ -1042,6 +1149,24 @@ class Classifier:
 
     def _finalize_taxa(self, batch: _BatchResult, threshold: float, cpar: ClassifyParams):
         """Vectorised (taxon, classified) for one threshold (no objects)."""
+        if batch.final_taxa is not None and threshold in batch.final_taxa:
+            # resolved on device (_finalize_kernel); only the rare hit-table
+            # overflow rows and the min-hit-groups gate stay host-side
+            taxon = batch.final_taxa[threshold]
+            overflow_rows = np.flatnonzero(batch.overflow)
+            if len(overflow_rows):
+                taxon = taxon.copy()
+                required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
+                parents = self.index.taxonomy.parents
+                wt_host = np.asarray(batch.window_taxa)
+                for i in overflow_rows:
+                    taxon[i] = _resolve_host(
+                        parents, _window_taxa_counts(wt_host[i]), required[i]
+                    )
+            classified = (taxon != NONE) & (
+                batch.num_distinct >= cpar.min_hit_groups
+            )
+            return taxon, classified
         required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
         path = batch.res_path
         clade = batch.res_clade

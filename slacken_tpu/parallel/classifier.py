@@ -99,10 +99,15 @@ class MeshClassifier(Classifier):
         if codes.shape[0] < b_fixed:
             pad = np.full((b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8)
             codes = np.concatenate([codes, pad], axis=0)
-        window_taxa, _, ch, _, hostpack, _counts = self._mesh_fn(
+        window_taxa, num_distinct, ch, res, hostpack, _counts = self._mesh_fn(
             codes, *self._mesh_args
         )
-        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens)
+        # shared post-dispatch: device finalize (thresholds known) or the
+        # legacy full host bundle — identical glue to the single-chip path
+        return self._post_dispatch(
+            (window_taxa, num_distinct, ch, res, hostpack),
+            codes, titles, splits, row_lens,
+        )
 
 
 def make_classifier(

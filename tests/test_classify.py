@@ -483,3 +483,34 @@ def test_detailed_output_rle_identical(rng, monkeypatch):
     got = Classifier(idx).classify(frags, cpar)
     for conf in cpar.thresholds:
         assert base[conf] == got[conf]
+
+
+def test_device_finalize_matches_host(rng, monkeypatch):
+    """The device _finalize_kernel (required-LUT + path walk) must produce
+    exactly the host _finalize_taxa results, including hit-table-overflow
+    rows (forced with max_taxa_per_read=2), paired reads, N runs, and the
+    min-hit-groups gate."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(40):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.4:
+            chars = list(seq)
+            for p in rng.integers(0, len(seq), int(rng.integers(1, 8))):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        if rng.random() < 0.3:
+            _, seq2 = sample_read(rng, genomes)
+            frags.append(Fragment(f"read{i}", seq, seq2))
+        else:
+            frags.append(Fragment(f"read{i}", seq))
+    for mhg, max_taxa in ((1, 32), (2, 32), (1, 2)):
+        cpar = ClassifyParams(
+            thresholds=[0.0, 0.05, 0.31], min_hit_groups=mhg
+        )
+        monkeypatch.setenv("STPU_DEVICE_FINALIZE", "0")
+        legacy = Classifier(idx, max_taxa_per_read=max_taxa).classify(frags, cpar)
+        monkeypatch.setenv("STPU_DEVICE_FINALIZE", "1")
+        dev = Classifier(idx, max_taxa_per_read=max_taxa).classify(frags, cpar)
+        for conf in cpar.thresholds:
+            assert legacy[conf] == dev[conf], (mhg, max_taxa, conf)
