@@ -1222,6 +1222,144 @@ def exp_e2e3():
     return out
 
 
+@guard("probe3")
+def exp_probe3():
+    """Pure lookup throughput of the single-gather hashed probe (tile16
+    auto-bits and tile32 bits-1 variants) vs the tiled probe."""
+    ensure_queries()
+    nq = lookup_ops.span_query_cap(8192 * 128)
+    out = {"n_queries": nq}
+    qh, ql = QUERIES.hi, QUERIES.lo
+    router = IDX.device_router
+    table, tile = IDX.device_tiled
+    jax.block_until_ready(table)
+
+    def dep(c):
+        return (c & 1).astype(jnp.uint32)
+
+    def tiled_step(i, c):
+        r = lookup_ops.lookup_taxa_tiled(
+            table, router, u64.U64(qh, ql ^ dep(c)), tile, IDX.router_bits
+        )
+        return r.sum()
+
+    per = timeit_loop(tiled_step, jnp.int32(0), R=8)
+    out["tiled_Mq_s"] = round(nq / per / 1e6, 2)
+
+    r_tiled = lookup_ops.lookup_taxa_tiled(table, router, QUERIES, tile, IDX.router_bits)
+    auto = lookup_ops.build_hashed(IDX.keys, IDX.taxa, IDX.key_bits)
+    # one fewer hash bit: half the slots/memory, double the fetch width
+    low = lookup_ops.build_hashed(IDX.keys, IDX.taxa, IDX.key_bits, bits=auto[2] - 1)
+    for label, (htab, htile, hbits) in (("t16", auto), ("t32", low)):
+        htab = jnp.asarray(htab)
+        jax.block_until_ready(htab)
+        out[f"hashed_{label}_tile"] = htile
+        out[f"hashed_{label}_bits"] = hbits
+        out[f"hashed_{label}_MB"] = round(htab.nbytes / 1e6, 1)
+
+        def hashed_step(i, c, htab=htab, htile=htile, hbits=hbits):
+            r = lookup_ops.lookup_taxa_hashed(
+                htab, u64.U64(qh, ql ^ dep(c)), htile, hbits, IDX.key_bits
+            )
+            return r.sum()
+
+        per = timeit_loop(hashed_step, jnp.int32(0), R=8)
+        out[f"hashed_{label}_Mq_s"] = round(nq / per / 1e6, 2)
+        r_h = lookup_ops.lookup_taxa_hashed(htab, QUERIES, htile, hbits, IDX.key_bits)
+        out[f"hashed_{label}_matches"] = bool(
+            np.array_equal(np.asarray(r_tiled), np.asarray(r_h))
+        )
+    return out
+
+
+@guard("kernel3")
+def exp_kernel3():
+    """Dense-probe classify kernel B sweep: locate the tiled/hashed XLA
+    shape cliff seen in r2_session10 (hashed 2.7x faster at B=8192, 2x
+    slower at B=32768)."""
+    ensure_index()
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    router = IDX.device_router
+    ttab, tile = IDX.device_tiled
+    htab, htile, hbits = IDX.device_hashed
+    jax.block_until_ready(htab)
+    out = {"tile": tile, "h_tile": htile, "h_bits": hbits}
+    codes_h = np.asarray(CODES_RES)
+
+    from slacken_tpu.classify import _classify_kernel_tiled
+
+    for b in (8192, 16384, 32768, 65536):
+        reps = -(-b // 8192)
+        cd = jax.device_put(np.concatenate([codes_h] * reps)[:b])
+        jax.block_until_ready(cd)
+
+        def t_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, ttab, router, table_tax, mp, 32, IDX.router_bits,
+                ("tiled", tile, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(t_step, jnp.int32(0), R=4)
+        out[f"B{b}_tiled_dense_reads_s"] = round(b / per)
+
+        def h_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, htab, router, table_tax, mp, 32, 0,
+                ("hashed", htile, hbits, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(h_step, jnp.int32(0), R=4)
+        out[f"B{b}_hashed_dense_reads_s"] = round(b / per)
+    return out
+
+
+@guard("e2e4")
+def exp_e2e4():
+    """Reports-mode e2e with device finalize (now default): batch-bp sweep x
+    probe, plus detailed mode at the best batch size."""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    best = (0.0, None)
+    for probe in ("tiled", "hashed"):
+        for bp in (1 << 20, 1 << 21, 1 << 22):
+            cls = Classifier(
+                IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
+            )
+            cls.classify_packed(packed[:2], cpar)  # warm
+            rate = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                cls.classify_packed(packed, cpar)
+                rate = max(rate, n_reads / (time.time() - t0))
+            out[f"{probe}_{bp >> 20}M_reads_s"] = round(rate)
+            if rate > best[0]:
+                best = (rate, (probe, bp))
+
+    probe, bp = best[1]
+    out["best"] = f"{probe}_{bp >> 20}M"
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    cls = Classifier(IDX, target_batch_bp=bp, probe=probe, packed_transfer=True)
+    loc = tempfile.mkdtemp(prefix="stpu_e2e4_")
+    try:
+        cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
+        t0 = time.time()
+        cls.classify_and_write_packed(packed, loc + "/run", dpar)
+        out["detailed_best_reads_s"] = round(n_reads / (time.time() - t0))
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1243,6 +1381,9 @@ if __name__ == "__main__":
         "bench2": exp_bench2,
         "components4": exp_components4,
         "e2e3": exp_e2e3,
+        "probe3": exp_probe3,
+        "kernel3": exp_kernel3,
+        "e2e4": exp_e2e4,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

@@ -535,9 +535,9 @@ class KeyValueIndex:
 
     @property
     def device_hashed(self):
-        """(routerless hashed [n_rows, tile, 3] uint32 table, tile, hash
-        bits) for lookup_taxa_hashed: two independent row gathers per query
-        instead of the tiled probe's router + 2-row dependent chain."""
+        """(routerless hashed [n_slots, 3] uint32 table, tile, hash bits)
+        for lookup_taxa_hashed: ONE unaligned [tile, 3] slice gather per
+        query instead of the tiled probe's router + 2-row dependent chain."""
         if getattr(self, "_device_hashed", None) is None:
             if self.wide:
                 raise NotImplementedError("hashed probe requires m <= 31")

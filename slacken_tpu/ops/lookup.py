@@ -329,7 +329,11 @@ def _xorshift64_u64(x: U64) -> U64:
 
 
 def build_hashed(
-    keys: np.ndarray, taxa: np.ndarray, key_bits: int = 62, tile: int = 16
+    keys: np.ndarray,
+    taxa: np.ndarray,
+    key_bits: int = 62,
+    tile: int = 16,
+    bits=None,
 ):
     """Place xorshift-scrambled keys at bounded displacement from the home
     slot implied by their scrambled top bits, eliminating the router (and
@@ -339,21 +343,27 @@ def build_hashed(
     on keys, and its output is uniform, so h = key' >> (64 - bits) is a good
     hash. Sorting by key' makes h nondecreasing; linear-probing placement
     over sorted hashes is then the vectorised "parking" scan
-    pos = cummax(h - i) + i. `tile` (then slot count) grows until every key
-    satisfies the 2-row coverage bound disp <= 2*tile - 1 - (h % tile),
-    i.e. the rows h//tile and h//tile + 1 always contain the key. Lookup is
-    TWO independent row gathers — versus the tiled probe's router gather +
-    2 row gathers in a 2-deep dependent chain — at a memory cost of
-    ~(slots/n)x the flat arrays (typically ~2x at the default load <= 0.5).
+    pos = cummax(h - i) + i. Slot count (2^bits) grows until every key's
+    displacement fits the fetched slice, disp <= tile - 1; then lookup is
+    ONE unaligned contiguous gather of `tile` slots starting AT the home
+    slot (lax.gather slice, lookup_taxa_hashed) — versus the tiled probe's
+    router gather + two aligned row gathers in a 2-deep dependent chain —
+    at a memory cost of ~(slots/n)x the flat arrays.
 
-    Returns (table [n_rows, tile, 3] uint32 (hi', lo', taxon), tile, bits).
+    `bits` forces the slot count (2^bits) and lets the tile grow instead:
+    fewer, fatter fetches at lower memory. The default grows bits first,
+    keeping the fetch at tile slots (12*tile bytes).
+
+    Returns (table [n_slots, 3] uint32 (hi', lo', taxon), tile, bits).
     """
     n = len(keys)
     skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
     order = np.argsort(skeys)
     skeys = skeys[order]
     staxa = np.asarray(taxa, np.int32)[order]
-    bits = max(12, int(np.ceil(np.log2(max(n, 2)))) + 1)
+    auto_bits = bits is None
+    if auto_bits:
+        bits = max(12, int(np.ceil(np.log2(max(n, 2)))) + 1)
     # the scramble guarantees near-uniform hashes, so a blowout can only
     # mean adversarial inputs; cap the search (<=30 keeps h in int32)
     max_bits = min(30, bits + 6)
@@ -364,39 +374,33 @@ def build_hashed(
         while True:
             h = (skeys >> np.uint64(64 - bits)).astype(np.int64)
             pos = np.maximum.accumulate(h - ar) + ar
-            disp = pos - h
-            # smallest power-of-two tile (>= requested) covering every key
-            # with the two fetched rows: disp + (h % tile) <= 2*tile - 1
-            found = False
-            t = tile
-            while t <= 128:
-                if int(np.max(disp + (h & (t - 1)))) <= 2 * t - 1:
-                    tile = t
-                    found = True
-                    break
-                t *= 2
-            if found or bits >= max_bits:
+            max_disp = int(np.max(pos - h))
+            if max_disp <= tile - 1:
                 break
-            bits += 1
-        if not found:
-            raise ValueError(
-                f"hashed layout did not converge (n={n}); "
-                "use the tiled/routed probe"
-            )
-    # size by the last occupied slot only: query hashes beyond it clamp
-    # (jax gather) into the trailing sentinel rows, a correct miss
+            if auto_bits and bits < max_bits:
+                bits += 1
+            elif tile < 1 << 12:
+                tile *= 2
+            else:
+                raise ValueError(
+                    f"hashed layout did not converge (n={n}); "
+                    "use the tiled/routed probe"
+                )
+    # `tile` trailing sentinel slots guarantee the CLIP-clamped slice always
+    # covers [pos, pos+1) for top-of-range keys; query hashes beyond the
+    # last occupied slot land entirely in sentinels, a correct miss
     max_pos = int(pos[-1]) if n else 0
-    n_rows = max_pos // tile + 3
+    n_slots = max_pos + tile + 1
     # one contiguous sentinel fill (column-strided fills cost seconds at
     # 100s of MB). The sentinel taxon is therefore -1, which is safe: the
     # probe's max(taxon, 0) reduction absorbs negative taxa into a miss,
     # and a real key whose scramble happens to BE all-ones still wins the
     # max with its own non-negative taxon.
-    table = np.full((n_rows * tile, 3), 0xFFFFFFFF, np.uint32)
+    table = np.full((n_slots, 3), 0xFFFFFFFF, np.uint32)
     table[pos, 0] = (skeys >> np.uint64(32)).astype(np.uint32)
     table[pos, 1] = skeys.astype(np.uint32)
     table[pos, 2] = staxa.view(np.uint32)
-    return table.reshape(n_rows, tile, 3), tile, bits
+    return table, tile, bits
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -404,21 +408,27 @@ def lookup_taxa_hashed(
     table: jnp.ndarray, q: U64, tile: int, bits: int, key_bits: int = 62
 ) -> jnp.ndarray:
     """Routerless lookup against a build_hashed table: scramble the query
-    (pure ALU), then two INDEPENDENT contiguous row gathers (depth-1 chain),
-    full scrambled-key equality; misses return 0. `key_bits` is unused (the
-    scrambled hash spans the full 64-bit domain) but kept for probe-signature
-    uniformity."""
+    (pure ALU), then ONE unaligned contiguous gather of [tile, 3] slots
+    starting at the home slot (depth-0 gather chain — every key sits within
+    tile-1 slots of its home by construction), full scrambled-key equality;
+    misses return 0. `key_bits` is unused (the scrambled hash spans the
+    full 64-bit domain) but kept for probe-signature uniformity."""
     shape = q.hi.shape
     sq = _xorshift64_u64(U64(q.hi.reshape(-1), q.lo.reshape(-1)))
     qh, ql = sq.hi, sq.lo
     h = u64.shr(sq, 64 - bits).lo.astype(jnp.int32)
-    row = h // tile
-    r0 = table[row]
-    r1 = table[row + 1]
-    kh = jnp.concatenate([r0[:, :, 0], r1[:, :, 0]], axis=1)
-    kl = jnp.concatenate([r0[:, :, 1], r1[:, :, 1]], axis=1)
-    tx = jnp.concatenate([r0[:, :, 2], r1[:, :, 2]], axis=1).view(jnp.int32)
-    eq = (kh == qh[:, None]) & (kl == ql[:, None])
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    r = jax.lax.gather(
+        table,
+        h[:, None],
+        dnums,
+        slice_sizes=(tile, 3),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, tile, 3]
+    tx = r[:, :, 2].view(jnp.int32)
+    eq = (r[:, :, 0] == qh[:, None]) & (r[:, :, 1] == ql[:, None])
     taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
     # a garbage query can key-match ONLY sentinel slots (taxon -1); if every
     # compared lane is sentinel the 0 never enters the max
