@@ -732,13 +732,16 @@ class Classifier:
         n = len(titles)
         k = idx.params.k
         window_rle = None
-        if self._fetch_window_taxa and self._wt_rle:
+        if (
+            self._fetch_window_taxa
+            and self._wt_rle
+            and window_taxa.shape[1] < (1 << 16)  # lengths are uint16 pairs
+        ):
             # dispatch the RLE compaction now (async) so it runs while the
             # host blocks on the bundle below; _hit_pairs fetches the compact
             # bundle instead of the dense [B, L] array
             window_rle = rle_ops.encode_rows(
-                window_taxa,
-                window_taxa.shape[0] * rle_ops.DEFAULT_RUNS_PER_ROW,
+                window_taxa, rle_ops.DEFAULT_RUNS_PER_ROW
             )
         # ONE device->host transfer for all the scalar-per-read outputs;
         # window_taxa stays device-lazy
@@ -959,16 +962,18 @@ class Classifier:
             return cached
         n = len(batch.titles)
         k = self.index.params.k
-        wt_host = None
         if batch.window_rle is not None:
-            B, L = batch.window_taxa.shape
-            dense = rle_ops.decode_rows(
-                np.asarray(batch.window_rle), B, L,
-                B * rle_ops.DEFAULT_RUNS_PER_ROW,
+            L = batch.window_taxa.shape[1]
+            dense, overflow_rows = rle_ops.decode_rows(
+                np.asarray(batch.window_rle), L, rle_ops.DEFAULT_RUNS_PER_ROW
             )
-            if dense is not None:
-                wt_host = dense[:n]
-        if wt_host is None:
+            if len(overflow_rows):
+                # rare rows with more runs than the cap: refetch densely
+                dense[overflow_rows] = np.asarray(
+                    batch.window_taxa[overflow_rows]
+                )
+            wt_host = dense[:n]
+        else:
             wt_host = np.asarray(batch.window_taxa)[:n]
         from . import native
 

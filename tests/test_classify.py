@@ -431,35 +431,38 @@ def test_stream_detailed_lines_match_api(rng, tmp_path):
 
 
 def test_window_rle_roundtrip(rng):
-    """ops.rle encode/decode must reconstruct window_taxa exactly, never let
-    runs cross row boundaries, and flag cap overflow instead of corrupting."""
+    """ops.rle encode/decode must reconstruct window_taxa exactly, report
+    per-row run counts, and flag cap overflow instead of corrupting."""
     import jax.numpy as jnp
     from slacken_tpu.ops import rle as rle_ops
 
     B, L = 16, 40
-    # runs within rows, including a value continuing across a row boundary
+    cap = rle_ops.DEFAULT_RUNS_PER_ROW
     wt = np.zeros((B, L), np.int32)
     wt[:, 10:20] = 7
-    wt[3, :] = 7  # row 3 ends with 7, row 4 starts with 0 then 7
+    wt[3, :] = 7
     wt[5, 25:] = -3
-    cap = B * rle_ops.DEFAULT_RUNS_PER_ROW
     bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
-    dense = rle_ops.decode_rows(bundle, B, L, cap)
-    assert dense is not None and np.array_equal(dense, wt)
-    nruns = bundle[1 : 1 + B]
-    assert nruns[3] == 1 and nruns.sum() == bundle[0]
+    dense, ovf = rle_ops.decode_rows(bundle, L, cap)
+    assert len(ovf) == 0 and np.array_equal(dense, wt)
+    assert bundle[3, -1] == 1  # row 3 is a single run
 
-    # random rows fuzz
-    wt = rng.integers(0, 3, (B, L)).astype(np.int32)
+    # random rows fuzz (few distinct values => runs fit the cap)
+    wt = rng.integers(0, 2, (B, L)).astype(np.int32)
+    wt = np.repeat(wt[:, : L // 4], 4, axis=1)[:, :L]
     bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
-    dense = rle_ops.decode_rows(bundle, B, L, cap)
-    if dense is not None:
-        assert np.array_equal(dense, wt)
+    dense, ovf = rle_ops.decode_rows(bundle, L, cap)
+    assert len(ovf) == 0 and np.array_equal(dense, wt)
 
-    # forced overflow: every position a distinct run
-    wt = np.arange(B * L, dtype=np.int32).reshape(B, L)
+    # forced overflow on row 2: every position a distinct run
+    wt = np.zeros((B, L), np.int32)
+    wt[2] = np.arange(L)
     bundle = np.asarray(rle_ops.encode_rows(jnp.asarray(wt), cap))
-    assert rle_ops.decode_rows(bundle, B, L, cap) is None
+    dense, ovf = rle_ops.decode_rows(bundle, L, cap)
+    assert list(ovf) == [2]
+    keep = np.ones(B, bool)
+    keep[2] = False
+    assert np.array_equal(dense[keep], wt[keep])  # other rows intact
 
 
 def test_detailed_output_rle_identical(rng, monkeypatch):
