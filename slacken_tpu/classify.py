@@ -1172,6 +1172,12 @@ class Classifier:
                 batch.num_distinct >= cpar.min_hit_groups
             )
             return taxon, classified
+        if batch.res_path is None:
+            raise ValueError(
+                f"threshold {threshold} was not finalised on device "
+                f"(batch has {sorted(batch.final_taxa or ())}); classify with "
+                "it in ClassifyParams.thresholds or set STPU_DEVICE_FINALIZE=0"
+            )
         required = np.ceil(threshold * batch.total_kmers.astype(np.float64))
         path = batch.res_path
         clade = batch.res_clade
