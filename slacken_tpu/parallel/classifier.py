@@ -60,17 +60,34 @@ class MeshClassifier(Classifier):
         mp = index.params.minimizer_params
         table = np.asarray(self._table_dev)
         if layout == "replicated":
-            self._mesh_fn = pmesh.classify_replicated_fn(
-                self.mesh, mp, self.max_taxa, index.router_rounds, index.router_bits
-            )
-            keys = np.asarray(index.keys, np.uint64)
-            self._mesh_args = (
-                (keys >> np.uint64(32)).astype(np.uint32),
-                keys.astype(np.uint32),
-                np.asarray(index.taxa, np.int32),
-                np.asarray(index.device_router),
-                table,
-            )
+            # inherit the single-chip probe choice (tiled/hashed fast paths
+            # carry over; wide indexes resolved to routed by the base class)
+            ps = self._probe_static
+            if ps[0] in ("tiled", "hashed") and not index.wide:
+                self._mesh_fn = pmesh.classify_replicated_fn(
+                    self.mesh, mp, self.max_taxa,
+                    index.router_rounds, index.router_bits, probe=ps,
+                )
+                if ps[0] == "hashed":
+                    ptable = np.asarray(index.device_hashed[0])
+                    router = np.zeros(2, np.int32)  # routerless dummy
+                else:
+                    ptable = np.asarray(index.device_tiled[0])
+                    router = np.asarray(index.device_router)
+                self._mesh_args = (ptable, router, table)
+            else:
+                self._mesh_fn = pmesh.classify_replicated_fn(
+                    self.mesh, mp, self.max_taxa,
+                    index.router_rounds, index.router_bits,
+                )
+                keys = np.asarray(index.keys, np.uint64)
+                self._mesh_args = (
+                    (keys >> np.uint64(32)).astype(np.uint32),
+                    keys.astype(np.uint32),
+                    np.asarray(index.taxa, np.int32),
+                    np.asarray(index.device_router),
+                    table,
+                )
         else:
             sk, st = pmesh.shard_index_by_range(
                 np.asarray(index.keys, np.uint64), np.asarray(index.taxa, np.int32),

@@ -87,21 +87,27 @@ def classify_replicated_fn(
     max_taxa: int,
     rounds: int = 32,
     bits: int = lookup_ops.ROUTER_BITS,
+    probe: tuple = ("routed",),
 ):
     """Data-parallel classification with a fully replicated index.
 
-    Returns a jitted fn(codes[B,L], keys_hi[N], keys_lo[N], key_taxa[N],
-    router[R], rpath_table[M,D]) -> (window_taxa, num_distinct, hits,
-    resolve, report_counts) with codes sharded over 'data' and everything
-    else replicated; the per-taxon report count vector is psum-reduced
-    across the mesh.
+    Returns a jitted fn with codes sharded over 'data' and everything else
+    replicated; the per-taxon report count vector is psum-reduced across the
+    mesh. The signature matches the probe layout:
+
+      probe ("routed",):           fn(codes[B,L], keys_hi[N], keys_lo[N],
+                                      key_taxa[N], router[R], rpath_table)
+      probe ("tiled", tile, ...):  fn(codes, table[rows,tile,3], router,
+                                      rpath_table)
+      probe ("hashed", tile, hash bits, ...): fn(codes, table[slots,3],
+                                      router(ignored dummy), rpath_table)
+
+    The tiled/hashed single-chip fast probes carry over unchanged — every
+    chip probes its read shard against the replicated table, so the mesh
+    kernel is exactly the single-chip kernel plus one psum.
     """
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, router, rpath_table):
-        wm = _window_scan(codes, mp)
-        looked = lookup_ops.lookup_taxa_routed(
-            u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits
-        )
+    def finish(wm, looked, rpath_table):
         window_taxa, num_distinct, ch, res, hostpack = _postprocess(
             wm, looked, rpath_table, max_taxa
         )
@@ -110,10 +116,37 @@ def classify_replicated_fn(
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, hostpack, counts
 
+    if probe[0] in ("tiled", "hashed"):
+
+        def local_fn(codes, table, router, rpath_table):
+            wm = _window_scan(codes, mp)
+            if probe[0] == "hashed":
+                looked = lookup_ops.lookup_taxa_hashed(
+                    table, wm.minimizer, probe[1], probe[2]
+                )
+            else:
+                looked = lookup_ops.lookup_taxa_tiled(
+                    table, router, wm.minimizer, probe[1], bits
+                )
+            return finish(wm, looked, rpath_table)
+
+        in_specs = (P("data"), P(), P(), P())
+    else:
+
+        def local_fn(codes, keys_hi, keys_lo, key_taxa, router, rpath_table):
+            wm = _window_scan(codes, mp)
+            looked = lookup_ops.lookup_taxa_routed(
+                u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer,
+                rounds, bits,
+            )
+            return finish(wm, looked, rpath_table)
+
+        in_specs = (P("data"), P(), P(), P(), P(), P())
+
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("data"), P(), P(), P(), P(), P()),
+        in_specs=in_specs,
         out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )

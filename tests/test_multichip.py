@@ -404,3 +404,72 @@ def test_dryrun_driver_style_subprocess():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_replicated_mesh_probe_variants_match(rng):
+    """The replicated mesh fn with the tiled and hashed probe layouts must
+    match the routed mesh fn bit-for-bit (window taxa + report counts)."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    mp = idx.params.minimizer_params
+    reads = []
+    for _ in range(16):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append(g[s : s + 101])
+    from slacken_tpu.ops import encode
+
+    codes, _ = encode.pack_batch(reads, 128)
+    m = pmesh.make_mesh(8)
+    table = t.rpath_table()
+    kh = (idx.keys >> np.uint64(32)).astype(np.uint32)
+    kl = idx.keys.astype(np.uint32)
+    rep = pmesh.classify_replicated_fn(m, mp, 16, idx.router_rounds, idx.router_bits)
+    wt_0, _, _, res_0, _, counts_0 = rep(
+        codes, kh, kl, idx.taxa, np.asarray(idx.device_router), table
+    )
+
+    ttab, tile = idx.device_tiled
+    rep_t = pmesh.classify_replicated_fn(
+        m, mp, 16, idx.router_rounds, idx.router_bits, probe=("tiled", tile, True)
+    )
+    wt_t, _, _, res_t, _, counts_t = rep_t(
+        codes, np.asarray(ttab), np.asarray(idx.device_router), table
+    )
+
+    htab, htile, hbits = idx.device_hashed
+    rep_h = pmesh.classify_replicated_fn(
+        m, mp, 16, idx.router_rounds, idx.router_bits,
+        probe=("hashed", htile, hbits, True),
+    )
+    wt_h, _, _, res_h, _, counts_h = rep_h(
+        codes, np.asarray(htab), np.zeros(2, np.int32), table
+    )
+
+    for wt, res, counts in ((wt_t, res_t, counts_t), (wt_h, res_h, counts_h)):
+        assert np.array_equal(np.asarray(wt), np.asarray(wt_0))
+        assert np.array_equal(np.asarray(res.max_taxon), np.asarray(res_0.max_taxon))
+        assert np.array_equal(np.asarray(counts), np.asarray(counts_0))
+
+
+def test_mesh_classifier_probe_variants_byte_identical(rng, tmp_path):
+    """MeshClassifier with probe=tiled/hashed must classify exactly like the
+    single-device Classifier (device finalize on, full product glue)."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.parallel.classifier import MeshClassifier
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    frags = []
+    for i in range(20):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        frags.append(Fragment(f"r{i}", g[s : s + 101]))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    want = Classifier(idx).classify(frags, cpar)
+    for probe in ("tiled", "hashed"):
+        got = MeshClassifier(idx, 8, "replicated", probe=probe).classify(frags, cpar)
+        for conf in cpar.thresholds:
+            assert want[conf] == got[conf], (probe, conf)
