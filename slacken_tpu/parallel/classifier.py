@@ -104,6 +104,21 @@ class MeshClassifier(Classifier):
                 routers,
                 table,
             )
+        # commit the index/taxonomy args to the mesh ONCE: passing host
+        # numpy arrays to the jitted mesh fn would re-upload the whole
+        # table every batch (a 100+ MB h2d per dispatch on real chips).
+        # Replicated args use P(); the ring's sharded args use P('data').
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if layout == "replicated":
+            specs = [P()] * len(self._mesh_args)
+        else:
+            specs = [P("data")] * 4 + [P()]
+        self._mesh_args = tuple(
+            jax.device_put(a, NamedSharding(self.mesh, s))
+            for a, s in zip(self._mesh_args, specs)
+        )
 
     def _dispatch_codes(self, codes, titles, splits, row_lens):
         bucket = codes.shape[1]
