@@ -94,16 +94,26 @@ class MeshClassifier(Classifier):
                 self.n_devices,
             )
             routers, rounds, bits = pmesh.shard_routers(sk)
-            self._mesh_fn = pmesh.classify_ring_fn(
-                self.mesh, mp, self.max_taxa, rounds, bits
-            )
-            self._mesh_args = (
-                (sk >> np.uint64(32)).astype(np.uint32),
-                sk.astype(np.uint32),
-                st,
-                routers,
-                table,
-            )
+            if self._probe_static[0] in ("tiled", "hashed") and not index.wide:
+                # per-shard tiled row-gather tables (the TPU fast probe);
+                # the hashed layout stays single-chip-only for now
+                tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    probe=("tiled", tile),
+                )
+                self._mesh_args = (tables, routers, table)
+            else:
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits
+                )
+                self._mesh_args = (
+                    (sk >> np.uint64(32)).astype(np.uint32),
+                    sk.astype(np.uint32),
+                    st,
+                    routers,
+                    table,
+                )
         # commit the index/taxonomy args to the mesh ONCE: passing host
         # numpy arrays to the jitted mesh fn would re-upload the whole
         # table every batch (a 100+ MB h2d per dispatch on real chips).
@@ -114,7 +124,8 @@ class MeshClassifier(Classifier):
         if layout == "replicated":
             specs = [P()] * len(self._mesh_args)
         else:
-            specs = [P("data")] * 4 + [P()]
+            # ring: every arg except the trailing rpath_table is sharded
+            specs = [P("data")] * (len(self._mesh_args) - 1) + [P()]
         self._mesh_args = tuple(
             jax.device_put(a, NamedSharding(self.mesh, s))
             for a, s in zip(self._mesh_args, specs)

@@ -153,16 +153,46 @@ def classify_replicated_fn(
     return jax.jit(shard)
 
 
-def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int = 32, bits: int = lookup_ops.ROUTER_BITS):
+def shard_tiled_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray,
+                       routers: np.ndarray):
+    """Per-shard tiled row-gather tables with a UNIFORM tile so they stack
+    into one [n, rows, tile, 3] array shardable over 'data'. Shards are
+    equal-length (shard_index_by_range pads), so row counts match too."""
+    tile = 16
+    for r in routers:
+        t = 16
+        maxb = lookup_ops.max_bucket_span(r)
+        while t + 1 < maxb:
+            t *= 2
+        tile = max(tile, t)
+    tables = [
+        lookup_ops.build_tiled(k, t, r, tile=tile)[0]
+        for k, t, r in zip(sharded_keys, sharded_taxa, routers)
+    ]
+    return np.stack(tables), tile
+
+
+def classify_ring_fn(
+    mesh: Mesh,
+    mp: MinimizerParams,
+    max_taxa: int,
+    rounds: int = 32,
+    bits: int = lookup_ops.ROUTER_BITS,
+    probe: tuple = ("routed",),
+):
     """Classification with a range-sharded index and ring-rotated queries.
 
-    fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n], key_taxa[n,N/n],
-    routers[n,R], parents[M]) with codes and index both sharded over 'data'.
-    `rounds` comes from shard_routers.
+    probe ("routed",):   fn(codes[B,L], keys_hi[n,N/n], keys_lo[n,N/n],
+                            key_taxa[n,N/n], routers[n,R], rpath_table)
+    probe ("tiled", tile): fn(codes, tables[n,rows,tile,3], routers[n,R],
+                            rpath_table)  — per-shard tiled row-gather
+                            tables (shard_tiled_tables), the TPU fast probe.
 
-    Each of the n ring steps probes the local index shard with the visiting
-    chip's queries, then forwards (queries, partial answers) to the next
-    chip with ppermute. After n steps every answer is home.
+    Codes and index shards ride 'data'; `rounds`/`bits` come from
+    shard_routers. Each of the n ring steps probes the local index shard
+    with the visiting chip's queries, then forwards (queries, partial
+    answers) to the next chip with ppermute. After n steps every answer is
+    home.
 
     Queries are compacted to one probe per super-mer span before entering the
     ring (all windows of a span share a minimizer), so each hop carries
@@ -174,33 +204,24 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
     """
     n = mesh.devices.size
 
-    def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, rpath_table):
-        wm = _window_scan(codes, mp)
-        keys = u64.U64(keys_hi[0], keys_lo[0])
-        kt = key_taxa[0]
-        router = routers[0]
+    def ring_body(codes, probe_fn, wm, rpath_table):
         b, l = codes.shape
         npos = b * l
         cap = lookup_ops.span_query_cap(npos)
         cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
         overflow_any = jax.lax.psum((n_spans > cap).astype(jnp.int32), "data") > 0
 
-        def probe(q_hi, q_lo):
-            return lookup_ops.lookup_taxa_routed(
-                keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
-            )
-
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def ring(q_hi, q_lo):
-            acc = probe(q_hi, q_lo)
+            acc = probe_fn(q_hi, q_lo)
 
             def step(carry, _):
                 q_hi, q_lo, acc = carry
                 q_hi = jax.lax.ppermute(q_hi, "data", perm)
                 q_lo = jax.lax.ppermute(q_lo, "data", perm)
                 acc = jax.lax.ppermute(acc, "data", perm)
-                acc = jnp.maximum(acc, probe(q_hi, q_lo))
+                acc = jnp.maximum(acc, probe_fn(q_hi, q_lo))
                 return (q_hi, q_lo, acc), None
 
             (q_hi, q_lo, acc), _ = jax.lax.scan(
@@ -228,10 +249,42 @@ def classify_ring_fn(mesh: Mesh, mp: MinimizerParams, max_taxa: int, rounds: int
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, hostpack, counts
 
+    if probe[0] == "tiled":
+
+        def local_fn(codes, tables, routers, rpath_table):
+            wm = _window_scan(codes, mp)
+            table = tables[0]
+            router = routers[0]
+
+            def probe_fn(q_hi, q_lo):
+                return lookup_ops.lookup_taxa_tiled(
+                    table, router, u64.U64(q_hi, q_lo), probe[1], bits
+                )
+
+            return ring_body(codes, probe_fn, wm, rpath_table)
+
+        in_specs = (P("data"), P("data"), P("data"), P())
+    else:
+
+        def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, rpath_table):
+            wm = _window_scan(codes, mp)
+            keys = u64.U64(keys_hi[0], keys_lo[0])
+            kt = key_taxa[0]
+            router = routers[0]
+
+            def probe_fn(q_hi, q_lo):
+                return lookup_ops.lookup_taxa_routed(
+                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
+                )
+
+            return ring_body(codes, probe_fn, wm, rpath_table)
+
+        in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"), P())
+
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+        in_specs=in_specs,
         out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
         check_vma=False,
     )

@@ -473,3 +473,46 @@ def test_mesh_classifier_probe_variants_byte_identical(rng, tmp_path):
         got = MeshClassifier(idx, 8, "replicated", probe=probe).classify(frags, cpar)
         for conf in cpar.thresholds:
             assert want[conf] == got[conf], (probe, conf)
+
+
+def test_ring_tiled_probe_matches_routed(rng):
+    """The ring layout with per-shard tiled tables must match the routed
+    ring bit-for-bit, at both the mesh-fn and MeshClassifier levels."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.parallel.classifier import MeshClassifier
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    mp = idx.params.minimizer_params
+    reads = []
+    for _ in range(16):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append(g[s : s + 101])
+    from slacken_tpu.ops import encode
+
+    codes, _ = encode.pack_batch(reads, 128)
+    n = 8
+    m = pmesh.make_mesh(n)
+    table = t.rpath_table()
+    sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
+    routers, rounds, rbits = pmesh.shard_routers(sk)
+    ring = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits)
+    wt_r, _, _, res_r, _, counts_r = ring(
+        codes, (sk >> np.uint64(32)).astype(np.uint32), sk.astype(np.uint32),
+        st, routers, table,
+    )
+    tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
+    ring_t = pmesh.classify_ring_fn(m, mp, 16, rounds, rbits, probe=("tiled", tile))
+    wt_t, _, _, res_t, _, counts_t = ring_t(codes, tables, routers, table)
+    assert np.array_equal(np.asarray(wt_t), np.asarray(wt_r))
+    assert np.array_equal(np.asarray(res_t.max_taxon), np.asarray(res_r.max_taxon))
+    assert np.array_equal(np.asarray(counts_t), np.asarray(counts_r))
+
+    frags = [Fragment(f"r{i}", s) for i, s in enumerate(reads)]
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    want = Classifier(idx).classify(frags, cpar)
+    got = MeshClassifier(idx, 8, "ring", probe="tiled").classify(frags, cpar)
+    for conf in cpar.thresholds:
+        assert want[conf] == got[conf]
