@@ -46,6 +46,12 @@ def _add_classify_opts(p):
         help="Mesh index layout: replicated (index in every chip's HBM) or "
         "ring (range-sharded index, queries rotate via ppermute)",
     )
+    p.add_argument(
+        "--probe",
+        choices=["routed", "tiled", "hashed", "bucketed"],
+        help="Index probe kernel (default: measured platform best — tiled "
+        "row gathers on TPU, routed binary search on CPU)",
+    )
 
 
 def _cpar(args):
@@ -299,7 +305,7 @@ def cmd_classify(args):
 
     cpar = _cpar(args)  # validate before any heavy work
     idx = KeyValueIndex.load(args.index)
-    cls = make_classifier(idx, args.devices, args.layout)
+    cls = make_classifier(idx, args.devices, args.layout, probe=args.probe)
     from .inputs import expand_file_list, packed_reads_from_file
 
     files = expand_file_list(args.inputs)
