@@ -124,7 +124,6 @@ def main(force_cpu: bool = False):
     # 4 Mbp batches amortise the tunnel/dispatch overhead on TPU (53.3k vs
     # 28.3k reads/s at 1 Mbp); 1 Mbp stays best on CPU (cache residency)
     bp = 1 << 20 if jax.default_backend() == "cpu" else 1 << 22
-    cls = Classifier(idx, target_batch_bp=bp)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
 
     # reports-only production path (the reference's SQL classifier,
@@ -133,18 +132,42 @@ def main(force_cpu: bool = False):
     import shutil
     import tempfile
 
-    outdir = tempfile.mkdtemp(prefix="stpu_bench_")
-    cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)  # compile
+    # on TPU the tiled and hashed table probes trade the lead with batch
+    # shape (r2_session10/11): one trial each, then the remaining trials go
+    # to the winner so the recorded number is always the best config
+    if jax.default_backend() == "cpu":
+        classifiers = {"routed": Classifier(idx, target_batch_bp=bp)}
+    else:
+        classifiers = {
+            p: Classifier(idx, target_batch_bp=bp, probe=p)
+            for p in ("tiled", "hashed")
+        }
 
+    outdir = tempfile.mkdtemp(prefix="stpu_bench_")
     best = 0.0
     try:
-        for trial in range(3):
+        rates = {}
+        for name, cls in classifiers.items():
+            cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, outdir + "/t0", cpar)
+            rates[name] = n_reads / (time.time() - t0)
+            print(
+                f"probe {name}: {rates[name]:.0f} reads/s", file=sys.stderr
+            )
+        winner = max(rates, key=rates.get)
+        cls = classifiers[winner]
+        best = rates[winner]
+        for trial in range(1, 3):
             t0 = time.time()
             cls.classify_and_write_packed(packed, outdir + f"/t{trial}", cpar)
             dt = time.time() - t0
             rate = n_reads / dt
             best = max(best, rate)
-            print(f"trial {trial}: {dt:.2f}s = {rate:.0f} reads/s", file=sys.stderr)
+            print(
+                f"trial {trial} ({winner}): {dt:.2f}s = {rate:.0f} reads/s",
+                file=sys.stderr,
+            )
         report = open(outdir + "/t2_c0.0/all_kreport.txt").read().splitlines()
         uncl = next(
             (int(l.split("\t")[1]) for l in report if l.endswith("unclassified")), 0
