@@ -151,8 +151,10 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int, lut
 
     count = jnp.sum(pair_new)
     out_idx = jnp.where(pair_new, pair_id, cap)
-    out_hi = jnp.zeros(cap, jnp.uint32).at[out_idx].set(shi, mode="drop")
-    out_lo = jnp.zeros(cap, jnp.uint32).at[out_idx].set(slo, mode="drop")
+    # unused slots stay all-ones/taxon-0 so they remain invalid entries if a
+    # later device-resident reduction concatenates this output un-sliced
+    out_hi = jnp.full(cap, sent).at[out_idx].set(shi, mode="drop")
+    out_lo = jnp.full(cap, sent).at[out_idx].set(slo, mode="drop")
     out_tax = jnp.zeros(cap, jnp.int32).at[out_idx].set(stax, mode="drop")
     # ONE [3, cap+1] u32 output: element [0, cap] carries the count, so the
     # host pays a single device->host fetch per batch instead of four (each
@@ -162,6 +164,50 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int, lut
         [count.astype(jnp.uint32), jnp.uint32(0), jnp.uint32(0)]
     )[:, None]
     return jnp.concatenate([out, tail], axis=1)
+
+
+@jax.jit
+def _reduce_chunks_kernel(hi, lo, tax, rpath_table):
+    """Device-global build reduction: sort (key, taxon) entries, drop
+    sentinel padding, pair-dedup, and LCA-reduce each run of equal keys with
+    the root-aligned path table (the reference's groupBy + LCA-UDAF,
+    KeyValueIndex.scala:85-93 — here one lax.sort + segment min/max).
+
+    Inputs may contain sentinel (all-ones key, taxon 0) padding anywhere;
+    outputs use the same convention: [3, M] u32 (hi, lo, taxon) with one
+    entry per distinct key, sentinel-padded to M. LCA is associative and
+    idempotent per key, so this kernel can be applied hierarchically —
+    partial reductions of superbatches then a final pass — and the result
+    equals one global reduction.
+    """
+    from .ops import lca as lca_ops
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    m = hi.shape[0]
+    shi, slo, stax = jax.lax.sort(
+        (hi, lo, jnp.asarray(tax, jnp.int32)), num_keys=3
+    )
+    valid = shi < jnp.uint32(0x40000000)
+    prev_hi = jnp.concatenate([sent[None], shi[:-1]])
+    prev_lo = jnp.concatenate([sent[None], slo[:-1]])
+    key_new = valid & ((shi != prev_hi) | (slo != prev_lo))
+    run_id = jnp.cumsum(key_new.astype(jnp.int32)) - 1
+    n_runs = jnp.maximum(run_id[-1] + 1, 0)
+    # invalid tail entries inherit the last run's id but carry taxon NONE,
+    # which segment LCA treats as the aggregation identity
+    safe_tax = jnp.where(valid, stax, 0)
+    red = lca_ops.segment_lca_table(
+        jnp.maximum(run_id, 0), safe_tax, rpath_table
+    )
+    out_idx = jnp.where(key_new, run_id, m)
+    out_hi = jnp.full(m, sent).at[out_idx].set(shi, mode="drop")
+    out_lo = jnp.full(m, sent).at[out_idx].set(slo, mode="drop")
+    out_tax = jnp.zeros(m, jnp.int32).at[out_idx].set(
+        red[jnp.maximum(run_id, 0)], mode="drop"
+    )
+    return jnp.stack(
+        [out_hi, out_lo, out_tax.astype(jnp.uint32)], axis=0
+    ), n_runs
 
 
 def spans_to_records(codes: np.ndarray, taxa: np.ndarray, params: MinimizerParams, lut=None):
@@ -640,8 +686,51 @@ class KeyValueIndex:
         # raw-records fallback on overflow
         cap = (batch_rows * row_len) // 2
         import collections as _collections
+        import os as _os
 
         pending = _collections.deque()  # (device out, codes, taxa_rows)
+
+        # device-resident build (TPU default): per-batch sorted/deduped
+        # records STAY on device and are reduced there hierarchically
+        # (_reduce_chunks_kernel); only the finished index crosses the link
+        # once. On the measured 41 MB/s tunnel the per-batch record
+        # transfers were the build bottleneck (r2_session8: 1.8 Mbp/s TPU vs
+        # 3.3 CPU). STPU_BUILD_DEVICE=1/0 overrides (tests force it on CPU).
+        env_dr = _os.environ.get("STPU_BUILD_DEVICE")
+        device_reduce = (
+            (jax.default_backend() != "cpu" if env_dr is None else env_dr == "1")
+            and not mp.wide
+            and not spill_dir
+            and not keep_records
+        )
+        # with cap = every position, batch-kernel overflow is impossible
+        # (spans <= windows), so no per-batch count fetches are needed
+        cap_dr = batch_rows * row_len
+        chunks: List = []  # device [3, n] sentinel-padded record arrays
+        table_dev = None
+        # entries held device-resident before a hierarchical reduction
+        # (~192 MB at the default; env override exercises the tree in tests)
+        superbatch = int(
+            _os.environ.get("STPU_BUILD_SUPERBATCH", max(4 * cap_dr, 1 << 24))
+        )
+
+        def _bucket(n: int, g: int = 1 << 18) -> int:
+            return max(g, -(-n // g) * g)
+
+        def reduce_chunks(final: bool):
+            """Concatenate device chunks and LCA-reduce on device; keep the
+            (sliced) result as the sole chunk. Returns (out, n) when final."""
+            nonlocal chunks, table_dev
+            if table_dev is None:
+                table_dev = jnp.asarray(taxonomy.rpath_table())
+            hi = jnp.concatenate([c[0] for c in chunks])
+            lo = jnp.concatenate([c[1] for c in chunks])
+            tx = jnp.concatenate([c[2] for c in chunks]).view(jnp.int32)
+            red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
+            n = int(np.asarray(n_runs))
+            red = red[:, : _bucket(n)]
+            chunks = [red]
+            return red, n
 
         def harvest(item):
             out_dev, codes, taxa_rows = item
@@ -671,6 +760,12 @@ class KeyValueIndex:
             if mp.wide:
                 k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
                 collector.add(k2, t2)
+                return
+            if device_reduce:
+                out = _build_batch_kernel(codes, taxa_rows, mp, cap_dr, lut)
+                chunks.append(out[:, :cap_dr])
+                if sum(c.shape[1] for c in chunks) >= superbatch and len(chunks) > 1:
+                    reduce_chunks(final=False)
                 return
             if jax.default_backend() == "cpu":
                 # on the CPU backend the kernel's lax.sort costs ~3.4x the
@@ -706,6 +801,20 @@ class KeyValueIndex:
         flush()
         while pending:
             harvest(pending.popleft())
+
+        if device_reduce:
+            if not chunks:
+                keys = np.zeros(0, np.uint64)
+                taxa = np.zeros(0, np.int32)
+            else:
+                red, n = reduce_chunks(final=True)
+                out = np.asarray(red)  # ONE transfer: the finished index
+                keys = (out[0, :n].astype(np.uint64) << np.uint64(32)) | out[1, :n]
+                taxa = out[2, :n].view(np.int32).copy()
+            idx = cls(keys, taxa, params, taxonomy)
+            if lut is not None:
+                idx.ordering_lut = np.asarray(lut)
+            return idx
 
         if spill_dir:
             keys, taxa, recs = collector.reduce(taxonomy, keep_records)

@@ -239,3 +239,27 @@ def test_remote_storage_memory_fs(rng):
     assert storage.exists("memory://stpu_test/p2.json")
     storage.delete_recursive("memory://stpu_test")
     assert not storage.exists(loc)
+
+
+def test_device_reduce_build_matches_host(rng, monkeypatch):
+    """The device-resident build (batch sort/dedup + hierarchical
+    _reduce_chunks_kernel LCA reduction) must produce a bit-identical index
+    to the host radix-sort path, including cross-taxon LCA-reduced keys and
+    the multi-superbatch (hierarchical) reduction."""
+    t = random_taxonomy(rng, 30)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    lib = []
+    for tx in (5, 7, 9, 11, 5, 7):
+        seq = lut[rng.integers(0, 4, 20000)].tobytes().decode()
+        lib.append((tx, seq))
+    lib.append((9, lib[0][1][:6000]))  # duplicate keys under another taxon
+    params = IndexParams(k=35, m=31, spaces=7)
+
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "0")
+    host = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "1")
+    # tiny superbatch: force several intermediate device reductions
+    monkeypatch.setenv("STPU_BUILD_SUPERBATCH", str(8 * 4096 * 2))
+    dev = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    assert np.array_equal(host.keys, dev.keys)
+    assert np.array_equal(host.taxa, dev.taxa)
