@@ -1360,6 +1360,40 @@ def exp_e2e4():
     return out
 
 
+@guard("build2")
+def exp_build2():
+    """End-to-end KeyValueIndex.build on TPU with the device-resident
+    hierarchical reduction (default) vs the per-batch-transfer path."""
+    import importlib
+    import os
+
+    bench = importlib.import_module("bench")
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.taxonomy import Taxonomy
+
+    nodes = [(1, 1, "root"), (455631, 1, "sp"), (526997, 1, "sp"), (9606, 1, "sp")]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"t{t}") for t, _, _ in nodes])
+    params = IndexParams(k=35, m=31, spaces=7)
+    out = {}
+    for label, flag in (("device", "1"), ("transfer", "0")):
+        os.environ["STPU_BUILD_DEVICE"] = flag
+        lib = list(bench.synthetic_library(np.random.default_rng(20260816)))
+        # warm the kernel shapes
+        KeyValueIndex.build(
+            [(9606, "ACGT" * 100)], params, tax, batch_rows=32, row_len=1 << 16
+        )
+        t0 = time.time()
+        idx2 = KeyValueIndex.build(
+            iter(lib), params, tax, batch_rows=32, row_len=1 << 16
+        )
+        dt = time.time() - t0
+        out[f"{label}_s"] = round(dt, 2)
+        out[f"{label}_Mbp_s"] = round(8.0 / dt, 2)
+        out.setdefault("records", len(idx2.keys))
+    os.environ.pop("STPU_BUILD_DEVICE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1384,6 +1418,7 @@ if __name__ == "__main__":
         "probe3": exp_probe3,
         "kernel3": exp_kernel3,
         "e2e4": exp_e2e4,
+        "build2": exp_build2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are
