@@ -1347,16 +1347,23 @@ def exp_e2e4():
 
     probe, bp = best[1]
     out["best"] = f"{probe}_{bp >> 20}M"
+    import os
+
     dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
-    cls = Classifier(IDX, target_batch_bp=bp, probe=probe, packed_transfer=True)
-    loc = tempfile.mkdtemp(prefix="stpu_e2e4_")
-    try:
-        cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
-        t0 = time.time()
-        cls.classify_and_write_packed(packed, loc + "/run", dpar)
-        out["detailed_best_reads_s"] = round(n_reads / (time.time() - t0))
-    finally:
-        shutil.rmtree(loc, ignore_errors=True)
+    for label, rle_flag in (("detailed_best", "0"), ("detailed_best_rle", "1")):
+        os.environ["STPU_WT_RLE"] = rle_flag
+        cls = Classifier(
+            IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
+        )
+        loc = tempfile.mkdtemp(prefix="stpu_e2e4_")
+        try:
+            cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/run", dpar)
+            out[f"{label}_reads_s"] = round(n_reads / (time.time() - t0))
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_WT_RLE", None)
     return out
 
 
