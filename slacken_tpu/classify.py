@@ -142,28 +142,32 @@ def _classify_kernel_packed_tiled(
     )
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def _classify_kernel_wide(
     codes, keys, key_taxa, router, rpath_table,
     mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+    probe: tuple = ("routed_wide",),
 ):
-    """_classify_kernel for wide (m > 31) indexes; `keys` is a u128.U128
-    (four uint32 limb arrays). Routed probe only."""
+    """_classify_kernel for wide (m > 31) indexes. probe ("routed_wide",):
+    `keys` is a u128.U128 (four uint32 limb arrays); probe
+    ("tiled_wide", tile, dense): `keys` is the [n_rows, tile, 5] table from
+    build_tiled_wide and key_taxa is unused (None)."""
     return _classify_body(
         codes, keys, key_taxa, router, rpath_table, mp, max_taxa, rounds,
-        bits, ("routed",),
+        bits, probe,
     )
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def _classify_kernel_packed_wide(
     packed, valid, keys, key_taxa, router, rpath_table,
     mp: MinimizerParams, max_taxa: int, rounds: int, bits: int,
+    probe: tuple = ("routed_wide",),
 ):
     codes = encode.unpack_2bit_device(packed, valid)
     return _classify_body(
         codes, keys, key_taxa, router, rpath_table, mp, max_taxa, rounds,
-        bits, ("routed",),
+        bits, probe,
     )
 
 
@@ -282,16 +286,29 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
     b, l = wm.valid.shape
     n = b * l
     cap = lookup_ops.span_query_cap(n)
-    wide = isinstance(keys, u128_mod.U128)
+    wide = probe[0] in ("routed_wide", "tiled_wide") or isinstance(
+        keys, u128_mod.U128
+    )
 
     if wide:
+        if probe[0] == "tiled_wide":
+            # `keys` is the [n_rows, tile, 5] table from build_tiled_wide
+            def lookup(q):
+                return lookup_ops.lookup_taxa_tiled_wide(
+                    keys, router, q, probe[1], bits, key_bits
+                )
+
+            if probe[-1]:
+                # dense probing: same rationale as the narrow table probes
+                return lookup(wm.minimizer)
+        else:
+
+            def lookup(q):
+                return lookup_ops.lookup_taxa_routed_wide(
+                    keys, key_taxa, router, q, rounds, bits, key_bits
+                )
+
         q_limbs, sid, n_spans = lookup_ops.compact_span_queries_wide(wm, cap)
-
-        def lookup(q):
-            return lookup_ops.lookup_taxa_routed_wide(
-                keys, key_taxa, router, q, rounds, bits, key_bits
-            )
-
         q_compact = u128_mod.from_limbs(*q_limbs)
     elif probe[0] in ("tiled", "hashed"):
 
@@ -503,28 +520,39 @@ class Classifier:
         # contiguous-burst gathers are HBM-friendly but thrash CPU caches.
         self._dev_lut = index.device_lut  # None for the xor ordering
         if probe is None:
-            default = "routed" if (jax.default_backend() == "cpu" or index.wide) else "tiled"
+            default = "routed" if jax.default_backend() == "cpu" else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
-        if index.wide and probe != "routed":
-            raise NotImplementedError("wide (m > 31) indexes support only the routed probe")
-        if probe == "bucketed":
+        if index.wide and probe not in ("routed", "tiled"):
+            raise NotImplementedError(
+                "wide (m > 31) indexes support the routed and tiled probes"
+            )
+        # dense (per-position) probing beats span compaction wherever
+        # gathers pipeline (every accelerator backend); see _probe_spans.
+        env_dense = os.environ.get("STPU_TILED_DENSE")
+        if env_dense is not None:
+            if env_dense.lower() in ("1", "true", "yes", "on"):
+                dense = True
+            elif env_dense.lower() in ("0", "false", "no", "off"):
+                dense = False
+            else:
+                raise ValueError(
+                    f"STPU_TILED_DENSE={env_dense!r}: use 1/0 (true/false)"
+                )
+        else:
+            dense = jax.default_backend() != "cpu"
+        if index.wide:
+            if probe == "tiled":
+                dk, tile = index.device_tiled
+                dt = None
+                self._probe_static = ("tiled_wide", tile, dense)
+            else:
+                dk = index.device_keys
+                dt = index.device_taxa
+                self._probe_static = ("routed_wide",)
+        elif probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
         elif probe in ("tiled", "hashed"):
-            # dense (per-position) probing beats span compaction wherever
-            # gathers pipeline (every accelerator backend); see _probe_spans.
-            env_dense = os.environ.get("STPU_TILED_DENSE")
-            if env_dense is not None:
-                if env_dense.lower() in ("1", "true", "yes", "on"):
-                    dense = True
-                elif env_dense.lower() in ("0", "false", "no", "off"):
-                    dense = False
-                else:
-                    raise ValueError(
-                        f"STPU_TILED_DENSE={env_dense!r}: use 1/0 (true/false)"
-                    )
-            else:
-                dense = jax.default_backend() != "cpu"
             dt = None
             if probe == "hashed":
                 dk, tile, hbits = index.device_hashed
@@ -643,6 +671,7 @@ class Classifier:
                 self.max_taxa,
                 idx.router_rounds,
                 idx.router_bits,
+                self._probe_static,
             )
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)

@@ -607,14 +607,18 @@ class KeyValueIndex:
     @property
     def device_tiled(self):
         """(interleaved [n_rows, tile, 3] uint32 table, tile) for the
-        row-gather probe (lookup_taxa_tiled)."""
+        row-gather probe (lookup_taxa_tiled); wide indexes get the
+        [n_rows, tile, 5] table for lookup_taxa_tiled_wide."""
         if self._device_tiled is None:
-            if self.wide:
-                raise NotImplementedError("tiled probe requires m <= 31")
             self.device_router  # builds the router + records the host copy
-            table, tile = lookup_ops.build_tiled(
-                self.keys, self.taxa, self._host_router
-            )
+            if self.wide:
+                table, tile = lookup_ops.build_tiled_wide(
+                    self.keys, self.taxa, self._host_router
+                )
+            else:
+                table, tile = lookup_ops.build_tiled(
+                    self.keys, self.taxa, self._host_router
+                )
             with jax.ensure_compile_time_eval():
                 self._device_tiled = (jnp.asarray(table), tile)
         return self._device_tiled

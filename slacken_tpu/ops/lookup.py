@@ -187,6 +187,56 @@ def lookup_taxa_routed_wide(
     return jnp.where(found, taxa[idx], 0).astype(jnp.int32)
 
 
+def build_tiled_wide(
+    keys2: np.ndarray, taxa: np.ndarray, router: np.ndarray, tile: int = 16
+):
+    """build_tiled for wide ([N, 2] uint64) keys: interleaved row-major
+    table [n_rows, tile, 5] uint32 (l3, l2, l1, l0, taxon); one row gather
+    fetches `tile` whole records as a contiguous tile*20-byte burst."""
+    n = len(keys2)
+    maxb = max_bucket_span(router)
+    while tile + 1 < maxb:
+        tile *= 2
+    n_rows = -(-n // tile) + 2
+    keys2 = np.ascontiguousarray(keys2, np.uint64)
+    table = np.empty((n_rows * tile, 5), np.uint32)
+    table[:n, 0] = (keys2[:, 0] >> np.uint64(32)).astype(np.uint32)
+    table[:n, 1] = keys2[:, 0].astype(np.uint32)
+    table[:n, 2] = (keys2[:, 1] >> np.uint64(32)).astype(np.uint32)
+    table[:n, 3] = keys2[:, 1].astype(np.uint32)
+    table[:n, 4] = np.asarray(taxa, np.int32).view(np.uint32)
+    table[n:, :4] = 0xFFFFFFFF
+    table[n:, 4] = 0
+    return table.reshape(n_rows, tile, 5), tile
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def lookup_taxa_tiled_wide(
+    table: jnp.ndarray, router: jnp.ndarray, q: U128, tile: int,
+    bits: int = ROUTER_BITS, key_bits: int = 126,
+) -> jnp.ndarray:
+    """lookup_taxa_tiled for wide keys: one router gather + two contiguous
+    row gathers, 4-limb equality; misses return 0."""
+    shape = q.hi.hi.shape
+    limbs = [x.reshape(-1) for x in (q.hi.hi, q.hi.lo, q.lo.hi, q.lo.lo)]
+    qf = u128_mod.from_limbs(*limbs)
+    pfx = u128_mod.shr(qf, key_bits - bits).lo.lo.astype(jnp.int32)
+    pos = router[pfx]
+    row = pos // tile
+    r0 = table[row]  # [Q, tile, 5]
+    r1 = table[row + 1]
+    both = jnp.concatenate([r0, r1], axis=1)  # [Q, 2*tile, 5]
+    eq = (
+        (both[:, :, 0] == limbs[0][:, None])
+        & (both[:, :, 1] == limbs[1][:, None])
+        & (both[:, :, 2] == limbs[2][:, None])
+        & (both[:, :, 3] == limbs[3][:, None])
+    )
+    tx = both[:, :, 4].view(jnp.int32)
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    return taxon.reshape(shape)
+
+
 def max_bucket_span(router: np.ndarray) -> int:
     """Largest key count under one router prefix (bucket width for the
     direct-bucket probe)."""

@@ -54,6 +54,11 @@ class MeshClassifier(Classifier):
         super().__init__(index, **kwargs)
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
+        if index.wide:
+            raise NotImplementedError(
+                "multi-chip classification requires m <= 31 (the mesh fns "
+                "carry single-u64 keys; use --devices with a narrow index)"
+            )
         self.mesh = pmesh.make_mesh(n_devices)
         self.n_devices = self.mesh.devices.size
         self.layout = layout

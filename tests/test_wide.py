@@ -162,3 +162,29 @@ def test_wide_save_load_roundtrip(rng, tmp_path):
     want = oracle_classify(seq, None, idx_map, parents, 35, 33, 0, 0.0, 2)
     got = (res[0].classified, res[0].taxon, res[0].hit_details, res[0].length_string)
     assert got == want
+
+
+@pytest.mark.parametrize("k,m,s", [(35, 33, 0), (50, 45, 7)])
+def test_wide_tiled_probe_matches_routed(rng, k, m, s):
+    """The wide tiled row-gather probe (span-compacted AND dense) must
+    produce exactly the routed wide probe's classifications."""
+    t, parents, genomes, idx, idx_map = _setup_wide(rng, k, m, s)
+    frags = []
+    for i in range(30):
+        _, seq = sample_read(rng, genomes, length=120)
+        if i % 4 == 3:
+            pos = int(rng.integers(0, len(seq)))
+            seq = seq[:pos] + "N" + seq[pos + 1 :]
+        frags.append(Fragment(f"r{i}", seq))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1])
+    want = Classifier(idx, probe="routed").classify(frags, cpar)
+    for dense in ("0", "1"):
+        import os
+
+        os.environ["STPU_TILED_DENSE"] = dense
+        try:
+            got = Classifier(idx, probe="tiled").classify(frags, cpar)
+        finally:
+            del os.environ["STPU_TILED_DENSE"]
+        for conf in cpar.thresholds:
+            assert want[conf] == got[conf], (dense, conf)
