@@ -358,7 +358,26 @@ def cmd_classify2(args):
     files_factory = lambda: fragments_from_files(
         args.inputs, paired=args.paired, k=idx.params.k
     )
-    dyn.two_step_classify_and_write(files_factory, args.index_reports, args.bracken_length)
+    # the final classification takes the native packed streaming path (the
+    # same writer the 1-step CLI uses); the dynamic-criteria pass keeps the
+    # Fragment stream (it feeds the span-hit counting kernels)
+    from .inputs import expand_file_list, packed_pairs_from_files, packed_reads_from_file
+
+    files = expand_file_list(args.inputs)
+    if args.paired:
+        packed_factory = lambda: (
+            p
+            for f1, f2 in zip(files[0::2], files[1::2])
+            for p in packed_pairs_from_files(f1, f2)
+        )
+    else:
+        packed_factory = lambda: (
+            p for path in files for p in packed_reads_from_file(path)
+        )
+    dyn.two_step_classify_and_write(
+        files_factory, args.index_reports, args.bracken_length,
+        packed_factory=packed_factory,
+    )
     return 0
 
 

@@ -273,11 +273,17 @@ class Dynamic:
         fragments,
         dynamic_reports: bool = False,
         bracken_read_length: Optional[int] = None,
+        packed_factory=None,
     ):
         """fragments: a sequence of Fragments, or a zero-arg callable
         returning a fresh iterator (streaming mode — reads are re-read for
         each of the two passes instead of being held in memory, like the
-        reference re-evaluating its reads Dataset, Dynamic.scala:320-324)."""
+        reference re-evaluating its reads Dataset, Dynamic.scala:320-324).
+
+        packed_factory: optional zero-arg callable yielding native
+        PackedReads batches for the SAME reads — the final classification
+        then takes the fast streaming path (classify_and_write_packed, the
+        same writer the 1-step CLI uses)."""
         if callable(fragments):
             factory = fragments
         else:
@@ -306,7 +312,10 @@ class Dynamic:
 
         t = Timer("Classify reads")
         cls = Classifier(dynamic_index)
-        cls.classify_and_write(factory(), self.output, self.cpar)
+        if packed_factory is not None:
+            cls.classify_and_write_packed(packed_factory(), self.output, self.cpar)
+        else:
+            cls.classify_and_write(factory(), self.output, self.cpar)
         t.finish()
         return dynamic_index
 

@@ -157,3 +157,49 @@ def test_gold_set_promotion(rng, tmp_path):
 class _FakeBase:
     def __init__(self, t):
         self.taxonomy = t
+
+
+def test_two_step_packed_factory_matches_fragments(rng, tmp_path):
+    """The packed-stream final classification (the classify2 CLI path) must
+    produce the same reports as the Fragment path."""
+    import glob
+    import gzip
+
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode as enc
+
+    t, genomes, idx, lib, frags = setup(rng)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+
+    def packed_factory():
+        rows = np.stack(
+            [
+                np.pad(enc.encode_seq(f.seq), (0, 128 - len(f.seq)), constant_values=4)
+                for f in frags
+            ]
+        )
+        yield native.PackedReads(
+            rows,
+            np.array([len(f.seq) for f in frags], np.int32),
+            [f.title for f in frags],
+        )
+
+    outs = {}
+    for label, kw in (
+        ("frag", {}),
+        ("packed", {"packed_factory": packed_factory}),
+    ):
+        out = str(tmp_path / label)
+        dyn = Dynamic(idx, lib, 8, ClassifiedReadCount(1, 0.0), cpar, None, out)
+        dyn.two_step_classify_and_write(frags, **kw)
+        files = {}
+        for f in sorted(glob.glob(out + "*/**/*", recursive=True)):
+            if os.path.isfile(f):
+                rel = f[len(out):]
+                files[rel] = (
+                    gzip.open(f, "rb").read() if f.endswith(".gz") else open(f, "rb").read()
+                )
+        outs[label] = files
+    assert set(outs["frag"]) == set(outs["packed"])
+    for k in outs["frag"]:
+        assert outs["frag"][k] == outs["packed"][k], k
