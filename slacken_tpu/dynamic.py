@@ -108,22 +108,32 @@ class Dynamic:
         out_keys: List[np.ndarray] = []
         out_taxa: List[np.ndarray] = []
 
+        import jax as _jax
+
+        tiled = _jax.default_backend() != "cpu" and not idx.wide
         for bucket, frags in _bucketize(fragments, cls):
             codes, _ = encode.pack_batch(
                 [_concat_pair(f) for f in frags], bucket
             )
-            hi, lo, starts, taxa = _span_hits_kernel(
-                codes,
-                idx.device_keys.hi,
-                idx.device_keys.lo,
-                idx.device_taxa,
-                idx.device_router,
-                mp,
-                idx.router_rounds,
-                idx.router_bits,
-                idx.key_bits,
-                idx.device_lut,
-            )
+            if tiled:
+                table, tile = idx.device_tiled
+                hi, lo, starts, taxa = _span_hits_kernel_tiled(
+                    codes, table, idx.device_router, mp, tile,
+                    idx.router_bits, idx.key_bits, idx.device_lut,
+                )
+            else:
+                hi, lo, starts, taxa = _span_hits_kernel(
+                    codes,
+                    idx.device_keys.hi,
+                    idx.device_keys.lo,
+                    idx.device_taxa,
+                    idx.device_router,
+                    mp,
+                    idx.router_rounds,
+                    idx.router_bits,
+                    idx.key_bits,
+                    idx.device_lut,
+                )
             hi, lo = np.asarray(hi), np.asarray(lo)
             starts = np.asarray(starts)
             taxa = np.asarray(taxa)
@@ -331,6 +341,19 @@ def _span_hits_kernel(
     looked = lookup_ops.lookup_taxa_routed(
         u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer, rounds, bits,
         key_bits,
+    )
+    return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _span_hits_kernel_tiled(
+    codes, table, router, mp, tile, bits, key_bits=62, lut=None
+):
+    """_span_hits_kernel with the tiled row-gather probe (the TPU fast
+    path; bit-identical to the routed variant)."""
+    wm = window_minimizers(codes, mp, lut)
+    looked = lookup_ops.lookup_taxa_tiled(
+        table, router, wm.minimizer, tile, bits, key_bits
     )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 

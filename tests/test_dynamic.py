@@ -203,3 +203,28 @@ def test_two_step_packed_factory_matches_fragments(rng, tmp_path):
     assert set(outs["frag"]) == set(outs["packed"])
     for k in outs["frag"]:
         assert outs["frag"][k] == outs["packed"][k], k
+
+
+def test_span_hits_tiled_matches_routed(rng):
+    """The tiled span-hit counting kernel (TPU path) must equal the routed
+    one used on CPU."""
+    from slacken_tpu.dynamic import _span_hits_kernel, _span_hits_kernel_tiled
+    from slacken_tpu.ops import encode as enc
+
+    t, genomes, idx, lib, frags = setup(rng)
+    rows = np.stack(
+        [np.pad(enc.encode_seq(f.seq), (0, 128 - len(f.seq)), constant_values=4) for f in frags]
+    )
+    mp = idx.params.minimizer_params
+    a = _span_hits_kernel(
+        rows, idx.device_keys.hi, idx.device_keys.lo, idx.device_taxa,
+        idx.device_router, mp, idx.router_rounds, idx.router_bits,
+        idx.key_bits, idx.device_lut,
+    )
+    table, tile = idx.device_tiled
+    b = _span_hits_kernel_tiled(
+        rows, table, idx.device_router, mp, tile, idx.router_bits,
+        idx.key_bits, idx.device_lut,
+    )
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
