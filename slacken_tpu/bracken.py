@@ -53,6 +53,19 @@ def _fragment_kernel(
     return looked, wm.valid, wm.span_start, wm.distinct
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _fragment_kernel_tiled(
+    codes, table, router, mp, tile, bits, key_bits=62, lut=None
+):
+    """_fragment_kernel with the tiled row-gather probe (TPU fast path;
+    bit-identical)."""
+    wm = window_minimizers(codes, mp, lut)
+    looked = lookup_ops.lookup_taxa_tiled(
+        table, router, wm.minimizer, tile, bits, key_bits
+    )
+    return looked, wm.valid, wm.span_start, wm.distinct
+
+
 class BrackenWeights:
     def __init__(self, index: KeyValueIndex, read_len: int, use_device: bool = False):
         self.index = index
@@ -206,12 +219,21 @@ class BrackenWeights:
         R = self.read_len
         k = idx.params.k
 
+        tiled = jax.default_backend() != "cpu" and not idx.wide
+
         def flush(bucket, items):
             codes, _ = encode.pack_batch([c for _, c in items], bucket)
-            looked, valid, span_start, distinct = _fragment_kernel(
-                codes, dk.hi, dk.lo, idx.device_taxa, idx.device_router, mp,
-                idx.router_rounds, idx.router_bits, idx.key_bits, idx.device_lut,
-            )
+            if tiled:
+                ttab, tile = idx.device_tiled
+                looked, valid, span_start, distinct = _fragment_kernel_tiled(
+                    codes, ttab, idx.device_router, mp, tile,
+                    idx.router_bits, idx.key_bits, idx.device_lut,
+                )
+            else:
+                looked, valid, span_start, distinct = _fragment_kernel(
+                    codes, dk.hi, dk.lo, idx.device_taxa, idx.device_router, mp,
+                    idx.router_rounds, idx.router_bits, idx.key_bits, idx.device_lut,
+                )
             if self.use_device and bucket >= R:
                 dest, overflow = _window_classify_kernel(
                     looked, valid, span_start, distinct, table, R, k, self.device_max_taxa

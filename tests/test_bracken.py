@@ -134,3 +134,33 @@ def test_device_path_matches_numpy(rng):
     dev = BrackenWeights(idx, 100, use_device=True).build_weights(lib, taxa)
     cpu = BrackenWeights(idx, 100, use_device=False).build_weights(lib, taxa)
     assert dev == cpu
+
+
+def test_fragment_kernel_tiled_matches_routed(rng):
+    """Bracken's tiled fragment-scan kernel (TPU path) must equal the
+    routed one."""
+    from slacken_tpu.bracken import _fragment_kernel, _fragment_kernel_tiled
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.ops import encode as enc
+    from test_index import make_genomes
+    from test_taxonomy import random_taxonomy
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=700)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    mp = idx.params.minimizer_params
+    rows = np.stack(
+        [enc.encode_seq(g[:512]) for _, g in genomes]
+    ).astype(np.uint8)
+    a = _fragment_kernel(
+        rows, idx.device_keys.hi, idx.device_keys.lo, idx.device_taxa,
+        idx.device_router, mp, idx.router_rounds, idx.router_bits,
+        idx.key_bits, idx.device_lut,
+    )
+    table, tile = idx.device_tiled
+    b = _fragment_kernel_tiled(
+        rows, table, idx.device_router, mp, tile, idx.router_bits,
+        idx.key_bits, idx.device_lut,
+    )
+    for x, y in zip(a, b):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
