@@ -57,15 +57,23 @@ def main():
         m = pmesh.make_mesh(n)
         sk, st = pmesh.shard_index_by_range(idx.keys, idx.taxa, n)
         routers, rounds, rbits = pmesh.shard_routers(sk)
-        ring = pmesh.classify_ring_fn(m, mp, 32, rounds, rbits)
-        args_dev = (
-            codes,
-            (sk >> np.uint64(32)).astype(np.uint32),
-            sk.astype(np.uint32),
-            st,
-            routers,
-            table,
-        )
+        if devs[0].platform == "cpu":
+            ring = pmesh.classify_ring_fn(m, mp, 32, rounds, rbits)
+            args_dev = (
+                codes,
+                (sk >> np.uint64(32)).astype(np.uint32),
+                sk.astype(np.uint32),
+                st,
+                routers,
+                table,
+            )
+        else:
+            # the production accelerator config: per-shard tiled tables
+            tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
+            ring = pmesh.classify_ring_fn(
+                m, mp, 32, rounds, rbits, probe=("tiled", tile)
+            )
+            args_dev = (codes, tables, routers, table)
         out = ring(*args_dev)
         np.asarray(out[5])  # warm up + sync (psum'd report counts)
         t0 = time.time()
