@@ -29,6 +29,7 @@ import numpy as np
 
 from .index import KeyValueIndex
 from .ops import encode
+from .ops import hitruns as hitruns_ops
 from .ops import lookup as lookup_ops
 from .ops import rle as rle_ops
 from .ops import u64
@@ -491,6 +492,9 @@ class _BatchResult:
     #: device RLE bundle of window_taxa (ops.rle) when detailed output is on
     #: and the backend benefits from compact d2h transfers; None otherwise
     window_rle: Optional[object] = None
+    #: device bundle of FINAL per-read hit runs (ops.hitruns) — the default
+    #: detailed-mode transfer; None when disabled
+    hit_runs: Optional[object] = None
     #: {threshold: raw per-read taxon} computed by _finalize_kernel on
     #: device (before the min-hit-groups gate); None in legacy host mode
     final_taxa: Optional[Dict[float, np.ndarray]] = None
@@ -582,11 +586,16 @@ class Classifier:
         #: set per call by the detailed-output paths (window_taxa is only
         #: fetched to host when per-read lines are produced)
         self._fetch_window_taxa = False
-        #: compact the window_taxa d2h transfer with device RLE (ops.rle).
-        #: MEASURED OFF by default: the global-scatter encode costs more
-        #: than the transfer saves even on the 41 MB/s tunnel (detailed e2e
-        #: 16.3k vs 36.7k reads/s, r2_session10) — XLA's TPU scatter at 3M
-        #: updates is the problem, not the idea; opt in with STPU_WT_RLE=1
+        #: reduce each read to its FINAL ordered hit runs on device
+        #: (ops.hitruns) so detailed mode transfers ~90 B/read instead of
+        #: the dense [B, L] window-taxa array, and the host formats O(runs)
+        #: per row. Default on (every backend); STPU_HIT_RUNS=0 reverts to
+        #: the dense transfer + C++ window walk.
+        self._hit_runs = os.environ.get("STPU_HIT_RUNS", "1") == "1"
+        #: opt-in alternative: device RLE of window_taxa (ops.rle). The
+        #: v1 global-scatter encode measured SLOWER than the dense transfer
+        #: (16.3k vs 36.7k reads/s, r2_session10); v2 is scatter-free but
+        #: superseded by hit_runs above.
         self._wt_rle = os.environ.get("STPU_WT_RLE") == "1"
         #: thresholds for on-device finalisation (set per call from cpar by
         #: the high-level entry points); None => legacy host finalize with
@@ -761,17 +770,29 @@ class Classifier:
         n = len(titles)
         k = idx.params.k
         window_rle = None
-        if (
-            self._fetch_window_taxa
-            and self._wt_rle
-            and window_taxa.shape[1] < (1 << 16)  # lengths are uint16 pairs
-        ):
-            # dispatch the RLE compaction now (async) so it runs while the
-            # host blocks on the bundle below; _hit_pairs fetches the compact
-            # bundle instead of the dense [B, L] array
-            window_rle = rle_ops.encode_rows(
-                window_taxa, rle_ops.DEFAULT_RUNS_PER_ROW
-            )
+        hit_runs_dev = None
+        hr_splits = hr_lens = None
+        if self._fetch_window_taxa and window_taxa.shape[1] < (1 << 16):
+            # dispatch the detailed-output reductions now (async) so they
+            # run while the host blocks on the bundle below
+            if self._hit_runs:
+                b_fixed = window_taxa.shape[0]
+                hr_splits = np.full(b_fixed, -1, np.int64)
+                hr_splits[:n] = [-1 if s is None else s for s in splits]
+                hr_lens = np.zeros(b_fixed, np.int64)
+                hr_lens[:n] = row_lens
+                hit_runs_dev = hitruns_ops.hit_runs(
+                    window_taxa,
+                    jnp.asarray(codes < encode.INVALID),
+                    jnp.asarray(hr_splits, jnp.int32),
+                    jnp.asarray(hr_lens, jnp.int32),
+                    k,
+                    hitruns_ops.DEFAULT_RUNS_PER_ROW,
+                )
+            elif self._wt_rle:
+                window_rle = rle_ops.encode_rows(
+                    window_taxa, rle_ops.DEFAULT_RUNS_PER_ROW
+                )
         # ONE device->host transfer for all the scalar-per-read outputs;
         # window_taxa stays device-lazy
         common = dict(
@@ -783,6 +804,7 @@ class Classifier:
             hit_taxa=ch.taxa,  # device; rarely needed on host
             hit_counts=ch.counts,
             window_rle=window_rle,
+            hit_runs=hit_runs_dev,
         )
         # NOTE: an eager window_taxa.copy_to_host_async() here was measured
         # COUNTERPRODUCTIVE on the axon tunnel (detailed e2e 41.5k -> 18.2k
@@ -991,6 +1013,11 @@ class Classifier:
             return cached
         n = len(batch.titles)
         k = self.index.params.k
+        if batch.hit_runs is not None:
+            pairs = self._pairs_from_runs(batch, n, k)
+            if pairs is not None:
+                batch._hit_pairs_cache = pairs
+                return pairs
         if batch.window_rle is not None:
             L = batch.window_taxa.shape[1]
             dense, overflow_rows = rle_ops.decode_rows(
@@ -1017,6 +1044,44 @@ class Classifier:
                 details, length_string = hits_to_strings(parts, k)
                 pairs.append((details, length_string))
         batch._hit_pairs_cache = pairs
+        return pairs
+
+    def _pairs_from_runs(self, batch: _BatchResult, n: int, k: int):
+        """(details, length) pairs from the device hit-runs bundle; rows
+        overflowing the run cap fall back to the dense per-row host path."""
+        from . import native
+
+        cap = hitruns_ops.DEFAULT_RUNS_PER_ROW
+        bundle = np.asarray(batch.hit_runs)[:n]
+        values, counts, nruns, totals, overflow_rows = hitruns_ops.decode(
+            bundle, cap
+        )
+        splits = np.array(
+            [-1 if s is None else s for s in batch.mate_split], np.int64
+        )
+        pairs = native.hit_lines_runs(
+            values, counts, np.minimum(nruns, cap), totals, splits, k
+        )
+        if pairs is None:
+            # no native library: assemble from the runs in Python
+            pairs = []
+            for i in range(n):
+                parts = [[]] if batch.mate_split[i] is None else [[], []]
+                for j in range(min(int(nruns[i]), cap)):
+                    pv = int(values[i, j])
+                    taxon = (pv >> 1) - 2
+                    parts[pv & 1].append(
+                        [AMBIGUOUS_SPAN if taxon == -1 else taxon, int(counts[i, j])]
+                    )
+                pairs.append(hits_to_strings(parts, k))
+        if len(overflow_rows):
+            wt = np.asarray(batch.window_taxa[overflow_rows])
+            for w_row, i in zip(wt, overflow_rows.tolist()):
+                parts = _row_hit_parts(
+                    batch.codes[i], w_row, batch.mate_split[i],
+                    batch.row_lens[i], k,
+                )
+                pairs[i] = hits_to_strings(parts, k)
         return pairs
 
     # -- high level ----------------------------------------------------------

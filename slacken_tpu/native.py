@@ -77,6 +77,11 @@ def _load():
     lib.stpu_fasta_fill.restype = i64
     lib.stpu_hit_lines.argtypes = [p_u8, p_i32, i64, i64, p_i64, p_i64, i64, ctypes.c_char_p, p_i64]
     lib.stpu_hit_lines.restype = i64
+    lib.stpu_hit_lines_runs.argtypes = [
+        p_i32, p_i32, p_i64, p_i64, p_i64, i64, i64, i64, i64,
+        ctypes.c_char_p, p_i64,
+    ]
+    lib.stpu_hit_lines_runs.restype = i64
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.stpu_radix_sort_kv.argtypes = [p_u64, p_i32, i64, p_u64, p_i32, ctypes.c_int]
     _lib = lib
@@ -297,6 +302,44 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
     result = []
     for r in range(b):
         row = raw[r * cap_row : offsets[r] - 1].decode("ascii")  # strip \n
+        details, _, length = row.rpartition("\t")
+        result.append((details, length))
+    return result
+
+
+def hit_lines_runs(values, counts, nruns, totals, splits, k):
+    """Per-read (hit_details, length_string) from device-reduced hit runs
+    (ops/hitruns.py); O(runs) per row instead of O(row length). Returns
+    None when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    b, cap = values.shape
+    nruns_arr = np.ascontiguousarray(nruns, np.int64)
+    totals_arr = np.ascontiguousarray(totals, np.int64)
+    splits_arr = np.ascontiguousarray(splits, np.int64)
+    cap_row = cap * 24 + 64
+    out = ctypes.create_string_buffer(b * cap_row)
+    offsets = np.empty(b + 1, np.int64)
+    lib.stpu_hit_lines_runs(
+        _as_ptr(values, ctypes.c_int32),
+        _as_ptr(counts, ctypes.c_int32),
+        _as_ptr(nruns_arr, ctypes.c_int64),
+        _as_ptr(totals_arr, ctypes.c_int64),
+        _as_ptr(splits_arr, ctypes.c_int64),
+        b,
+        cap,
+        k,
+        cap_row,
+        out,
+        _as_ptr(offsets, ctypes.c_int64),
+    )
+    raw = out.raw
+    result = []
+    for r in range(b):
+        row = raw[r * cap_row : offsets[r] - 1].decode("ascii")
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result

@@ -517,3 +517,32 @@ def test_device_finalize_matches_host(rng, monkeypatch):
         dev = Classifier(idx, max_taxa_per_read=max_taxa).classify(frags, cpar)
         for conf in cpar.thresholds:
             assert legacy[conf] == dev[conf], (mhg, max_taxa, conf)
+
+
+def test_hit_runs_output_identical(rng, monkeypatch):
+    """Detailed output must be byte-identical with the device hit-runs
+    reduction on vs the dense window-taxa path, including paired reads and
+    N-heavy rows that overflow the run cap."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(30):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.5:
+            chars = list(seq)
+            # up to 20 Ns: > cap runs on some rows => overflow fallback
+            for p in rng.integers(0, len(seq), int(rng.integers(1, 20))):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        if i % 4 == 3:
+            _, seq2 = sample_read(rng, genomes)
+            frags.append(Fragment(f"r{i}", seq, seq2))
+        else:
+            frags.append(Fragment(f"r{i}", seq))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    monkeypatch.setenv("STPU_HIT_RUNS", "0")
+    base = Classifier(idx).classify(frags, cpar)
+    monkeypatch.setenv("STPU_HIT_RUNS", "1")
+    runs = Classifier(idx).classify(frags, cpar)
+    for conf in cpar.thresholds:
+        for a, b in zip(base[conf], runs[conf]):
+            assert a == b, (conf, a, b)
