@@ -1350,8 +1350,11 @@ def exp_e2e4():
     import os
 
     dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
-    for label, rle_flag in (("detailed_best", "0"), ("detailed_best_rle", "1")):
-        os.environ["STPU_WT_RLE"] = rle_flag
+    for label, runs_flag in (
+        ("detailed_runs", "1"),  # device hit-runs reduction (default)
+        ("detailed_dense", "0"),  # dense window-taxa transfer + window walk
+    ):
+        os.environ["STPU_HIT_RUNS"] = runs_flag
         cls = Classifier(
             IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
         )
@@ -1363,7 +1366,7 @@ def exp_e2e4():
             out[f"{label}_reads_s"] = round(n_reads / (time.time() - t0))
         finally:
             shutil.rmtree(loc, ignore_errors=True)
-    os.environ.pop("STPU_WT_RLE", None)
+    os.environ.pop("STPU_HIT_RUNS", None)
     return out
 
 
