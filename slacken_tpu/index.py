@@ -712,10 +712,12 @@ class KeyValueIndex:
         cap_dr = batch_rows * row_len
         chunks: List = []  # device [3, n] sentinel-padded record arrays
         table_dev = None
-        # entries held device-resident before a hierarchical reduction
-        # (~192 MB at the default; env override exercises the tree in tests)
+        # entries held device-resident before a hierarchical reduction.
+        # The reduction's segment min/max transients are [entries, D] int32
+        # (~2 * entries * D * 4 bytes, D ~ 20), so 8M entries keeps the
+        # peak ~1.3 GB; env override exercises the tree in tests
         superbatch = int(
-            _os.environ.get("STPU_BUILD_SUPERBATCH", max(4 * cap_dr, 1 << 24))
+            _os.environ.get("STPU_BUILD_SUPERBATCH", max(2 * cap_dr, 1 << 23))
         )
 
         def _bucket(n: int, g: int = 1 << 18) -> int:
