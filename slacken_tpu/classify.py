@@ -1140,7 +1140,30 @@ class Classifier:
         try:
             for batch in self.packed_batches(packed_iter):
                 n = len(batch.titles)
-                pairs = self._hit_pairs(batch)
+                # fully-native line emission from device hit runs (no
+                # per-read Python); falls back to the pairs + f-string path
+                # when runs are unavailable or a row overflowed the cap
+                fast = None
+                if batch.hit_runs is not None:
+                    cap = hitruns_ops.DEFAULT_RUNS_PER_ROW
+                    bundle = np.asarray(batch.hit_runs)[:n]
+                    values, rcounts, nruns, totals, ovf = hitruns_ops.decode(
+                        bundle, cap
+                    )
+                    if len(ovf) == 0:
+                        tb = [s.encode("utf-8") for s in batch.titles]
+                        toffs = np.zeros(n + 1, np.int64)
+                        np.cumsum([len(s) for s in tb], out=toffs[1:])
+                        fast = (
+                            values, rcounts, nruns, totals,
+                            np.array(
+                                [-1 if s is None else s for s in batch.mate_split],
+                                np.int64,
+                            ),
+                            b"".join(tb), toffs,
+                            max((len(s) for s in tb), default=0),
+                        )
+                pairs = None if fast is not None else self._hit_pairs(batch)
                 if sre is not None:
                     samples = []
                     for title in batch.titles:
@@ -1149,6 +1172,7 @@ class Classifier:
                     samples = np.array(samples)
                 else:
                     samples = None
+                k = self.index.params.k
                 for t in cpar.thresholds:
                     # bulk formatting: no per-read objects or method calls —
                     # one vectorised threshold pass + a single comprehension
@@ -1165,15 +1189,34 @@ class Classifier:
                             for s in np.unique(samples[keep])
                         ]
                     )
+                    emitted = None
+                    if fast is not None:
+                        from . import native
+
+                        v_, c_, nr_, tt_, sp_, blob_, toffs_, maxt_ = fast
+                        emitted = native.output_lines_runs(
+                            v_, c_, nr_, tt_, sp_, blob_, toffs_, rtax,
+                            classified.astype(np.uint8), k, maxt_,
+                        )
                     titles = batch.titles
                     for sample, idxs in groups:
                         if len(idxs) == 0:
                             continue
-                        lines = [
-                            f"{'C' if classified[i] else 'U'}\t{titles[i]}\t{rtax[i]}\t{pairs[i][1]}\t{pairs[i][0]}"
-                            for i in idxs
-                        ]
-                        writer_for(t, sample).write("\n".join(lines) + "\n")
+                        if emitted is not None:
+                            raw, starts, ends = emitted
+                            mv = memoryview(raw)
+                            data = b"".join(
+                                mv[starts[i] : ends[i]] for i in idxs.tolist()
+                            )
+                            writer_for(t, sample).write(data.decode("utf-8"))
+                        else:
+                            if pairs is None:
+                                pairs = self._hit_pairs(batch)
+                            lines = [
+                                f"{'C' if classified[i] else 'U'}\t{titles[i]}\t{rtax[i]}\t{pairs[i][1]}\t{pairs[i][0]}"
+                                for i in idxs
+                            ]
+                            writer_for(t, sample).write("\n".join(lines) + "\n")
                         agg = counts[t].setdefault(sample, {})
                         vals, cts = np.unique(rtax[idxs], return_counts=True)
                         for v, c in zip(vals.tolist(), cts.tolist()):

@@ -82,6 +82,11 @@ def _load():
         ctypes.c_char_p, p_i64,
     ]
     lib.stpu_hit_lines_runs.restype = i64
+    lib.stpu_output_lines_runs.argtypes = [
+        p_i32, p_i32, p_i64, p_i64, p_i64, ctypes.c_char_p, p_i64, p_i64,
+        p_u8, i64, i64, i64, i64, ctypes.c_char_p, p_i64,
+    ]
+    lib.stpu_output_lines_runs.restype = i64
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.stpu_radix_sort_kv.argtypes = [p_u64, p_i32, i64, p_u64, p_i32, ctypes.c_int]
     _lib = lib
@@ -343,6 +348,41 @@ def hit_lines_runs(values, counts, nruns, totals, splits, k):
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result
+
+
+def output_lines_runs(values, counts, nruns, totals, splits, titles_blob,
+                      title_offs, rtax, classified, k, max_title):
+    """Full per-read Kraken output lines from device hit runs. Returns
+    (raw bytes, starts [B] int64, ends [B] int64) or None (no native lib);
+    row r's line is raw[starts[r]:ends[r]] including the trailing newline."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, np.int32)
+    counts = np.ascontiguousarray(counts, np.int32)
+    b, cap = values.shape
+    cap_row = cap * 24 + int(max_title) + 80
+    out = ctypes.create_string_buffer(b * cap_row)
+    ends = np.empty(b, np.int64)
+    lib.stpu_output_lines_runs(
+        _as_ptr(values, ctypes.c_int32),
+        _as_ptr(counts, ctypes.c_int32),
+        _as_ptr(np.ascontiguousarray(nruns, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(totals, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(splits, np.int64), ctypes.c_int64),
+        titles_blob,
+        _as_ptr(np.ascontiguousarray(title_offs, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(rtax, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(classified, np.uint8), ctypes.c_uint8),
+        b,
+        cap,
+        k,
+        cap_row,
+        out,
+        _as_ptr(ends, ctypes.c_int64),
+    )
+    starts = np.arange(b, dtype=np.int64) * cap_row
+    return out.raw, starts, ends
 
 
 def radix_sort_kv(keys: np.ndarray, vals: np.ndarray, with_vals: bool = False):
