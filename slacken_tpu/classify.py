@@ -685,8 +685,10 @@ class Classifier:
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
                 outs = _classify_kernel_packed_wide(packed, valid, *common)
-            else:
-                outs = _classify_kernel_wide(codes, *common)
+                return self._post_dispatch(
+                    outs, codes, titles, splits, row_lens, wire_valid=valid
+                )
+            outs = _classify_kernel_wide(codes, *common)
             return self._post_dispatch(outs, codes, titles, splits, row_lens)
         if self._probe_static[0] in ("tiled", "hashed"):
             hashed = self._probe_static[0] == "hashed"
@@ -704,8 +706,10 @@ class Classifier:
             if self._packed_transfer and bucket % 8 == 0:
                 packed, valid = encode.pack_2bit(codes)
                 outs = _classify_kernel_packed_tiled(packed, valid, *common)
-            else:
-                outs = _classify_kernel_tiled(codes, *common)
+                return self._post_dispatch(
+                    outs, codes, titles, splits, row_lens, wire_valid=valid
+                )
+            outs = _classify_kernel_tiled(codes, *common)
             return self._post_dispatch(outs, codes, titles, splits, row_lens)
         common = (
             self._dev_keys.hi,
@@ -723,8 +727,10 @@ class Classifier:
         if self._packed_transfer and bucket % 8 == 0:
             packed, valid = encode.pack_2bit(codes)
             outs = _classify_kernel_packed(packed, valid, *common)
-        else:
-            outs = _classify_kernel(codes, *common)
+            return self._post_dispatch(
+                outs, codes, titles, splits, row_lens, wire_valid=valid
+            )
+        outs = _classify_kernel(codes, *common)
         return self._post_dispatch(outs, codes, titles, splits, row_lens)
 
     def _req_lut(self, thresholds: Tuple[float, ...], tmax: int):
@@ -742,10 +748,13 @@ class Classifier:
             self._req_lut_cache[key] = lut
         return lut
 
-    def _post_dispatch(self, outs, codes, titles, splits, row_lens):
+    def _post_dispatch(self, outs, codes, titles, splits, row_lens,
+                       wire_valid=None):
         """Attach either the device-finalised [B, 3+nthr] bundle (thresholds
         known up front — the production paths) or the legacy full host
-        bundle to the dispatched batch."""
+        bundle to the dispatched batch. wire_valid: pack_2bit's validity
+        bitmask when the batch used the packed transfer (reused by the
+        hit-runs reduction instead of re-uploading a dense bool mask)."""
         window_taxa, num_distinct, ch, res, hostpack = outs
         if self._finalize_thresholds is not None and self._device_finalize:
             ambig = _ambig_array(
@@ -761,11 +770,18 @@ class Classifier:
                 jnp.asarray(ambig),
                 lut,
             )
-            return (window_taxa, ch, pack, codes, titles, splits, row_lens, True)
-        return (window_taxa, ch, hostpack, codes, titles, splits, row_lens, False)
+            return (
+                window_taxa, ch, pack, codes, titles, splits, row_lens,
+                True, wire_valid,
+            )
+        return (
+            window_taxa, ch, hostpack, codes, titles, splits, row_lens,
+            False, wire_valid,
+        )
 
     def _harvest(self, dispatched) -> _BatchResult:
-        window_taxa, ch, pack, codes, titles, splits, row_lens, devfin = dispatched
+        (window_taxa, ch, pack, codes, titles, splits, row_lens, devfin,
+         wire_valid) = dispatched
         idx = self.index
         n = len(titles)
         k = idx.params.k
@@ -781,9 +797,15 @@ class Classifier:
                 hr_splits[:n] = [-1 if s is None else s for s in splits]
                 hr_lens = np.zeros(b_fixed, np.int64)
                 hr_lens[:n] = row_lens
+                if wire_valid is not None:
+                    vc = encode.unpack_valid_device(
+                        jnp.asarray(wire_valid), window_taxa.shape[1]
+                    )
+                else:
+                    vc = jnp.asarray(codes < encode.INVALID)
                 hit_runs_dev = hitruns_ops.hit_runs(
                     window_taxa,
-                    jnp.asarray(codes < encode.INVALID),
+                    vc,
                     jnp.asarray(hr_splits, jnp.int32),
                     jnp.asarray(hr_lens, jnp.int32),
                     k,

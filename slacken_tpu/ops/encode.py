@@ -93,6 +93,18 @@ def unpack_2bit_device(packed, valid):
     return jnp.where(ok == 1, codes, jnp.uint8(INVALID))
 
 
+def unpack_valid_device(valid, L: int):
+    """Device-side char-validity mask [B, L] bool from pack_2bit's bitmask
+    (little-endian bits), so consumers that only need validity (e.g. the
+    hit-runs reduction) can reuse the already-transferred wire bitmask."""
+    import jax.numpy as jnp
+
+    b = valid.shape[0]
+    v = valid.astype(jnp.uint8)
+    ok = jnp.stack([(v >> j) & jnp.uint8(1) for j in range(8)], axis=-1).reshape(b, -1)
+    return ok[:, :L] == 1
+
+
 def revcomp_str(seq: str) -> str:
     comp = str.maketrans("ACGTUacgtu", "TGCAATGCAA")
     return seq.translate(comp)[::-1]
