@@ -344,7 +344,6 @@ def write_kmer_distrib(counts: Dict[Tuple[int, int], int], output_location: str)
 import jax.numpy as jnp
 from functools import partial as _partial
 
-from .ops.lca import lca_of_rpath_set
 from .ops.resolve import INVALID_WINDOW, compact_hits
 
 
