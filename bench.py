@@ -14,12 +14,26 @@ absolute throughput numbers; README.md:563-565 defers to the NAR paper).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BASELINE_READS_PER_SEC = 15000.0
+
+
+def _mark(phase: str):
+    """Heartbeat for the supervisor: a progress mark proves the inner run is
+    alive (compiling/transferring), so only a genuine stall gets killed."""
+    path = os.environ.get("STPU_BENCH_PROGRESS")
+    if path:
+        try:
+            with open(path, "a") as f:
+                f.write(f"{time.time():.0f} {phase}\n")
+        except OSError:
+            pass
+    print(f"[bench {time.strftime('%T')}] {phase}", file=sys.stderr, flush=True)
 
 
 def synthetic_library(rng):
@@ -31,7 +45,11 @@ def synthetic_library(rng):
         yield taxon, seq
 
 
+RC_TUNNEL_DOWN = 3  # retryable: the supervisor waits out the recovery window
+
+
 def main(force_cpu: bool = False):
+    _mark("start")
     import jax
 
     if force_cpu:
@@ -52,17 +70,22 @@ def main(force_cpu: bool = False):
     try:
         dev = jax.devices()[0]
     except RuntimeError as e:
-        # axon tunnel can be temporarily unavailable; fall back to CPU so the
-        # benchmark still reports (the number then understates TPU capability)
-        print(f"TPU backend unavailable ({e}); falling back to CPU", file=sys.stderr)
+        if not force_cpu:
+            # The TPU attempt must NEVER record a CPU number as its result:
+            # exit retryable so the supervisor can wait out the tunnel's
+            # 20-60 min recovery window (VERDICT r2 weak #1).
+            print(f"TPU backend unavailable: {e}", file=sys.stderr)
+            sys.exit(RC_TUNNEL_DOWN)
         jax.config.update("jax_platforms", "cpu")
         dev = jax.devices()[0]
+    if not force_cpu and dev.platform == "cpu":
+        print("TPU attempt resolved to a CPU device; retrying later", file=sys.stderr)
+        sys.exit(RC_TUNNEL_DOWN)
+    _mark(f"device {dev}")
     print(f"device: {dev}", file=sys.stderr)
 
     nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
     tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
-
-    import os
 
     cache = "/root/repo/.bench_cache/idx"
     rng = np.random.default_rng(20260816)
@@ -86,6 +109,7 @@ def main(force_cpu: bool = False):
             file=sys.stderr,
         )
         idx.save(cache)
+    _mark("index ready")
 
     # real reads via the native packed fast path
     from slacken_tpu.inputs import packed_reads_from_file
@@ -115,6 +139,7 @@ def main(force_cpu: bool = False):
         )
     packed = (packed + sim) * 4
     n_reads = sum(len(p) for p in packed)
+    _mark(f"{n_reads} reads loaded")
     print(
         f"{n_reads} reads loaded (10k real + 10k simulated, 4x replicated)",
         file=sys.stderr,
@@ -149,9 +174,11 @@ def main(force_cpu: bool = False):
         rates = {}
         for name, cls in classifiers.items():
             cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
+            _mark(f"warm {name}")
             t0 = time.time()
             cls.classify_and_write_packed(packed, outdir + "/t0", cpar)
             rates[name] = n_reads / (time.time() - t0)
+            _mark(f"probe {name} {rates[name]:.0f} reads/s")
             print(
                 f"probe {name}: {rates[name]:.0f} reads/s", file=sys.stderr
             )
@@ -164,6 +191,7 @@ def main(force_cpu: bool = False):
             dt = time.time() - t0
             rate = n_reads / dt
             best = max(best, rate)
+            _mark(f"trial {trial} {rate:.0f} reads/s")
             print(
                 f"trial {trial} ({winner}): {dt:.2f}s = {rate:.0f} reads/s",
                 file=sys.stderr,
@@ -184,6 +212,7 @@ def main(force_cpu: bool = False):
         [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
         batch_rows=32, row_len=1 << 16,
     )
+    _mark("build warm done")
     t0 = time.time()
     bidx = KeyValueIndex.build(
         synthetic_library(np.random.default_rng(20260816)),
@@ -218,35 +247,84 @@ def main(force_cpu: bool = False):
     )
 
 
-def _supervise():
-    """Run the bench in a child process with a hard timeout.
-
-    The axon TPU tunnel in this environment can enter a half-dead state where
-    jax initialization or the first compile HANGS (no exception) — a plain
-    try/except fallback never fires. The supervisor gives the TPU attempt a
-    bounded window, then kills that exact child and reruns forced-CPU so a
-    JSON line is always produced. A healthy tunnel is untouched: the TPU
-    attempt IS the real run (no separate probe process whose exit could drop
-    the tunnel for the main run)."""
-    import os
+def _run_attempt(args, env, stall_s, hard_s):
+    """Start one inner attempt; kill it only on a genuine stall (no progress
+    mark for `stall_s`) or at the `hard_s` ceiling. Returns the exit code, or
+    None if the attempt was killed."""
     import subprocess
+    import tempfile
 
-    here = os.path.abspath(__file__)
-    t_tpu = float(os.environ.get("STPU_BENCH_TPU_TIMEOUT", 480))
-    t_cpu = float(os.environ.get("STPU_BENCH_CPU_TIMEOUT", 1800))
-    for args, timeout in ((["--inner"], t_tpu), (["--inner", "--cpu"], t_cpu)):
-        child = subprocess.Popen([sys.executable, here] + args)
+    fd, progress = tempfile.mkstemp(prefix="stpu_bench_hb_")
+    os.close(fd)
+    env = dict(env, STPU_BENCH_PROGRESS=progress)
+    child = subprocess.Popen([sys.executable, os.path.abspath(__file__)] + args, env=env)
+    t0 = time.time()
+    try:
+        while True:
+            try:
+                return child.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                pass
+            now = time.time()
+            last = max(os.path.getmtime(progress), t0)
+            if now - last > stall_s or now - t0 > hard_s:
+                why = "stalled" if now - last > stall_s else "hit hard ceiling"
+                print(
+                    f"bench attempt {args} {why} after {now - t0:.0f}s; "
+                    f"killing pid {child.pid}",
+                    file=sys.stderr,
+                )
+                child.kill()
+                child.wait()
+                return None
+    finally:
         try:
-            rc = child.wait(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            print(f"bench attempt {args} timed out; killing pid {child.pid}", file=sys.stderr)
-            child.kill()
-            child.wait()
-            continue
+            os.unlink(progress)
+        except OSError:
+            pass
+
+
+def _supervise():
+    """Run the bench in a child process, resilient to the axon tunnel.
+
+    Failure modes seen on this host (r2: BENCH_r02 regressed to CPU):
+      * jax init or the first compile HANGS silently — handled by a
+        heartbeat-based stall detector (progress marks from _mark), so a
+        slow-but-alive cold compile is NOT killed;
+      * init fails fast with UNAVAILABLE — the inner process exits
+        RC_TUNNEL_DOWN and the supervisor sleeps and retries: the tunnel
+        drops for 20-60 min after its previous client exits, so the retry
+        budget must span that whole recovery window.
+    Only after the TPU window is exhausted does a forced-CPU run produce the
+    fallback JSON line. A healthy tunnel is untouched: the TPU attempt IS
+    the real run (no separate probe process whose exit could drop the tunnel
+    for the main run)."""
+
+    t_total = float(os.environ.get("STPU_BENCH_TPU_TOTAL", 5400))
+    t_stall = float(os.environ.get("STPU_BENCH_TPU_STALL", 420))
+    t_hard = float(os.environ.get("STPU_BENCH_TPU_HARD", 1500))
+    t_retry = float(os.environ.get("STPU_BENCH_RETRY_SLEEP", 150))
+    t_cpu = float(os.environ.get("STPU_BENCH_CPU_TIMEOUT", 1800))
+
+    deadline = time.time() + t_total
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        print(f"TPU attempt {attempt}...", file=sys.stderr)
+        rc = _run_attempt(["--inner"], os.environ, t_stall, t_hard)
         if rc == 0:
             return
-        print(f"bench attempt {args} exited rc={rc}", file=sys.stderr)
-    sys.exit(1)
+        why = "killed" if rc is None else f"rc={rc}"
+        remaining = deadline - time.time()
+        print(
+            f"TPU attempt {attempt} failed ({why}); {remaining:.0f}s left in window",
+            file=sys.stderr,
+        )
+        if remaining > t_retry:
+            time.sleep(t_retry)
+    print("TPU window exhausted; falling back to CPU", file=sys.stderr)
+    rc = _run_attempt(["--inner", "--cpu"], os.environ, t_cpu, t_cpu)
+    sys.exit(0 if rc == 0 else 1)
 
 
 if __name__ == "__main__":
