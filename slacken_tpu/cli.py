@@ -135,6 +135,12 @@ def _build_parser():
     bb.add_argument("-i", "--index", required=True)
     bb.add_argument("-l", "--library", required=True)
     bb.add_argument("--read-len", type=int, default=100)
+    bb.add_argument(
+        "--no-gradual",
+        action="store_true",
+        help="Disable gradual (chunked, resumable) weight building; the "
+        "default matches the reference CLI's gradual=true (Slacken.scala:276)",
+    )
 
     r = sub.add_parser("respace", help="Derive new indexes with more spaced-seed spaces")
     r.add_argument("-i", "--index", required=True)
@@ -390,7 +396,13 @@ def cmd_bracken_build(args):
     lib = GenomeLibrary.from_directory(args.library)
     out = f"{args.index}_bracken/database{args.read_len}mers.kmer_distrib"
     bw = BrackenWeights(idx, args.read_len)
-    bw.build_and_write_weights(lib, lib.taxon_set(idx.taxonomy), out)
+    # gradual (chunked, durable, resumable) by default, matching the
+    # reference CLI: buildAndWriteWeights(..., gradual = true)
+    # (Slacken.scala:276); a re-run after a kill resumes from the persisted
+    # chunk files instead of recomputing them
+    bw.build_and_write_weights(
+        lib, lib.taxon_set(idx.taxonomy), out, gradual=not args.no_gradual
+    )
     print(f"Wrote {out}")
     return 0
 

@@ -119,6 +119,105 @@ def test_gradual_and_write(rng, tmp_path):
         assert per_source[taxon][1] == n_reads
 
 
+def test_gradual_resumes_from_persisted_chunks(rng, tmp_path, monkeypatch):
+    """A re-run after a mid-job kill must resume from the durable chunk files
+    instead of recomputing them (BrackenWeights.scala:356-374 spot-node
+    resilience). A second gradual run with compute poisoned to raise proves
+    every chunk was served from disk."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=400)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=K, m=M, spaces=S), t)
+    bw = BrackenWeights(idx, 100)
+    lib = FakeLibrary(genomes)
+    taxa = {g[0] for g in genomes}
+
+    tmp = str(tmp_path / "tmp")
+    want = bw.build_weights_gradually(lib, taxa, tmp, chunks=3)
+
+    # simulate a killed job that completed only some chunks: delete one chunk
+    import os
+
+    chunk_files = sorted(os.listdir(tmp))
+    assert len(chunk_files) >= 3
+    os.unlink(os.path.join(tmp, chunk_files[-1]))
+
+    calls = {"n": 0}
+    real = BrackenWeights.build_weights
+
+    def counting(self, library, taxa_set):
+        calls["n"] += 1
+        return real(self, library, taxa_set)
+
+    monkeypatch.setattr(BrackenWeights, "build_weights", counting)
+    got = bw.build_weights_gradually(lib, taxa, tmp, chunks=3)
+    assert got == want
+    assert calls["n"] == 1  # only the lost chunk was recomputed
+
+    # with all chunks present, compute must not run at all
+    def poisoned(self, library, taxa_set):
+        raise AssertionError("build_weights called despite complete chunks")
+
+    monkeypatch.setattr(BrackenWeights, "build_weights", poisoned)
+    assert bw.build_weights_gradually(lib, taxa, tmp, chunks=3) == want
+
+
+def test_cli_bracken_build_gradual_default(rng, tmp_path, monkeypatch):
+    """CLI bracken-build must run the gradual path by default (reference:
+    buildAndWriteWeights(..., gradual = true), Slacken.scala:276) and honor
+    --no-gradual."""
+    from slacken_tpu import cli
+    from slacken_tpu import bracken as bracken_mod
+    from test_inputs_cli import write_fasta
+
+    t = random_taxonomy(rng)
+    leaves = [x for x in t.taxa() if t.is_leaf(x)][:2]
+    lib = tmp_path / "lib"
+    (lib / "library").mkdir(parents=True)
+    with open(lib / "seqid2taxid.map", "w") as f:
+        for i, taxon in enumerate(leaves):
+            g = make_genomes(rng, t, n_genomes=1, length=400)[0][1]
+            write_fasta(lib / "library" / f"g{i}.fna", [(f"seq{taxon}", g)])
+            f.write(f"seq{taxon}\t{taxon}\n")
+    taxdir = tmp_path / "taxonomy"
+    t.save(str(taxdir))
+    idx_loc = str(tmp_path / "idx")
+    assert (
+        cli.main(
+            ["build", "-i", idx_loc, "-l", str(lib), "-t", str(taxdir), "-k",
+             str(K), "-m", str(M), "-s", str(S)]
+        )
+        == 0
+    )
+
+    seen = {}
+    real = bracken_mod.BrackenWeights.build_and_write_weights
+
+    def spy(self, library, taxa_set, out, gradual=False):
+        seen["gradual"] = gradual
+        return real(self, library, taxa_set, out, gradual=gradual)
+
+    monkeypatch.setattr(bracken_mod.BrackenWeights, "build_and_write_weights", spy)
+    assert (
+        cli.main(["bracken-build", "-i", idx_loc, "-l", str(lib), "--read-len", "100"])
+        == 0
+    )
+    assert seen["gradual"] is True
+    out = f"{idx_loc}_bracken/database100mers.kmer_distrib"
+    assert open(out).readline().startswith("mapped_taxid")
+    import os
+
+    assert not os.path.exists(out + "_tmp")  # tmp chunks cleaned up on success
+
+    assert (
+        cli.main(
+            ["bracken-build", "-i", idx_loc, "-l", str(lib), "--read-len", "100",
+             "--no-gradual"]
+        )
+        == 0
+    )
+    assert seen["gradual"] is False
+
+
 def test_device_path_matches_numpy(rng):
     """The device window classifier must agree with the numpy path exactly
     (and actually take the device path, not the overflow fallback)."""
