@@ -360,6 +360,9 @@ def cmd_classify2(args):
         _cpar(args),
         gold,
         args.output,
+        devices=args.devices,
+        layout=args.layout,
+        probe=args.probe,
     )
     files_factory = lambda: fragments_from_files(
         args.inputs, paired=args.paired, k=idx.params.k

@@ -83,6 +83,9 @@ class Dynamic:
         cpar: ClassifyParams,
         gold: Optional[GoldSetOptions],
         output_location: str,
+        devices: Optional[int] = None,
+        layout: Optional[str] = None,
+        probe: Optional[str] = None,
     ):
         self.base = base
         self.genomes = genomes
@@ -91,6 +94,24 @@ class Dynamic:
         self.cpar = cpar
         self.gold = gold
         self.output = output_location
+        # mesh distribution for BOTH steps (the reference runs every step of
+        # the 2-step pipeline as a distributed Spark job, Dynamic.scala:320-354):
+        # step-1 counting kernels, the dynamic index build, and the final
+        # classification all honor devices/layout/probe.
+        self.devices = devices
+        self.layout = layout
+        self.probe = probe
+
+    def _use_mesh(self) -> bool:
+        if self.devices is None and self.layout is None:
+            return False
+        n = self.devices or len(jax.devices())
+        return not (n == 1 and self.layout in (None, "replicated"))
+
+    def _make_classifier(self, idx: KeyValueIndex) -> Classifier:
+        from .parallel.classifier import make_classifier
+
+        return make_classifier(idx, self.devices, self.layout, probe=self.probe)
 
     @property
     def taxonomy(self) -> Taxonomy:
@@ -110,12 +131,28 @@ class Dynamic:
 
         import jax as _jax
 
+        use_mesh = self._use_mesh()
+        if use_mesh:
+            mesh_fn, mesh_args, mesh_n = self._mesh_span_setup()
         tiled = _jax.default_backend() != "cpu" and not idx.wide
         for bucket, frags in _bucketize(fragments, cls):
             codes, _ = encode.pack_batch(
                 [_concat_pair(f) for f in frags], bucket
             )
-            if tiled:
+            if use_mesh:
+                # pad the row count to a power of two AND a multiple of the
+                # mesh size (padded rows are all-INVALID: no valid spans)
+                b_fixed = 8
+                while b_fixed < codes.shape[0]:
+                    b_fixed *= 2
+                b_fixed = -(-b_fixed // mesh_n) * mesh_n
+                if codes.shape[0] < b_fixed:
+                    pad = np.full(
+                        (b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8
+                    )
+                    codes = np.concatenate([codes, pad], axis=0)
+                hi, lo, starts, taxa = mesh_fn(codes, *mesh_args)
+            elif tiled:
                 table, tile = idx.device_tiled
                 hi, lo, starts, taxa = _span_hits_kernel_tiled(
                     codes, table, idx.device_router, mp, tile,
@@ -147,6 +184,89 @@ class Dynamic:
             return np.zeros(0, np.uint64), np.zeros(0, np.int32)
         return np.concatenate(out_keys), np.concatenate(out_taxa)
 
+    def _mesh_span_setup(self):
+        """Build the mesh span-hit fn + committed index args for _span_hits,
+        mirroring MeshClassifier's probe/arg packaging (parallel/classifier.py)
+        so step-1 counting runs the same layouts as classification."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import mesh as pmesh
+
+        idx = self.base
+        if idx.wide:
+            raise NotImplementedError(
+                "classify2 minimizer-count criteria on a mesh require m <= 31"
+            )
+        mp = idx.params.minimizer_params
+        mesh_ = pmesh.make_mesh(self.devices)
+        n = mesh_.devices.size
+        layout = self.layout or "replicated"
+        probe = self.probe
+        if probe is None:
+            probe = "routed" if jax.default_backend() == "cpu" else "tiled"
+
+        if layout == "replicated":
+            if probe == "hashed":
+                table, tile, hbits = (
+                    np.asarray(idx.device_hashed[0]),
+                    idx.device_hashed[1],
+                    idx.device_hashed[2],
+                )
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    probe=("hashed", tile, hbits),
+                )
+                args = (table, np.zeros(2, np.int32))
+            elif probe == "tiled":
+                table, tile = idx.device_tiled
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    probe=("tiled", tile),
+                )
+                args = (np.asarray(table), np.asarray(idx.device_router))
+            else:
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits
+                )
+                keys = np.asarray(idx.keys, np.uint64)
+                args = (
+                    (keys >> np.uint64(32)).astype(np.uint32),
+                    keys.astype(np.uint32),
+                    np.asarray(idx.taxa, np.int32),
+                    np.asarray(idx.device_router),
+                )
+            specs = [P()] * len(args)
+        else:
+            sk, st = pmesh.shard_index_by_range(
+                np.asarray(idx.keys, np.uint64), np.asarray(idx.taxa, np.int32), n
+            )
+            routers, rounds, bits = pmesh.shard_routers(sk)
+            if probe == "hashed":
+                tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, probe=("hashed", tile, hbits)
+                )
+                args = (tables, np.zeros((n, 2), np.int32))
+            elif probe == "tiled":
+                tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, probe=("tiled", tile)
+                )
+                args = (tables, routers)
+            else:
+                fn = pmesh.span_hits_ring_fn(mesh_, mp, rounds, bits)
+                args = (
+                    (sk >> np.uint64(32)).astype(np.uint32),
+                    sk.astype(np.uint32),
+                    st,
+                    routers,
+                )
+            specs = [P("data")] * len(args)
+        args = tuple(
+            jax.device_put(a, NamedSharding(mesh_, s)) for a, s in zip(args, specs)
+        )
+        return fn, args, n
+
     def total_minimizers_per_taxon(self, fragments) -> Dict[int, int]:
         _, taxa = self._span_hits(fragments)
         t, c = np.unique(taxa, return_counts=True)
@@ -159,7 +279,7 @@ class Dynamic:
         return dict(zip(t.tolist(), c.tolist()))
 
     def classified_reads_per_taxon(self, fragments, confidence: float) -> Dict[int, int]:
-        cls = Classifier(self.base)
+        cls = self._make_classifier(self.base)
         cpar = ClassifyParams(
             min_hit_groups=self.cpar.min_hit_groups,
             thresholds=[confidence],
@@ -268,6 +388,16 @@ class Dynamic:
         if self.base.record_keys is not None:
             # fast path: filter + re-reduce the base index's full records
             dynamic = self.base.build_restricted(taxon_set)
+        elif self._use_mesh():
+            from .parallel.classifier import build_distributed
+
+            dynamic = build_distributed(
+                self.genomes.taxa_sequences(),
+                self.base.params,
+                self.taxonomy,
+                n_devices=self.devices,
+                taxon_filter=taxon_set,
+            )
         else:
             dynamic = KeyValueIndex.build(
                 self.genomes.taxa_sequences(),
@@ -321,7 +451,7 @@ class Dynamic:
             t.finish()
 
         t = Timer("Classify reads")
-        cls = Classifier(dynamic_index)
+        cls = self._make_classifier(dynamic_index)
         if packed_factory is not None:
             cls.classify_and_write_packed(packed_factory(), self.output, self.cpar)
         else:

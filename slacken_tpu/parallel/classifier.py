@@ -99,9 +99,17 @@ class MeshClassifier(Classifier):
                 self.n_devices,
             )
             routers, rounds, bits = pmesh.shard_routers(sk)
-            if self._probe_static[0] in ("tiled", "hashed") and not index.wide:
-                # per-shard tiled row-gather tables (the TPU fast probe);
-                # the hashed layout stays single-chip-only for now
+            if self._probe_static[0] == "hashed" and not index.wide:
+                # per-shard single-gather hashed tables (routerless)
+                tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    probe=("hashed", tile, hbits),
+                )
+                dummies = np.zeros((self.n_devices, 2), np.int32)
+                self._mesh_args = (tables, dummies, table)
+            elif self._probe_static[0] == "tiled" and not index.wide:
+                # per-shard tiled row-gather tables (the TPU fast probe)
                 tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
                 self._mesh_fn = pmesh.classify_ring_fn(
                     self.mesh, mp, self.max_taxa, rounds, bits,

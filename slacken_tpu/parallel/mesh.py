@@ -172,6 +172,89 @@ def shard_tiled_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray,
     return np.stack(tables), tile
 
 
+def ring_lookup(codes, probe_fn, wm, n: int):
+    """The ring-rotated index lookup: span-compact the queries, rotate them
+    around the n-device ring with ppermute (probing each local shard in
+    turn), and scatter the answers back to window positions. Returns the
+    per-window looked-up taxa [B, L]. Must run inside a shard_map over the
+    'data' axis; `probe_fn(q_hi, q_lo)` probes the LOCAL index shard.
+
+    Shared by the classify and span-hit ring kernels, so classify2's step-1
+    counting rides the exact same collective schedule as classification."""
+    b, l = codes.shape
+    npos = b * l
+    cap = lookup_ops.span_query_cap(npos)
+    cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+    overflow_any = jax.lax.psum((n_spans > cap).astype(jnp.int32), "data") > 0
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def ring(q_hi, q_lo):
+        acc = probe_fn(q_hi, q_lo)
+
+        def step(carry, _):
+            q_hi, q_lo, acc = carry
+            q_hi = jax.lax.ppermute(q_hi, "data", perm)
+            q_lo = jax.lax.ppermute(q_lo, "data", perm)
+            acc = jax.lax.ppermute(acc, "data", perm)
+            acc = jnp.maximum(acc, probe_fn(q_hi, q_lo))
+            return (q_hi, q_lo, acc), None
+
+        (q_hi, q_lo, acc), _ = jax.lax.scan(
+            step, (q_hi, q_lo, acc), None, length=n - 1
+        )
+        # one final hop brings answers back to their owner
+        if n > 1:
+            acc = jax.lax.ppermute(acc, "data", perm)
+        return acc
+
+    def compacted(_):
+        return ring(cq_hi, cq_lo)[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
+
+    def full(_):
+        return ring(
+            wm.minimizer.hi.reshape(npos), wm.minimizer.lo.reshape(npos)
+        ).reshape(b, l)
+
+    return jax.lax.cond(overflow_any, full, compacted, operand=None)
+
+
+def shard_hashed_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
+    """Per-shard hashed probe tables with UNIFORM (bits, tile, slot count) so
+    they stack into one [n, slots, 3] array shardable over 'data'.
+
+    Hash-table geometry must agree across shards because the probe kernel is
+    SPMD: bits = the largest shard's auto choice, tile = the largest tile any
+    shard needs at those bits, and every table is sentinel-padded to the
+    largest slot count (the CLIP-mode slice gather stays in bounds and
+    correct under padding — see lookup_taxa_hashed). The all-ones range-pad
+    keys from shard_index_by_range are stripped first so they cannot inflate
+    displacement (real keys are <= 62 bits, never all-ones)."""
+    pad_key = np.uint64(0xFFFFFFFFFFFFFFFF)
+    reals = [k != pad_key for k in sharded_keys]
+    bits = max(
+        lookup_ops.adaptive_router_bits(int(r.sum()), max_bits=30) for r in reals
+    )
+    built = [
+        lookup_ops.build_hashed(k[r], t[r], bits=bits)
+        for k, t, r in zip(sharded_keys, sharded_taxa, reals)
+    ]
+    tile = max(b[1] for b in built)
+    if any(b[1] != tile for b in built):
+        # a shard needed a bigger tile: rebuild the rest at the same tile
+        # (placement depends only on bits, so this is just re-padding)
+        built = [
+            lookup_ops.build_hashed(k[r], t[r], bits=bits, tile=tile)
+            for k, t, r in zip(sharded_keys, sharded_taxa, reals)
+        ]
+    slots = max(b[0].shape[0] for b in built)
+    tables = np.full((len(built), slots, 3), 0xFFFFFFFF, np.uint32)
+    for i, (tb, _, _) in enumerate(built):
+        tables[i, : tb.shape[0]] = tb
+        tables[i, tb.shape[0] :, 2] = 0xFFFFFFFF  # sentinel taxon -1
+    return tables, tile, bits
+
+
 def classify_ring_fn(
     mesh: Mesh,
     mp: MinimizerParams,
@@ -187,6 +270,10 @@ def classify_ring_fn(
     probe ("tiled", tile): fn(codes, tables[n,rows,tile,3], routers[n,R],
                             rpath_table)  — per-shard tiled row-gather
                             tables (shard_tiled_tables), the TPU fast probe.
+    probe ("hashed", tile, hbits): fn(codes, tables[n,slots,3], routers
+                            (ignored dummy), rpath_table) — per-shard
+                            single-gather hashed tables
+                            (shard_hashed_tables), routerless.
 
     Codes and index shards ride 'data'; `rounds`/`bits` come from
     shard_routers. Each of the n ring steps probes the local index shard
@@ -205,42 +292,7 @@ def classify_ring_fn(
     n = mesh.devices.size
 
     def ring_body(codes, probe_fn, wm, rpath_table):
-        b, l = codes.shape
-        npos = b * l
-        cap = lookup_ops.span_query_cap(npos)
-        cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
-        overflow_any = jax.lax.psum((n_spans > cap).astype(jnp.int32), "data") > 0
-
-        perm = [(i, (i + 1) % n) for i in range(n)]
-
-        def ring(q_hi, q_lo):
-            acc = probe_fn(q_hi, q_lo)
-
-            def step(carry, _):
-                q_hi, q_lo, acc = carry
-                q_hi = jax.lax.ppermute(q_hi, "data", perm)
-                q_lo = jax.lax.ppermute(q_lo, "data", perm)
-                acc = jax.lax.ppermute(acc, "data", perm)
-                acc = jnp.maximum(acc, probe_fn(q_hi, q_lo))
-                return (q_hi, q_lo, acc), None
-
-            (q_hi, q_lo, acc), _ = jax.lax.scan(
-                step, (q_hi, q_lo, acc), None, length=n - 1
-            )
-            # one final hop brings answers back to their owner
-            if n > 1:
-                acc = jax.lax.ppermute(acc, "data", perm)
-            return acc
-
-        def compacted(_):
-            return ring(cq_hi, cq_lo)[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
-
-        def full(_):
-            return ring(
-                wm.minimizer.hi.reshape(npos), wm.minimizer.lo.reshape(npos)
-            ).reshape(b, l)
-
-        acc = jax.lax.cond(overflow_any, full, compacted, operand=None)
+        acc = ring_lookup(codes, probe_fn, wm, n)
 
         window_taxa, num_distinct, ch, res, hostpack = _postprocess(
             wm, acc, rpath_table, max_taxa
@@ -249,17 +301,26 @@ def classify_ring_fn(
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, hostpack, counts
 
-    if probe[0] == "tiled":
+    if probe[0] in ("tiled", "hashed"):
 
         def local_fn(codes, tables, routers, rpath_table):
             wm = _window_scan(codes, mp)
             table = tables[0]
             router = routers[0]
 
-            def probe_fn(q_hi, q_lo):
-                return lookup_ops.lookup_taxa_tiled(
-                    table, router, u64.U64(q_hi, q_lo), probe[1], bits
-                )
+            if probe[0] == "hashed":
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_hashed(
+                        table, u64.U64(q_hi, q_lo), probe[1], probe[2]
+                    )
+
+            else:
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_tiled(
+                        table, router, u64.U64(q_hi, q_lo), probe[1], bits
+                    )
 
             return ring_body(codes, probe_fn, wm, rpath_table)
 
@@ -286,6 +347,132 @@ def classify_ring_fn(
         mesh=mesh,
         in_specs=in_specs,
         out_specs=(P("data"), P("data"), P("data"), P("data"), P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def span_hits_replicated_fn(
+    mesh: Mesh,
+    mp: MinimizerParams,
+    rounds: int = 32,
+    bits: int = lookup_ops.ROUTER_BITS,
+    probe: tuple = ("routed",),
+):
+    """Mesh variant of classify2's step-1 span-hit counting kernel
+    (dynamic._span_hits_kernel*): codes sharded over 'data', index
+    replicated. Returns (min_hi, min_lo, span_start&valid, looked), all
+    sharded, so the host's per-taxon counting sees the same data as the
+    single-device kernel (the reference distributes this step as a Spark
+    job too, Dynamic.scala:95-142).
+
+    probe layouts mirror classify_replicated_fn:
+      ("routed",):            fn(codes, keys_hi, keys_lo, key_taxa, router)
+      ("tiled", tile, ...):   fn(codes, table, router)
+      ("hashed", tile, hbits, ...): fn(codes, table, router(dummy))
+    """
+
+    def finish(wm, looked):
+        return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+    if probe[0] in ("tiled", "hashed"):
+
+        def local_fn(codes, table, router):
+            wm = _window_scan(codes, mp)
+            if probe[0] == "hashed":
+                looked = lookup_ops.lookup_taxa_hashed(
+                    table, wm.minimizer, probe[1], probe[2]
+                )
+            else:
+                looked = lookup_ops.lookup_taxa_tiled(
+                    table, router, wm.minimizer, probe[1], bits
+                )
+            return finish(wm, looked)
+
+        in_specs = (P("data"), P(), P())
+    else:
+
+        def local_fn(codes, keys_hi, keys_lo, key_taxa, router):
+            wm = _window_scan(codes, mp)
+            looked = lookup_ops.lookup_taxa_routed(
+                u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer,
+                rounds, bits,
+            )
+            return finish(wm, looked)
+
+        in_specs = (P("data"), P(), P(), P(), P())
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("data"),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(shard)
+
+
+def span_hits_ring_fn(
+    mesh: Mesh,
+    mp: MinimizerParams,
+    rounds: int = 32,
+    bits: int = lookup_ops.ROUTER_BITS,
+    probe: tuple = ("routed",),
+):
+    """span_hits_replicated_fn for the ring layout: queries rotate the
+    range-sharded index via ring_lookup (the same collective schedule as
+    classify_ring_fn). probe layouts mirror classify_ring_fn."""
+    n = mesh.devices.size
+
+    def finish(wm, looked):
+        return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+    if probe[0] in ("tiled", "hashed"):
+
+        def local_fn(codes, tables, routers):
+            wm = _window_scan(codes, mp)
+            table = tables[0]
+            router = routers[0]
+
+            if probe[0] == "hashed":
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_hashed(
+                        table, u64.U64(q_hi, q_lo), probe[1], probe[2]
+                    )
+
+            else:
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_tiled(
+                        table, router, u64.U64(q_hi, q_lo), probe[1], bits
+                    )
+
+            return finish(wm, ring_lookup(codes, probe_fn, wm, n))
+
+        in_specs = (P("data"), P("data"), P("data"))
+    else:
+
+        def local_fn(codes, keys_hi, keys_lo, key_taxa, routers):
+            wm = _window_scan(codes, mp)
+            keys = u64.U64(keys_hi[0], keys_lo[0])
+            kt = key_taxa[0]
+            router = routers[0]
+
+            def probe_fn(q_hi, q_lo):
+                return lookup_ops.lookup_taxa_routed(
+                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
+                )
+
+            return finish(wm, ring_lookup(codes, probe_fn, wm, n))
+
+        in_specs = (P("data"), P("data"), P("data"), P("data"), P("data"))
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P("data"),) * 4,
         check_vma=False,
     )
     return jax.jit(shard)
