@@ -275,8 +275,6 @@ def cmd_build(args):
             params.minimizer_params,
         )
         ordering_lut = ordering_ops.frequency_lut(counts, args.m)
-    if ordering != "xor" and getattr(args, "devices", None):
-        raise SystemExit("--ordering with --devices is not supported yet")
     if getattr(args, "devices", None):
         from .parallel.classifier import build_distributed
 
@@ -287,6 +285,7 @@ def cmd_build(args):
             n_devices=args.devices,
             keep_records=getattr(args, "full_records", False),
             spill_dir=getattr(args, "spill_dir", None),
+            ordering_lut=ordering_lut,
         )
     else:
         idx = KeyValueIndex.build(

@@ -214,19 +214,22 @@ class Dynamic:
                 )
                 fn = pmesh.span_hits_replicated_fn(
                     mesh_, mp, idx.router_rounds, idx.router_bits,
-                    probe=("hashed", tile, hbits),
+                    probe=("hashed", tile, hbits), key_bits=idx.key_bits,
+                    lut=idx.device_lut,
                 )
                 args = (table, np.zeros(2, np.int32))
             elif probe == "tiled":
                 table, tile = idx.device_tiled
                 fn = pmesh.span_hits_replicated_fn(
                     mesh_, mp, idx.router_rounds, idx.router_bits,
-                    probe=("tiled", tile),
+                    probe=("tiled", tile), key_bits=idx.key_bits,
+                    lut=idx.device_lut,
                 )
                 args = (np.asarray(table), np.asarray(idx.device_router))
             else:
                 fn = pmesh.span_hits_replicated_fn(
-                    mesh_, mp, idx.router_rounds, idx.router_bits
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    key_bits=idx.key_bits, lut=idx.device_lut,
                 )
                 keys = np.asarray(idx.keys, np.uint64)
                 args = (
@@ -240,21 +243,26 @@ class Dynamic:
             sk, st = pmesh.shard_index_by_range(
                 np.asarray(idx.keys, np.uint64), np.asarray(idx.taxa, np.int32), n
             )
-            routers, rounds, bits = pmesh.shard_routers(sk)
+            routers, rounds, bits = pmesh.shard_routers(sk, idx.key_bits)
             if probe == "hashed":
                 tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
                 fn = pmesh.span_hits_ring_fn(
-                    mesh_, mp, rounds, bits, probe=("hashed", tile, hbits)
+                    mesh_, mp, rounds, bits, probe=("hashed", tile, hbits),
+                    key_bits=idx.key_bits, lut=idx.device_lut,
                 )
                 args = (tables, np.zeros((n, 2), np.int32))
             elif probe == "tiled":
                 tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
                 fn = pmesh.span_hits_ring_fn(
-                    mesh_, mp, rounds, bits, probe=("tiled", tile)
+                    mesh_, mp, rounds, bits, probe=("tiled", tile),
+                    key_bits=idx.key_bits, lut=idx.device_lut,
                 )
                 args = (tables, routers)
             else:
-                fn = pmesh.span_hits_ring_fn(mesh_, mp, rounds, bits)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, key_bits=idx.key_bits,
+                    lut=idx.device_lut,
+                )
                 args = (
                     (sk >> np.uint64(32)).astype(np.uint32),
                     sk.astype(np.uint32),
@@ -397,6 +405,7 @@ class Dynamic:
                 self.taxonomy,
                 n_devices=self.devices,
                 taxon_filter=taxon_set,
+                ordering_lut=self.base.ordering_lut,
             )
         else:
             dynamic = KeyValueIndex.build(
@@ -404,6 +413,7 @@ class Dynamic:
                 self.base.params,
                 self.taxonomy,
                 taxon_filter=taxon_set,
+                ordering_lut=self.base.ordering_lut,
             )
         t.finish()
         return dynamic, taxon_set

@@ -54,11 +54,6 @@ class MeshClassifier(Classifier):
         super().__init__(index, **kwargs)
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}, got {layout!r}")
-        if index.wide:
-            raise NotImplementedError(
-                "multi-chip classification requires m <= 31 (the mesh fns "
-                "carry single-u64 keys; use --devices with a narrow index)"
-            )
         self.mesh = pmesh.make_mesh(n_devices)
         self.n_devices = self.mesh.devices.size
         self.layout = layout
@@ -66,12 +61,40 @@ class MeshClassifier(Classifier):
         table = np.asarray(self._table_dev)
         if layout == "replicated":
             # inherit the single-chip probe choice (tiled/hashed fast paths
-            # carry over; wide indexes resolved to routed by the base class)
+            # and the wide-key probes carry over unchanged)
             ps = self._probe_static
-            if ps[0] in ("tiled", "hashed") and not index.wide:
+            if ps[0] == "tiled_wide":
+                self._mesh_fn = pmesh.classify_replicated_fn(
+                    self.mesh, mp, self.max_taxa,
+                    index.router_rounds, index.router_bits,
+                    probe=("tiled_wide", ps[1]), key_bits=index.key_bits,
+                )
+                self._mesh_args = (
+                    np.asarray(index.device_tiled[0]),
+                    np.asarray(index.device_router),
+                    table,
+                )
+            elif ps[0] == "routed_wide":
+                self._mesh_fn = pmesh.classify_replicated_fn(
+                    self.mesh, mp, self.max_taxa,
+                    index.router_rounds, index.router_bits,
+                    probe=("routed_wide",), key_bits=index.key_bits,
+                )
+                k2 = np.ascontiguousarray(index.keys, np.uint64)
+                self._mesh_args = (
+                    (k2[:, 0] >> np.uint64(32)).astype(np.uint32),
+                    k2[:, 0].astype(np.uint32),
+                    (k2[:, 1] >> np.uint64(32)).astype(np.uint32),
+                    k2[:, 1].astype(np.uint32),
+                    np.asarray(index.taxa, np.int32),
+                    np.asarray(index.device_router),
+                    table,
+                )
+            elif ps[0] in ("tiled", "hashed"):
                 self._mesh_fn = pmesh.classify_replicated_fn(
                     self.mesh, mp, self.max_taxa,
                     index.router_rounds, index.router_bits, probe=ps,
+                    key_bits=index.key_bits, lut=index.device_lut,
                 )
                 if ps[0] == "hashed":
                     ptable = np.asarray(index.device_hashed[0])
@@ -84,6 +107,7 @@ class MeshClassifier(Classifier):
                 self._mesh_fn = pmesh.classify_replicated_fn(
                     self.mesh, mp, self.max_taxa,
                     index.router_rounds, index.router_bits,
+                    key_bits=index.key_bits, lut=index.device_lut,
                 )
                 keys = np.asarray(index.keys, np.uint64)
                 self._mesh_args = (
@@ -93,18 +117,48 @@ class MeshClassifier(Classifier):
                     np.asarray(index.device_router),
                     table,
                 )
+        elif index.wide:
+            sk2, st = pmesh.shard_index_by_range_wide(
+                np.ascontiguousarray(index.keys, np.uint64),
+                np.asarray(index.taxa, np.int32),
+                self.n_devices,
+                index.key_bits,
+            )
+            routers, rounds, bits = pmesh.shard_routers_wide(sk2, index.key_bits)
+            if self._probe_static[0] == "tiled_wide":
+                tables, tile = pmesh.shard_tiled_tables_wide(sk2, st, routers)
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    probe=("tiled_wide", tile), key_bits=index.key_bits,
+                )
+                self._mesh_args = (tables, routers, table)
+            else:
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    probe=("routed_wide",), key_bits=index.key_bits,
+                )
+                self._mesh_args = (
+                    (sk2[:, :, 0] >> np.uint64(32)).astype(np.uint32),
+                    sk2[:, :, 0].astype(np.uint32),
+                    (sk2[:, :, 1] >> np.uint64(32)).astype(np.uint32),
+                    sk2[:, :, 1].astype(np.uint32),
+                    st,
+                    routers,
+                    table,
+                )
         else:
             sk, st = pmesh.shard_index_by_range(
                 np.asarray(index.keys, np.uint64), np.asarray(index.taxa, np.int32),
                 self.n_devices,
             )
-            routers, rounds, bits = pmesh.shard_routers(sk)
+            routers, rounds, bits = pmesh.shard_routers(sk, index.key_bits)
             if self._probe_static[0] == "hashed" and not index.wide:
                 # per-shard single-gather hashed tables (routerless)
                 tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
                 self._mesh_fn = pmesh.classify_ring_fn(
                     self.mesh, mp, self.max_taxa, rounds, bits,
-                    probe=("hashed", tile, hbits),
+                    probe=("hashed", tile, hbits), key_bits=index.key_bits,
+                    lut=index.device_lut,
                 )
                 dummies = np.zeros((self.n_devices, 2), np.int32)
                 self._mesh_args = (tables, dummies, table)
@@ -113,12 +167,14 @@ class MeshClassifier(Classifier):
                 tables, tile = pmesh.shard_tiled_tables(sk, st, routers)
                 self._mesh_fn = pmesh.classify_ring_fn(
                     self.mesh, mp, self.max_taxa, rounds, bits,
-                    probe=("tiled", tile),
+                    probe=("tiled", tile), key_bits=index.key_bits,
+                    lut=index.device_lut,
                 )
                 self._mesh_args = (tables, routers, table)
             else:
                 self._mesh_fn = pmesh.classify_ring_fn(
-                    self.mesh, mp, self.max_taxa, rounds, bits
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    key_bits=index.key_bits, lut=index.device_lut,
                 )
                 self._mesh_args = (
                     (sk >> np.uint64(32)).astype(np.uint32),
@@ -198,6 +254,7 @@ def build_distributed(
     taxon_filter: Optional[set] = None,
     keep_records: bool = False,
     spill_dir: Optional[str] = None,
+    ordering_lut=None,
 ) -> KeyValueIndex:
     """Build an index with the device all_to_all shuffle on an n-device mesh.
 
@@ -210,6 +267,23 @@ def build_distributed(
     skew.
     """
     mp = params.minimizer_params.validate()
+    lut = None
+    if params.ordering != "xor":
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import ordering as ordering_ops
+
+        if params.ordering == "lexicographic":
+            ordering_lut = ordering_ops.lexicographic_lut(params.m)
+        elif ordering_lut is None:
+            raise ValueError(
+                f"ordering {params.ordering!r} requires an explicit rank LUT"
+            )
+        with jax.ensure_compile_time_eval():
+            lut = jnp.asarray(ordering_lut)
+    elif ordering_lut is not None:
+        raise ValueError('ordering_lut given but params.ordering == "xor"')
     mesh_ = pmesh.make_mesh(n_devices)
     n = mesh_.devices.size
     if batch_rows % n:
@@ -236,11 +310,13 @@ def build_distributed(
             )
             codes = np.concatenate([codes, pad], axis=0)
         if state["fn"] is None:
-            bnd = pmesh.sample_shuffle_boundaries(codes, mp, n)
-            state["fn"] = pmesh.build_shuffle_fn(mesh_, mp, cap, boundaries=bnd)
+            bnd = pmesh.sample_shuffle_boundaries(codes, mp, n, lut)
+            state["fn"] = pmesh.build_shuffle_fn(
+                mesh_, mp, cap, boundaries=bnd, lut=lut
+            )
         hi, lo, tax, counts, ovf = state["fn"](codes, taxa_rows)
         if bool(np.asarray(ovf).any()):
-            k, t = spans_to_records(codes, taxa_rows, mp)
+            k, t = spans_to_records(codes, taxa_rows, mp, lut)
             collector.add(k, t)
         else:
             hi, lo, tax, counts = (np.asarray(x) for x in (hi, lo, tax, counts))

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import lookup as lookup_ops
+from ..ops import u128 as u128_mod
 from ..ops import u64
 from ..ops.minimizers import MinimizerParams, window_minimizers
 from ..ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
@@ -55,18 +56,74 @@ def shard_index_by_range(keys: np.ndarray, taxa: np.ndarray, n: int):
     return keys_p.reshape(n, -1), taxa_p.reshape(n, -1)
 
 
-def shard_routers(sharded_keys: np.ndarray):
+def shard_routers(sharded_keys: np.ndarray, key_bits: int = 62):
     """Per-shard prefix routers + worst-case rounds + bits (adaptive to the
-    per-shard key count)."""
-    bits = lookup_ops.adaptive_router_bits(sharded_keys.shape[1])
-    routers = np.stack([lookup_ops.build_router(k, bits) for k in sharded_keys])
+    per-shard key count). key_bits = the key-space width (2m): prefixes are
+    taken from the top of that range, so it must match the probe's."""
+    bits = min(lookup_ops.adaptive_router_bits(sharded_keys.shape[1]), key_bits)
+    routers = np.stack(
+        [lookup_ops.build_router(k, bits, key_bits) for k in sharded_keys]
+    )
     rounds = max(lookup_ops.router_rounds(r) for r in routers)
     return routers, rounds, bits
 
 
-def _window_scan(codes, mp):
-    wm = window_minimizers(codes, mp)
-    return wm
+def shard_index_by_range_wide(
+    keys2: np.ndarray, taxa: np.ndarray, n: int, key_bits: int
+):
+    """shard_index_by_range for wide ([N, 2] uint64) keys.
+
+    Padding uses the LARGEST key-space value (all-ones within key_bits = 2m),
+    which keeps the shards sorted and the router build in range. Unlike the
+    narrow case a real query CAN equal this value, but the pad rows carry
+    taxon 0 and the ring combiner is max, so a pad match is exactly a miss —
+    and a genuine record with that key (if any) still wins the max."""
+    pad = (-len(keys2)) % n
+    hi_pad = np.uint64((1 << (key_bits - 64)) - 1)
+    pad_rows = np.empty((pad, 2), np.uint64)
+    pad_rows[:, 0] = hi_pad
+    pad_rows[:, 1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    keys_p = np.concatenate([keys2, pad_rows])
+    taxa_p = np.concatenate([taxa, np.zeros(pad, np.int32)])
+    return keys_p.reshape(n, -1, 2), taxa_p.reshape(n, -1)
+
+
+def shard_routers_wide(sharded_keys2: np.ndarray, key_bits: int):
+    """Per-shard wide-key prefix routers + worst-case rounds + bits."""
+    bits = min(
+        lookup_ops.adaptive_router_bits(sharded_keys2.shape[1]), key_bits
+    )
+    routers = np.stack(
+        [lookup_ops.build_router_wide(k, bits, key_bits) for k in sharded_keys2]
+    )
+    rounds = max(lookup_ops.router_rounds(r) for r in routers)
+    return routers, rounds, bits
+
+
+def shard_tiled_tables_wide(
+    sharded_keys2: np.ndarray, sharded_taxa: np.ndarray, routers: np.ndarray
+):
+    """Per-shard wide tiled row-gather tables ([n, rows, tile, 5]) with a
+    UNIFORM tile (cf. shard_tiled_tables)."""
+    tile = 16
+    for r in routers:
+        t = 16
+        maxb = lookup_ops.max_bucket_span(r)
+        while t + 1 < maxb:
+            t *= 2
+        tile = max(tile, t)
+    tables = [
+        lookup_ops.build_tiled_wide(k, t, r, tile=tile)[0]
+        for k, t, r in zip(sharded_keys2, sharded_taxa, routers)
+    ]
+    return np.stack(tables), tile
+
+
+def _window_scan(codes, mp, lut=None):
+    """lut: optional device rank table for explicit orderings — closed over
+    by the mesh fns (a replicated constant), matching the single-chip
+    kernels' device_lut argument."""
+    return window_minimizers(codes, mp, lut)
 
 
 def _postprocess(wm, looked, rpath_table, max_taxa):
@@ -88,6 +145,8 @@ def classify_replicated_fn(
     rounds: int = 32,
     bits: int = lookup_ops.ROUTER_BITS,
     probe: tuple = ("routed",),
+    key_bits: int = 62,
+    lut=None,
 ):
     """Data-parallel classification with a fully replicated index.
 
@@ -116,17 +175,38 @@ def classify_replicated_fn(
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, hostpack, counts
 
-    if probe[0] in ("tiled", "hashed"):
+    if probe[0] == "tiled_wide":
 
         def local_fn(codes, table, router, rpath_table):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
+            looked = lookup_ops.lookup_taxa_tiled_wide(
+                table, router, wm.minimizer, probe[1], bits, key_bits
+            )
+            return finish(wm, looked, rpath_table)
+
+        in_specs = (P("data"), P(), P(), P())
+    elif probe[0] == "routed_wide":
+
+        def local_fn(codes, k3, k2, k1, k0, key_taxa, router, rpath_table):
+            wm = _window_scan(codes, mp, lut)
+            keys = u128_mod.U128(u64.U64(k3, k2), u64.U64(k1, k0))
+            looked = lookup_ops.lookup_taxa_routed_wide(
+                keys, key_taxa, router, wm.minimizer, rounds, bits, key_bits
+            )
+            return finish(wm, looked, rpath_table)
+
+        in_specs = (P("data"), P(), P(), P(), P(), P(), P(), P())
+    elif probe[0] in ("tiled", "hashed"):
+
+        def local_fn(codes, table, router, rpath_table):
+            wm = _window_scan(codes, mp, lut)
             if probe[0] == "hashed":
                 looked = lookup_ops.lookup_taxa_hashed(
                     table, wm.minimizer, probe[1], probe[2]
                 )
             else:
                 looked = lookup_ops.lookup_taxa_tiled(
-                    table, router, wm.minimizer, probe[1], bits
+                    table, router, wm.minimizer, probe[1], bits, key_bits
                 )
             return finish(wm, looked, rpath_table)
 
@@ -134,10 +214,10 @@ def classify_replicated_fn(
     else:
 
         def local_fn(codes, keys_hi, keys_lo, key_taxa, router, rpath_table):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             looked = lookup_ops.lookup_taxa_routed(
                 u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer,
-                rounds, bits,
+                rounds, bits, key_bits,
             )
             return finish(wm, looked, rpath_table)
 
@@ -177,44 +257,46 @@ def ring_lookup(codes, probe_fn, wm, n: int):
     around the n-device ring with ppermute (probing each local shard in
     turn), and scatter the answers back to window positions. Returns the
     per-window looked-up taxa [B, L]. Must run inside a shard_map over the
-    'data' axis; `probe_fn(q_hi, q_lo)` probes the LOCAL index shard.
+    'data' axis; `probe_fn(*limbs)` probes the LOCAL index shard — 2 u32
+    limb buffers for m <= 31, 4 for wide minimizers.
 
     Shared by the classify and span-hit ring kernels, so classify2's step-1
     counting rides the exact same collective schedule as classification."""
     b, l = codes.shape
     npos = b * l
     cap = lookup_ops.span_query_cap(npos)
-    cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+    if isinstance(wm.minimizer, u64.U64):
+        cq_hi, cq_lo, sid, n_spans = lookup_ops.compact_span_queries(wm, cap)
+        cqs = (cq_hi, cq_lo)
+        full_qs = (wm.minimizer.hi.reshape(npos), wm.minimizer.lo.reshape(npos))
+    else:
+        cqs, sid, n_spans = lookup_ops.compact_span_queries_wide(wm, cap)
+        full_qs = tuple(x.reshape(npos) for x in wm.minimizer.limbs)
     overflow_any = jax.lax.psum((n_spans > cap).astype(jnp.int32), "data") > 0
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def ring(q_hi, q_lo):
-        acc = probe_fn(q_hi, q_lo)
+    def ring(qs):
+        acc = probe_fn(*qs)
 
         def step(carry, _):
-            q_hi, q_lo, acc = carry
-            q_hi = jax.lax.ppermute(q_hi, "data", perm)
-            q_lo = jax.lax.ppermute(q_lo, "data", perm)
+            qs, acc = carry
+            qs = tuple(jax.lax.ppermute(x, "data", perm) for x in qs)
             acc = jax.lax.ppermute(acc, "data", perm)
-            acc = jnp.maximum(acc, probe_fn(q_hi, q_lo))
-            return (q_hi, q_lo, acc), None
+            acc = jnp.maximum(acc, probe_fn(*qs))
+            return (qs, acc), None
 
-        (q_hi, q_lo, acc), _ = jax.lax.scan(
-            step, (q_hi, q_lo, acc), None, length=n - 1
-        )
+        (qs, acc), _ = jax.lax.scan(step, (qs, acc), None, length=n - 1)
         # one final hop brings answers back to their owner
         if n > 1:
             acc = jax.lax.ppermute(acc, "data", perm)
         return acc
 
     def compacted(_):
-        return ring(cq_hi, cq_lo)[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
+        return ring(cqs)[jnp.clip(sid, 0, cap - 1)].reshape(b, l)
 
     def full(_):
-        return ring(
-            wm.minimizer.hi.reshape(npos), wm.minimizer.lo.reshape(npos)
-        ).reshape(b, l)
+        return ring(full_qs).reshape(b, l)
 
     return jax.lax.cond(overflow_any, full, compacted, operand=None)
 
@@ -262,6 +344,8 @@ def classify_ring_fn(
     rounds: int = 32,
     bits: int = lookup_ops.ROUTER_BITS,
     probe: tuple = ("routed",),
+    key_bits: int = 62,
+    lut=None,
 ):
     """Classification with a range-sharded index and ring-rotated queries.
 
@@ -301,10 +385,48 @@ def classify_ring_fn(
         counts = jax.lax.psum(counts, "data")
         return window_taxa, num_distinct, ch, res, hostpack, counts
 
-    if probe[0] in ("tiled", "hashed"):
+    if probe[0] == "tiled_wide":
 
         def local_fn(codes, tables, routers, rpath_table):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
+            table = tables[0]
+            router = routers[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_tiled_wide(
+                    table, router, u128_mod.from_limbs(l3, l2, l1, l0),
+                    probe[1], bits, key_bits,
+                )
+
+            return ring_body(codes, probe_fn, wm, rpath_table)
+
+        in_specs = (P("data"), P("data"), P("data"), P())
+    elif probe[0] == "routed_wide":
+
+        def local_fn(codes, k3, k2, k1, k0, key_taxa, routers, rpath_table):
+            wm = _window_scan(codes, mp, lut)
+            keys = u128_mod.U128(
+                u64.U64(k3[0], k2[0]), u64.U64(k1[0], k0[0])
+            )
+            kt = key_taxa[0]
+            router = routers[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_routed_wide(
+                    keys, kt, router, u128_mod.from_limbs(l3, l2, l1, l0),
+                    rounds, bits, key_bits,
+                )
+
+            return ring_body(codes, probe_fn, wm, rpath_table)
+
+        in_specs = (
+            P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
+            P("data"), P(),
+        )
+    elif probe[0] in ("tiled", "hashed"):
+
+        def local_fn(codes, tables, routers, rpath_table):
+            wm = _window_scan(codes, mp, lut)
             table = tables[0]
             router = routers[0]
 
@@ -319,7 +441,8 @@ def classify_ring_fn(
 
                 def probe_fn(q_hi, q_lo):
                     return lookup_ops.lookup_taxa_tiled(
-                        table, router, u64.U64(q_hi, q_lo), probe[1], bits
+                        table, router, u64.U64(q_hi, q_lo), probe[1], bits,
+                        key_bits,
                     )
 
             return ring_body(codes, probe_fn, wm, rpath_table)
@@ -328,14 +451,15 @@ def classify_ring_fn(
     else:
 
         def local_fn(codes, keys_hi, keys_lo, key_taxa, routers, rpath_table):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             keys = u64.U64(keys_hi[0], keys_lo[0])
             kt = key_taxa[0]
             router = routers[0]
 
             def probe_fn(q_hi, q_lo):
                 return lookup_ops.lookup_taxa_routed(
-                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
+                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits,
+                    key_bits,
                 )
 
             return ring_body(codes, probe_fn, wm, rpath_table)
@@ -358,6 +482,8 @@ def span_hits_replicated_fn(
     rounds: int = 32,
     bits: int = lookup_ops.ROUTER_BITS,
     probe: tuple = ("routed",),
+    key_bits: int = 62,
+    lut=None,
 ):
     """Mesh variant of classify2's step-1 span-hit counting kernel
     (dynamic._span_hits_kernel*): codes sharded over 'data', index
@@ -378,14 +504,14 @@ def span_hits_replicated_fn(
     if probe[0] in ("tiled", "hashed"):
 
         def local_fn(codes, table, router):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             if probe[0] == "hashed":
                 looked = lookup_ops.lookup_taxa_hashed(
                     table, wm.minimizer, probe[1], probe[2]
                 )
             else:
                 looked = lookup_ops.lookup_taxa_tiled(
-                    table, router, wm.minimizer, probe[1], bits
+                    table, router, wm.minimizer, probe[1], bits, key_bits
                 )
             return finish(wm, looked)
 
@@ -393,10 +519,10 @@ def span_hits_replicated_fn(
     else:
 
         def local_fn(codes, keys_hi, keys_lo, key_taxa, router):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             looked = lookup_ops.lookup_taxa_routed(
                 u64.U64(keys_hi, keys_lo), key_taxa, router, wm.minimizer,
-                rounds, bits,
+                rounds, bits, key_bits,
             )
             return finish(wm, looked)
 
@@ -418,6 +544,8 @@ def span_hits_ring_fn(
     rounds: int = 32,
     bits: int = lookup_ops.ROUTER_BITS,
     probe: tuple = ("routed",),
+    key_bits: int = 62,
+    lut=None,
 ):
     """span_hits_replicated_fn for the ring layout: queries rotate the
     range-sharded index via ring_lookup (the same collective schedule as
@@ -430,7 +558,7 @@ def span_hits_ring_fn(
     if probe[0] in ("tiled", "hashed"):
 
         def local_fn(codes, tables, routers):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             table = tables[0]
             router = routers[0]
 
@@ -445,7 +573,8 @@ def span_hits_ring_fn(
 
                 def probe_fn(q_hi, q_lo):
                     return lookup_ops.lookup_taxa_tiled(
-                        table, router, u64.U64(q_hi, q_lo), probe[1], bits
+                        table, router, u64.U64(q_hi, q_lo), probe[1], bits,
+                        key_bits,
                     )
 
             return finish(wm, ring_lookup(codes, probe_fn, wm, n))
@@ -454,14 +583,15 @@ def span_hits_ring_fn(
     else:
 
         def local_fn(codes, keys_hi, keys_lo, key_taxa, routers):
-            wm = _window_scan(codes, mp)
+            wm = _window_scan(codes, mp, lut)
             keys = u64.U64(keys_hi[0], keys_lo[0])
             kt = key_taxa[0]
             router = routers[0]
 
             def probe_fn(q_hi, q_lo):
                 return lookup_ops.lookup_taxa_routed(
-                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits
+                    keys, kt, router, u64.U64(q_hi, q_lo), rounds, bits,
+                    key_bits,
                 )
 
             return finish(wm, ring_lookup(codes, probe_fn, wm, n))
@@ -486,7 +616,7 @@ def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
     the Spark shuffle replaced by host gather + range-sharded reduce."""
 
     def local_fn(codes):
-        wm = _window_scan(codes, mp)
+        wm = _window_scan(codes, mp, lut)
         return wm.minimizer.hi, wm.minimizer.lo, wm.span_start
 
     shard = jax.shard_map(
@@ -499,7 +629,7 @@ def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
     return jax.jit(shard)
 
 
-def sample_shuffle_boundaries(codes_sample, mp: MinimizerParams, n: int):
+def sample_shuffle_boundaries(codes_sample, mp: MinimizerParams, n: int, lut=None):
     """Empirical key-range split points for build_shuffle_fn.
 
     The priority distribution is NOT uniform (canonical = min(fw, rc) biases
@@ -510,7 +640,7 @@ def sample_shuffle_boundaries(codes_sample, mp: MinimizerParams, n: int):
     Returns uint64[n-1] (host array)."""
     import jax.numpy as jnp
 
-    wm = window_minimizers(jnp.asarray(codes_sample), mp)
+    wm = window_minimizers(jnp.asarray(codes_sample), mp, lut)
     start = np.asarray(wm.span_start)
     hi = np.asarray(wm.minimizer.hi)[start].astype(np.uint64)
     lo = np.asarray(wm.minimizer.lo)[start].astype(np.uint64)
@@ -522,7 +652,7 @@ def sample_shuffle_boundaries(codes_sample, mp: MinimizerParams, n: int):
 
 
 def build_shuffle_fn(
-    mesh: Mesh, mp: MinimizerParams, cap_per_dest: int, boundaries=None
+    mesh: Mesh, mp: MinimizerParams, cap_per_dest: int, boundaries=None, lut=None
 ):
     """Distributed index build step: the TPU-native equivalent of the
     reference's hash-shuffle + groupBy/LCA (KeyValueIndex.scala:85-93,
@@ -553,7 +683,7 @@ def build_shuffle_fn(
         b_lo = jnp.asarray(b.astype(np.uint32))
 
     def local_fn(codes, taxa_rows):
-        wm = window_minimizers(codes, mp)
+        wm = window_minimizers(codes, mp, lut)
         b, l = codes.shape
         m_ = b * l
         hi = wm.minimizer.hi.reshape(m_)
