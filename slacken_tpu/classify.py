@@ -603,6 +603,9 @@ class Classifier:
         self._finalize_thresholds: Optional[Tuple[float, ...]] = None
         self._device_finalize = os.environ.get("STPU_DEVICE_FINALIZE", "1") == "1"
         self._req_lut_cache: Dict[tuple, object] = {}
+        #: per-read output part file index (multi-host runs give each
+        #: process its own part so outputs merge collision-free in one dir)
+        self._part_index = 0
         with jax.ensure_compile_time_eval():
             self._router_dummy = jnp.zeros(2, jnp.int32)
 
@@ -1154,7 +1157,8 @@ class Classifier:
                 d = os.path.join(loc, f"sample={sample}")
                 os.makedirs(d, exist_ok=True)
                 writers[key] = ParallelGzipWriter(
-                    os.path.join(d, "part-00000.txt.gz"), level=1
+                    os.path.join(d, f"part-{self._part_index:05d}.txt.gz"),
+                    level=1,
                 )
             return writers[key]
 
@@ -1247,18 +1251,7 @@ class Classifier:
             for f in writers.values():
                 f.close()
 
-        out = {}
-        for t, per_sample in counts.items():
-            loc = output_location + "_c" + format_threshold(t, cpar.thresholds)
-            os.makedirs(loc, exist_ok=True)
-            names = []
-            for sample, agg in per_sample.items():
-                KrakenReport(self.index.taxonomy, sorted(agg.items())).write(
-                    os.path.join(loc, f"{sample}_kreport.txt")
-                )
-                names.append(sample)
-            out[t] = names
-        return out
+        return self._write_reports(counts, output_location, cpar)
 
     def _aggregate_and_write(self, packed_iter, output_location, cpar):
         self._fetch_window_taxa = False
@@ -1298,6 +1291,14 @@ class Classifier:
                         vals, cts = np.unique(report_taxon[sel], return_counts=True)
                         for v, c in zip(vals.tolist(), cts.tolist()):
                             agg[v] = agg.get(v, 0) + c
+        return self._write_reports(counts, output_location, cpar)
+
+    def _write_reports(self, counts, output_location: str, cpar: ClassifyParams):
+        """Write one kreport per (threshold, sample) from the aggregated
+        {threshold: {sample: {taxon: count}}} map. Overridable hook: the
+        multi-host classifier merges counts across processes here before
+        process 0 writes (the reference's driver-collect analogue,
+        Classifier.scala:214-217)."""
         out = {}
         for t, per_sample in counts.items():
             loc = output_location + "_c" + format_threshold(t, cpar.thresholds)

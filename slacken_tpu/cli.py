@@ -111,9 +111,27 @@ def _build_parser():
         type=int,
         help="Build with the device all_to_all shuffle on an n-device mesh",
     )
+    b.add_argument(
+        "--shards",
+        type=int,
+        help="Persist the index as N contiguous key-range shard files "
+        "(save_sharded layout) so multi-host jobs can load per-host ranges; "
+        "the analogue of the reference's bucketed Parquet (-p buckets)",
+    )
 
     c = sub.add_parser("classify", help="Classify genomic sequences")
     _add_classify_opts(c)
+    c.add_argument(
+        "--coordinator",
+        help="Multi-host mode: jax.distributed coordinator address "
+        "(host:port); run the same command on every host",
+    )
+    c.add_argument(
+        "--num-processes", type=int, help="Multi-host mode: total process count"
+    )
+    c.add_argument(
+        "--process-id", type=int, help="Multi-host mode: this process's id"
+    )
 
     c2 = sub.add_parser(
         "classify2", help="Two-step classification with a dynamic index built on the fly"
@@ -221,6 +239,15 @@ def main(argv=None):
         if platform:
             jax.config.update("jax_platforms", platform)
 
+        # multi-host: jax.distributed.initialize must precede ANY backend
+        # touch (including the jax.devices() probe below)
+        if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
+            from .parallel import multihost as mh
+
+            args._mh_ctx = mh.initialize(
+                args.coordinator, args.num_processes, args.process_id
+            )
+
         # persistent compile cache: TPU only (XLA:CPU AOT cache entries can
         # load across machine-feature mismatches and silently corrupt
         # results)
@@ -296,8 +323,12 @@ def cmd_build(args):
             spill_dir=getattr(args, "spill_dir", None),
             ordering_lut=ordering_lut,
         )
-    idx.save(args.index)
-    print(f"Saved {len(idx.keys)} records to {args.index}")
+    if getattr(args, "shards", None):
+        idx.save_sharded(args.index, n_shards=args.shards)
+        print(f"Saved {len(idx.keys)} records to {args.index} ({args.shards} shards)")
+    else:
+        idx.save(args.index)
+        print(f"Saved {len(idx.keys)} records to {args.index}")
     _show_index_stats(idx)
     print(json.dumps(lib.input_stats(tax), indent=2))
     return 0
@@ -309,6 +340,8 @@ def cmd_classify(args):
     from .parallel.classifier import make_classifier
 
     cpar = _cpar(args)  # validate before any heavy work
+    if getattr(args, "coordinator", None) or getattr(args, "num_processes", None):
+        return _classify_multihost(args, cpar)
     idx = KeyValueIndex.load(args.index)
     cls = make_classifier(idx, args.devices, args.layout, probe=args.probe)
     from .inputs import expand_file_list, packed_reads_from_file
@@ -336,6 +369,67 @@ def cmd_classify(args):
             samples = cls.classify_and_write(frags, args.output, cpar)
     for t, ss in samples.items():
         print(f"threshold {t}: samples {ss}")
+    return 0
+
+
+def _classify_multihost(args, cpar):
+    """Multi-host classify: one process per host over jax.distributed, the
+    index range-sharded across processes, ring ppermute crossing DCN
+    (reference analogue: slacken.sh's SPARK_MASTER cluster launch,
+    slacken.sh:28-56). Requires a sharded index (build --shards N)."""
+    import math
+
+    from . import native
+    from .inputs import expand_file_list, packed_reads_from_file
+    from .parallel import multihost as mh
+
+    if args.paired:
+        raise SystemExit("multi-host classify does not support --paired yet")
+    if args.probe not in (None, "routed"):
+        print(
+            f"note: multi-host ring uses the routed probe (--probe "
+            f"{args.probe} ignored)",
+            file=sys.stderr,
+        )
+    ctx = getattr(args, "_mh_ctx", None) or mh.initialize(
+        args.coordinator, args.num_processes, args.process_id
+    )
+    files = expand_file_list(args.inputs)
+    # pass 1 (identical on every process — same files): read count + width
+    total, wmax = 0, 1
+    for path in files:
+        for p in packed_reads_from_file(path):
+            total += len(p.titles)
+            wmax = max(wmax, p.codes.shape[1])
+    nproc = ctx.process_count
+    lo = (ctx.process_index * total) // nproc
+    hi = ((ctx.process_index + 1) * total) // nproc
+    share_max = max(
+        ((q + 1) * total) // nproc - (q * total) // nproc for q in range(nproc)
+    )
+    cls = mh.MultiHostRingClassifier(args.index, ctx)
+    rows = int(os.environ.get("STPU_MH_ROWS", "4096"))
+    cls.set_lockstep(share_max, rows, wmax)
+
+    def my_stream():
+        i = 0
+        for path in files:
+            for p in packed_reads_from_file(path):
+                n = len(p.titles)
+                a, b = max(lo, i), min(hi, i + n)
+                if b > a:
+                    sl = slice(a - i, b - i)
+                    yield native.PackedReads(
+                        np.asarray(p.codes)[sl],
+                        np.asarray(p.lengths)[sl],
+                        list(p.titles)[sl],
+                    )
+                i += n
+
+    samples = cls.classify_and_write_packed(my_stream(), args.output, cpar)
+    if ctx.process_index == 0:
+        for t, ss in samples.items():
+            print(f"threshold {t}: samples {ss}")
     return 0
 
 

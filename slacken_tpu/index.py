@@ -872,7 +872,11 @@ class KeyValueIndex:
     @classmethod
     def load(cls, location: str, taxonomy: Optional[Taxonomy] = None) -> "KeyValueIndex":
         with storage.open_file(storage.join(location, "params.json")) as f:
-            params = IndexParams.from_json(json.load(f))
+            meta = json.load(f)
+            params = IndexParams.from_json(meta)
+        if "shards" in meta:
+            # sharded (save_sharded) layout: load every shard
+            return cls.load_shards(location, taxonomy=taxonomy)
         keys = storage.np_load(storage.join(location, "keys.npy"))
         taxa = storage.np_load(storage.join(location, "taxa.npy"))
         if taxonomy is None:

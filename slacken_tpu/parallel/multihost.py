@@ -32,6 +32,9 @@ from typing import List, Optional
 import numpy as np
 
 
+_distributed_initialized = False
+
+
 @dataclass
 class HostContext:
     """This process's place in the (possibly single-host) job."""
@@ -58,15 +61,20 @@ def initialize(
     environment (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
     or a TPU pod metadata server that `jax.distributed.initialize()` detects
     on its own). Safe to call multiple times."""
+    global _distributed_initialized
     import jax
 
     explicit = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if explicit and jax.process_count() == 1:
+    # NOTE: do not probe jax.process_count() before distributed init — that
+    # call itself initialises the XLA backend, after which
+    # jax.distributed.initialize refuses to run
+    if explicit and not _distributed_initialized:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
+        _distributed_initialized = True
     return HostContext(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
@@ -143,7 +151,8 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
     s0 = n_shards // n
     dev_sizes = [sum(sizes[d * s0 : (d + 1) * s0]) for d in range(n)]
     row_len = max(max(dev_sizes), 1)
-    bits = lookup_ops.adaptive_router_bits(row_len)
+    key_bits = 2 * params.m
+    bits = min(lookup_ops.adaptive_router_bits(row_len), key_bits)
 
     devs = list(mesh.devices.flat)
     local_rows = [
@@ -163,7 +172,7 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
         pad = row_len - len(keys)
         keys = np.concatenate([keys, np.full(pad, sent)])
         taxa = np.concatenate([taxa, np.zeros(pad, np.int32)]).astype(np.int32)
-        router = lookup_ops.build_router(keys, bits)
+        router = lookup_ops.build_router(keys, bits, key_bits)
         rounds = max(rounds, lookup_ops.router_rounds(router))
         kh.append((keys >> np.uint64(32)).astype(np.uint32))
         kl.append(keys.astype(np.uint32))
@@ -204,6 +213,221 @@ def collect_local(global_array) -> np.ndarray:
     global row order."""
     shards = sorted(global_array.addressable_shards, key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def allgather_objects(obj):
+    """All-gather one JSON-serialisable object per process (list in process
+    order). Two process_allgathers: byte lengths, then padded buffers."""
+    import json
+
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(json.dumps(obj).encode("utf-8"), np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([len(data)]))[:, 0]
+    buf = np.zeros(int(sizes.max()), np.uint8)
+    buf[: len(data)] = data
+    bufs = multihost_utils.process_allgather(buf)
+    return [
+        json.loads(bytes(bufs[p, : int(sizes[p])]).decode("utf-8"))
+        for p in range(len(sizes))
+    ]
+
+
+from ..classify import Classifier as _Classifier
+
+
+class MultiHostRingClassifier(_Classifier):
+    """CLI-reachable multi-host classification (VERDICT r2 #10).
+
+    Each process loads only its own key-range shards of a `save_sharded`
+    index; the devices of all processes form one global 1-D mesh and queries
+    rotate the ring with ppermute ACROSS process boundaries (the DCN analogue
+    of the reference's Spark cluster executing the shuffle join,
+    KeyValueIndex.scala:150-159 + slacken.sh's SPARK_MASTER wiring).
+
+    Lockstep discipline: collectives require every process to dispatch the
+    same shapes in the same order, so batches are a FIXED (rows, bucket)
+    shape; each process classifies a contiguous share of the global read
+    stream and pads its tail (including whole all-padding dispatches) to the
+    common dispatch count. Per-read outputs go to per-process part files in
+    the shared output dir (part-<process>), whose name-ordered concatenation
+    equals the single-process output; reports are merged across processes
+    and written by process 0.
+    """
+
+    def __init__(self, location: str, ctx: Optional[HostContext] = None, **kwargs):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from . import mesh as pmesh
+
+        self.ctx = ctx or initialize()
+        mesh = global_mesh()
+        # base init on THIS host's shard range only (params/taxonomy/host
+        # glue); the routed probe avoids building host-side tables the ring
+        # never uses
+        local = load_index_for_host(location, self.ctx)
+        kwargs.setdefault("probe", "routed")
+        kwargs.setdefault("packed_transfer", False)
+        super().__init__(local, **kwargs)
+        self._part_index = self.ctx.process_index
+        self.mesh = mesh
+        self.n_global = mesh.devices.size
+        self.local_devices = jax.local_device_count()
+
+        kh, kl, tx, rt, rounds, bits, params = ring_index_for_host(
+            location, self.ctx, mesh
+        )
+        self._ring_fn = pmesh.classify_ring_fn(
+            mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+            key_bits=2 * params.m, lut=local.device_lut,
+        )
+        table = np.asarray(local.taxonomy.rpath_table())
+        gtable = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), table, global_shape=table.shape
+        )
+        self._gargs = (kh, kl, tx, rt, gtable)
+        self._lockstep = None
+
+    def set_lockstep(self, max_share_reads: int, rows: int, bucket: int):
+        """Fix the dispatch schedule from the largest per-process read share:
+        every process will issue exactly ceil(max_share/rows) batches of
+        `rows` x `bucket` codes. All three inputs must be computed from the
+        SAME global read stream on every process (they are: each process
+        scans the same input files)."""
+        rows = -(-rows // self.local_devices) * self.local_devices
+        b = 128
+        while b < bucket:
+            b *= 2
+        n_dispatches = max(1, -(-int(max_share_reads) // rows))
+        self._lockstep = (n_dispatches, int(rows), b)
+
+    # -- lockstep batching (replaces the adaptive packed_batches) -----------
+
+    def packed_batches(self, packed_iter):
+        import collections
+
+        from ..ops import encode
+
+        if self._lockstep is None:
+            raise RuntimeError("call set_lockstep() before classifying")
+        n_disp, rows, bucket = self._lockstep
+        pending = collections.deque()
+        issued = 0
+        buf = []  # (codes, titles, splits, lens) chunks, all width==bucket
+
+        def count():
+            return sum(len(x[1]) for x in buf)
+
+        def dispatch_next(force=False):
+            nonlocal issued
+            while count() >= rows or (force and count() > 0):
+                take = min(count(), rows)
+                codes_parts, titles, splits, lens = [], [], [], []
+                got = 0
+                while got < take:
+                    c, t, sp, ln = buf[0]
+                    need = take - got
+                    if len(t) <= need:
+                        codes_parts.append(c)
+                        titles += t
+                        splits += sp
+                        lens += ln
+                        got += len(t)
+                        buf.pop(0)
+                    else:
+                        codes_parts.append(c[:need])
+                        titles += t[:need]
+                        splits += sp[:need]
+                        lens += ln[:need]
+                        buf[0] = (c[need:], t[need:], sp[need:], ln[need:])
+                        got = take
+                codes = np.ascontiguousarray(np.concatenate(codes_parts))
+                issued += 1
+                pending.append(self._dispatch_codes(codes, titles, splits, lens))
+                while len(pending) > 2:
+                    yield self._harvest(pending.popleft())
+
+        for packed in packed_iter:
+            c = np.asarray(packed.codes)
+            if c.shape[1] > bucket:
+                raise ValueError(
+                    f"read width {c.shape[1]} exceeds the lockstep bucket "
+                    f"{bucket}; recompute set_lockstep from the full input"
+                )
+            if c.shape[1] < bucket:
+                c = np.pad(
+                    c, ((0, 0), (0, bucket - c.shape[1])),
+                    constant_values=encode.INVALID,
+                )
+            if getattr(packed, "splits", None) is not None:
+                sp = [int(x) for x in packed.splits]
+            else:
+                sp = [None] * len(packed.titles)
+            buf.append(
+                (c, list(packed.titles), sp, [int(x) for x in packed.lengths])
+            )
+            yield from dispatch_next()
+        yield from dispatch_next(force=True)
+        # all-padding dispatches keep the collective schedule identical when
+        # this process's share rounds to fewer batches than the longest one
+        from ..ops import encode as enc
+
+        while issued < n_disp:
+            codes = np.full((rows, bucket), enc.INVALID, np.uint8)
+            issued += 1
+            pending.append(self._dispatch_codes(codes, [], [], []))
+            while len(pending) > 2:
+                yield self._harvest(pending.popleft())
+        while pending:
+            yield self._harvest(pending.popleft())
+
+    # -- global dispatch ------------------------------------------------------
+
+    def _dispatch_codes(self, codes, titles, splits, row_lens):
+        import jax
+
+        from ..ops import encode
+
+        n_disp, rows, bucket = self._lockstep
+        if codes.shape[0] < rows:
+            pad = np.full(
+                (rows - codes.shape[0], bucket), encode.INVALID, np.uint8
+            )
+            codes = np.concatenate([codes, pad], axis=0)
+        gcodes = global_rows(codes, self.mesh)
+        wt, nd, ch, res, hp, _counts = self._ring_fn(gcodes, *self._gargs)
+        # bring THIS process's rows home, then hand the LOCAL slices to the
+        # standard single-chip post-dispatch glue (the device finalize is
+        # re-dispatched on this host's own devices)
+        local = jax.tree_util.tree_map(collect_local, (wt, nd, ch, res, hp))
+        return self._post_dispatch(local, codes, titles, splits, row_lens)
+
+    # -- merged reports -------------------------------------------------------
+
+    def _write_reports(self, counts, output_location: str, cpar):
+        # serialise as (threshold index, sample, taxon, count) rows: JSON
+        # keys are strings, so keep thresholds as indexes into the shared
+        # cpar.thresholds list
+        thr = list(counts.keys())
+        rows = [
+            [thr.index(t), sample, int(taxon), int(c)]
+            for t, per_sample in counts.items()
+            for sample, agg in per_sample.items()
+            for taxon, c in agg.items()
+        ]
+        merged = {t: {} for t in thr}
+        for proc_rows in allgather_objects(rows):
+            for ti, sample, taxon, c in proc_rows:
+                agg = merged[thr[ti]].setdefault(sample, {})
+                agg[taxon] = agg.get(taxon, 0) + c
+        if self.ctx.process_index == 0:
+            return super()._write_reports(merged, output_location, cpar)
+        return {t: sorted(per.keys()) for t, per in merged.items()}
 
 
 def report_counts_across_hosts(local_counts: np.ndarray) -> np.ndarray:

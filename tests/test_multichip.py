@@ -384,6 +384,118 @@ def test_multihost_two_process_ring(rng, tmp_path):
     assert np.array_equal(np.array(res[1]["counts"]), want_counts)
 
 
+def test_multihost_cli_two_process_byte_identical(rng, tmp_path):
+    """The multi-host CLI path (classify --coordinator/--num-processes/
+    --process-id, VERDICT r2 #10): two real jax.distributed CPU processes on
+    localhost classify a shared read file against a shards-per-host index
+    with the ring crossing the process boundary. The merged outputs
+    (name-ordered part files + process-0 kreports) must be byte-identical
+    to a single-process CLI run."""
+    import gzip
+    import socket
+    import subprocess
+    import sys
+
+    from slacken_tpu import cli
+    from test_index import random_genome
+    from test_inputs_cli import write_fasta, write_fastq
+
+    t = random_taxonomy(rng)
+    leaves = [x for x in t.taxa() if t.is_leaf(x)][:3]
+    lib = tmp_path / "lib"
+    (lib / "library").mkdir(parents=True)
+    genomes = {}
+    with open(lib / "seqid2taxid.map", "w") as f:
+        for i, taxon in enumerate(leaves):
+            g = random_genome(rng, 4000)
+            genomes[taxon] = g
+            write_fasta(lib / "library" / f"g{i}.fna", [(f"seq{taxon}", g)])
+            f.write(f"seq{taxon}\t{taxon}\n")
+    taxdir = tmp_path / "taxonomy"
+    t.save(str(taxdir))
+    idx_loc = str(tmp_path / "idx")
+    assert (
+        cli.main(
+            ["build", "-i", idx_loc, "-l", str(lib), "-t", str(taxdir),
+             "--shards", "4"]
+        )
+        == 0
+    )
+
+    # odd read count -> uneven shares -> exercises the all-padding dispatch
+    reads = []
+    for j in range(101):
+        g = genomes[leaves[j % len(leaves)]]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append((f"r{j}", g[s : s + 101]))
+    fq = str(tmp_path / "reads.fastq")
+    write_fastq(fq, reads)
+
+    def collect(outbase):
+        got = {}
+        for root, _, files in os.walk(outbase):
+            for fn in files:
+                p = os.path.join(root, fn)
+                data = open(p, "rb").read()
+                if fn.endswith(".gz"):
+                    data = gzip.decompress(data)
+                got[os.path.relpath(p, outbase)] = data
+        return got
+
+    import os
+
+    single_out = str(tmp_path / "single")
+    assert (
+        cli.main(
+            ["classify", fq, "-i", idx_loc, "-o", single_out + "/out",
+             "-c", "0.0", "0.15"]
+        )
+        == 0
+    )
+    single = collect(single_out)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    mh_out = str(tmp_path / "mh")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["STPU_MH_ROWS"] = "32"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "slacken_tpu.cli", "--platform", "cpu",
+                "classify", fq, "-i", idx_loc, "-o", mh_out + "/out",
+                "-c", "0.0", "0.15",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            env=env,
+            cwd="/root/repo",
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+
+    mh = collect(mh_out)
+    # kreports byte-identical; per-read parts merge (in name order) to the
+    # single-process part content
+    for name, data in single.items():
+        if name.endswith("_kreport.txt"):
+            assert mh[name] == data, name
+        else:
+            d = os.path.dirname(name)
+            parts = sorted(k for k in mh if os.path.dirname(k) == d)
+            assert len(parts) == 2, parts
+            assert b"".join(mh[k] for k in parts) == data, name
+
+
 def test_dryrun_driver_style_subprocess():
     """dryrun_multichip must work exactly as the driver invokes it: a bare
     process with only the device-count flag, no platform pre-selection (and
