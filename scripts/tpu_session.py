@@ -1404,6 +1404,85 @@ def exp_build2():
     return out
 
 
+@guard("scale_tpu")
+def exp_scale_tpu():
+    """Scale on the chip (VERDICT r2 #4): build 0.4 Gbp -> ~131M records
+    with the device-resident reduction, then classify 200k reads against
+    the 1.57 GB (flat) index with the tiled probe. Measures whether the
+    single-chip HBM path holds its throughput at 50x the bench index."""
+    import importlib.util as _ilu
+
+    spec = _ilu.spec_from_file_location(
+        "scale_bench", "/root/repo/scripts/scale_bench.py"
+    )
+    sb = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(sb)
+
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.taxonomy import Taxonomy
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode as enc
+
+    total_bp = int(float(os.environ.get("STPU_SCALE_GBP", "0.4")) * 1e9)
+    n_taxa = 64
+    nodes = [(1, 1, "root")] + [(10 + i, 1, "species") for i in range(n_taxa)]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"t{t}") for t, _, _ in nodes])
+    out = {"total_bp": total_bp}
+
+    # warm the build kernel shapes before timing
+    KeyValueIndex.build(
+        [(10, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
+        batch_rows=32, row_len=1 << 16,
+    )
+    t0 = time.time()
+    idx = KeyValueIndex.build(
+        sb.synthetic_library(total_bp, n_taxa),
+        IndexParams(k=35, m=31, spaces=7),
+        tax,
+        batch_rows=32,
+        row_len=1 << 16,
+    )
+    out["build_s"] = round(time.time() - t0, 1)
+    out["records"] = int(len(idx.keys))
+    out["build_Mbp_s"] = round(total_bp / out["build_s"] / 1e6, 2)
+    record("scale_tpu_build", ok=True, **out)
+
+    rng = np.random.default_rng(7)
+    sim = []
+    per = 25_000
+    for j, (taxon, seq) in enumerate(sb.synthetic_library(total_bp, n_taxa)):
+        if j >= 8:
+            break
+        codes_full = enc.encode_seq(seq[: 2_000_000])
+        starts = rng.integers(0, len(codes_full) - 101, per)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = rng.random(rows.shape) < 0.01
+        rows[mut] = rng.integers(0, 4, int(mut.sum()))
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(native.PackedReads(
+            rows, np.full(len(rows), 101, np.int32),
+            [f"s{taxon}_{i}" for i in range(len(rows))],
+        ))
+    n_reads = sum(len(p) for p in sim)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for probe in ("tiled", "hashed"):
+        try:
+            t0 = time.time()
+            cls = Classifier(
+                idx, target_batch_bp=1 << 22, probe=probe, packed_transfer=True
+            )
+            out[f"{probe}_table_s"] = round(time.time() - t0, 1)
+            cls.classify_packed(sim[:1], cpar)
+            t0 = time.time()
+            cls.classify_packed(sim, cpar)
+            out[f"{probe}_reads_s"] = round(n_reads / (time.time() - t0))
+            del cls
+        except Exception as e:  # noqa: BLE001 (hashed may not fit HBM)
+            out[f"{probe}_error"] = f"{type(e).__name__}: {e}"
+    out["n_reads"] = n_reads
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1429,6 +1508,7 @@ if __name__ == "__main__":
         "kernel3": exp_kernel3,
         "e2e4": exp_e2e4,
         "build2": exp_build2,
+        "scale_tpu": exp_scale_tpu,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

@@ -608,7 +608,7 @@ def span_hits_ring_fn(
     return jax.jit(shard)
 
 
-def scan_records_fn(mesh: Mesh, mp: MinimizerParams):
+def scan_records_fn(mesh: Mesh, mp: MinimizerParams, lut=None):
     """Distributed index-build scan: every chip scans its shard of genome
     fragments and emits per-window (minimizer, span_start) data; the host
     concatenates shards and the sort + segment-LCA reduction follows
