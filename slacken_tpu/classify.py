@@ -121,7 +121,7 @@ def _classify_kernel_tiled(
 ):
     """_classify_kernel for the table-layout probes: `table` is the
     interleaved [n_rows, tile, 3] array from build_tiled (probe
-    ("tiled", tile, dense)) or the flat [n_slots, 3] array from build_hashed
+    ("tiled", tile, dense)) or the [n_rows, tile, 3] table from build_hashed
     (probe ("hashed", tile, hash bits, dense) — router unused). dense=True
     probes every window position instead of compacting to span starts."""
     return _classify_body(
@@ -314,7 +314,7 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
     elif probe[0] in ("tiled", "hashed"):
 
         if probe[0] == "hashed":
-            # routerless: ONE contiguous slice gather per query (the key's
+            # routerless: two aligned row gathers around the home slot (the key's
             # own scrambled top bits are the home-slot hash; ops/lookup.py
             # build_hashed). `router` is an unused dummy here.
             def lookup(q):

@@ -581,9 +581,10 @@ class KeyValueIndex:
 
     @property
     def device_hashed(self):
-        """(routerless hashed [n_slots, 3] uint32 table, tile, hash bits)
-        for lookup_taxa_hashed: ONE unaligned [tile, 3] slice gather per
-        query instead of the tiled probe's router + 2-row dependent chain."""
+        """(routerless hashed [n_rows, tile, 3] uint32 table, tile, hash
+        bits) for lookup_taxa_hashed: two ALIGNED row gathers around the
+        home slot instead of the tiled probe's router + 2-row dependent
+        chain (no router gather)."""
         if getattr(self, "_device_hashed", None) is None:
             if self.wide:
                 raise NotImplementedError("hashed probe requires m <= 31")

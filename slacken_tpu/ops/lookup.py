@@ -394,17 +394,25 @@ def build_hashed(
     hash. Sorting by key' makes h nondecreasing; linear-probing placement
     over sorted hashes is then the vectorised "parking" scan
     pos = cummax(h - i) + i. Slot count (2^bits) grows until every key's
-    displacement fits the fetched slice, disp <= tile - 1; then lookup is
-    ONE unaligned contiguous gather of `tile` slots starting AT the home
-    slot (lax.gather slice, lookup_taxa_hashed) — versus the tiled probe's
-    router gather + two aligned row gathers in a 2-deep dependent chain —
-    at a memory cost of ~(slots/n)x the flat arrays.
+    displacement fits disp <= tile - 1; the key for home slot h is then
+    guaranteed inside rows h//tile and h//tile + 1 of the row-major
+    [n_rows, tile, 3] table, so lookup is two ALIGNED contiguous row
+    gathers with no router (lookup_taxa_hashed) — a depth-0 gather chain
+    versus the tiled probe's router + 2-row dependent pair.
+
+    Layout note (measured r3_session1 on v5e): an UNALIGNED [tile, 3]
+    slice gather starting at h itself is catastrophically slow and
+    memory-explosive on this toolchain — XLA materialises the gathered
+    [Q, tile, 3] result in a T(8,128)-tiled layout with an 8x padding
+    expansion (0.74 Mq/s, and OOM at B=32768). Aligned row gathers keep
+    the result in the table's own layout (122 Mq/s for the same fetch
+    width via the tiled kernel shape).
 
     `bits` forces the slot count (2^bits) and lets the tile grow instead:
     fewer, fatter fetches at lower memory. The default grows bits first,
-    keeping the fetch at tile slots (12*tile bytes).
+    keeping the fetch at 2*tile slots (24*tile bytes).
 
-    Returns (table [n_slots, 3] uint32 (hi', lo', taxon), tile, bits).
+    Returns (table [n_rows, tile, 3] uint32 (hi', lo', taxon), tile, bits).
     """
     n = len(keys)
     skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
@@ -436,21 +444,21 @@ def build_hashed(
                     f"hashed layout did not converge (n={n}); "
                     "use the tiled/routed probe"
                 )
-    # `tile` trailing sentinel slots guarantee the CLIP-clamped slice always
-    # covers [pos, pos+1) for top-of-range keys; query hashes beyond the
-    # last occupied slot land entirely in sentinels, a correct miss
+    # row h//tile + its successor must exist for every occupied slot; a
+    # query hash beyond the last occupied row clamps onto sentinel rows —
+    # a correct miss (no key can be parked past max_pos)
     max_pos = int(pos[-1]) if n else 0
-    n_slots = max_pos + tile + 1
+    n_rows = max_pos // tile + 3  # straddle row + clamp row
     # one contiguous sentinel fill (column-strided fills cost seconds at
     # 100s of MB). The sentinel taxon is therefore -1, which is safe: the
     # probe's max(taxon, 0) reduction absorbs negative taxa into a miss,
     # and a real key whose scramble happens to BE all-ones still wins the
     # max with its own non-negative taxon.
-    table = np.full((n_slots, 3), 0xFFFFFFFF, np.uint32)
+    table = np.full((n_rows * tile, 3), 0xFFFFFFFF, np.uint32)
     table[pos, 0] = (skeys >> np.uint64(32)).astype(np.uint32)
     table[pos, 1] = skeys.astype(np.uint32)
     table[pos, 2] = staxa.view(np.uint32)
-    return table, tile, bits
+    return table.reshape(n_rows, tile, 3), tile, bits
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -458,27 +466,23 @@ def lookup_taxa_hashed(
     table: jnp.ndarray, q: U64, tile: int, bits: int, key_bits: int = 62
 ) -> jnp.ndarray:
     """Routerless lookup against a build_hashed table: scramble the query
-    (pure ALU), then ONE unaligned contiguous gather of [tile, 3] slots
-    starting at the home slot (depth-0 gather chain — every key sits within
-    tile-1 slots of its home by construction), full scrambled-key equality;
-    misses return 0. `key_bits` is unused (the scrambled hash spans the
-    full 64-bit domain) but kept for probe-signature uniformity."""
+    (pure ALU), then two ALIGNED contiguous row gathers around the home
+    slot h = scrambled top bits (rows h//tile and h//tile + 1 always cover
+    slots [h, h + tile) — every key sits within tile-1 slots of its home
+    by construction), full scrambled-key equality; misses return 0.
+    `key_bits` is unused (the scrambled hash spans the full 64-bit domain)
+    but kept for probe-signature uniformity."""
     shape = q.hi.shape
     sq = _xorshift64_u64(U64(q.hi.reshape(-1), q.lo.reshape(-1)))
     qh, ql = sq.hi, sq.lo
     h = u64.shr(sq, 64 - bits).lo.astype(jnp.int32)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    r = jax.lax.gather(
-        table,
-        h[:, None],
-        dnums,
-        slice_sizes=(tile, 3),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B, tile, 3]
-    tx = r[:, :, 2].view(jnp.int32)
-    eq = (r[:, :, 0] == qh[:, None]) & (r[:, :, 1] == ql[:, None])
+    row = h // tile
+    r0 = table[row]        # [Q, tile, 3] (indices clamp onto sentinel rows)
+    r1 = table[row + 1]
+    kh = jnp.concatenate([r0[:, :, 0], r1[:, :, 0]], axis=1)
+    kl = jnp.concatenate([r0[:, :, 1], r1[:, :, 1]], axis=1)
+    tx = jnp.concatenate([r0[:, :, 2], r1[:, :, 2]], axis=1).view(jnp.int32)
+    eq = (kh == qh[:, None]) & (kl == ql[:, None])
     taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
     # a garbage query can key-match ONLY sentinel slots (taxon -1); if every
     # compared lane is sentinel the 0 never enters the max

@@ -153,7 +153,7 @@ class MeshClassifier(Classifier):
             )
             routers, rounds, bits = pmesh.shard_routers(sk, index.key_bits)
             if self._probe_static[0] == "hashed" and not index.wide:
-                # per-shard single-gather hashed tables (routerless)
+                # per-shard aligned-row hashed tables (routerless)
                 tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
                 self._mesh_fn = pmesh.classify_ring_fn(
                     self.mesh, mp, self.max_taxa, rounds, bits,

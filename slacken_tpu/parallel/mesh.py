@@ -308,8 +308,8 @@ def shard_hashed_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
     Hash-table geometry must agree across shards because the probe kernel is
     SPMD: bits = the largest shard's auto choice, tile = the largest tile any
     shard needs at those bits, and every table is sentinel-padded to the
-    largest slot count (the CLIP-mode slice gather stays in bounds and
-    correct under padding — see lookup_taxa_hashed). The all-ones range-pad
+    largest row count (clamped row gathers land on sentinel rows —
+    a correct miss, see lookup_taxa_hashed). The all-ones range-pad
     keys from shard_index_by_range are stripped first so they cannot inflate
     displacement (real keys are <= 62 bits, never all-ones)."""
     pad_key = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -329,11 +329,10 @@ def shard_hashed_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
             lookup_ops.build_hashed(k[r], t[r], bits=bits, tile=tile)
             for k, t, r in zip(sharded_keys, sharded_taxa, reals)
         ]
-    slots = max(b[0].shape[0] for b in built)
-    tables = np.full((len(built), slots, 3), 0xFFFFFFFF, np.uint32)
+    rows = max(b[0].shape[0] for b in built)
+    tables = np.full((len(built), rows, tile, 3), 0xFFFFFFFF, np.uint32)
     for i, (tb, _, _) in enumerate(built):
         tables[i, : tb.shape[0]] = tb
-        tables[i, tb.shape[0] :, 2] = 0xFFFFFFFF  # sentinel taxon -1
     return tables, tile, bits
 
 
@@ -356,7 +355,7 @@ def classify_ring_fn(
                             tables (shard_tiled_tables), the TPU fast probe.
     probe ("hashed", tile, hbits): fn(codes, tables[n,slots,3], routers
                             (ignored dummy), rpath_table) — per-shard
-                            single-gather hashed tables
+                            aligned-row hashed tables
                             (shard_hashed_tables), routerless.
 
     Codes and index shards ride 'data'; `rounds`/`bits` come from
