@@ -145,47 +145,23 @@ def main(force_cpu: bool = False):
         file=sys.stderr,
     )
 
-    # batch size measured per platform (e2e2, .tpu_results/r2_session4.json):
-    # 4 Mbp batches amortise the tunnel/dispatch overhead on TPU (53.3k vs
-    # 28.3k reads/s at 1 Mbp); 1 Mbp stays best on CPU (cache residency)
-    bp = 1 << 20 if jax.default_backend() == "cpu" else 1 << 22
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
 
     # reports-only production path (the reference's SQL classifier,
     # Classifier.scala:259-410): streaming (sample, taxon) aggregation, no
-    # per-read objects materialised
+    # per-read objects materialised. Probe + batch size are the measured
+    # platform defaults (r3_session2 e2e4: hashed @ 2 Mbp = 167.5k reads/s
+    # on the v5e; routed @ 1 Mbp on CPU) — Classifier picks them itself.
     import shutil
     import tempfile
 
-    # on TPU the tiled and hashed table probes trade the lead with batch
-    # shape (r2_session10/11): one trial each, then the remaining trials go
-    # to the winner so the recorded number is always the best config
-    if jax.default_backend() == "cpu":
-        classifiers = {"routed": Classifier(idx, target_batch_bp=bp)}
-    else:
-        classifiers = {
-            p: Classifier(idx, target_batch_bp=bp, probe=p)
-            for p in ("tiled", "hashed")
-        }
-
+    cls = Classifier(idx)
     outdir = tempfile.mkdtemp(prefix="stpu_bench_")
     best = 0.0
     try:
-        rates = {}
-        for name, cls in classifiers.items():
-            cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
-            _mark(f"warm {name}")
-            t0 = time.time()
-            cls.classify_and_write_packed(packed, outdir + "/t0", cpar)
-            rates[name] = n_reads / (time.time() - t0)
-            _mark(f"probe {name} {rates[name]:.0f} reads/s")
-            print(
-                f"probe {name}: {rates[name]:.0f} reads/s", file=sys.stderr
-            )
-        winner = max(rates, key=rates.get)
-        cls = classifiers[winner]
-        best = rates[winner]
-        for trial in range(1, 3):
+        cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
+        _mark("warm")
+        for trial in range(3):
             t0 = time.time()
             cls.classify_and_write_packed(packed, outdir + f"/t{trial}", cpar)
             dt = time.time() - t0
@@ -193,7 +169,7 @@ def main(force_cpu: bool = False):
             best = max(best, rate)
             _mark(f"trial {trial} {rate:.0f} reads/s")
             print(
-                f"trial {trial} ({winner}): {dt:.2f}s = {rate:.0f} reads/s",
+                f"trial {trial}: {dt:.2f}s = {rate:.0f} reads/s",
                 file=sys.stderr,
             )
         report = open(outdir + "/t2_c0.0/all_kreport.txt").read().splitlines()

@@ -1404,13 +1404,7 @@ def exp_build2():
     return out
 
 
-@guard("scale_tpu")
-def exp_scale_tpu():
-    """Scale on the chip (VERDICT r2 #4): classify 200k reads against the
-    131M-record index (1.57 GB flat), loading it from the CPU-prebuilt
-    sharded artifact (r3_session1 showed the 0.4 Gbp device-resident build
-    OOMs 16 GB HBM — fragmentation during the hierarchical reduce — so the
-    big BUILD datapoint is taken at a safer 0.1 Gbp separately below)."""
+def _scale_lib():
     import importlib.util as _ilu
 
     spec = _ilu.spec_from_file_location(
@@ -1418,52 +1412,94 @@ def exp_scale_tpu():
     )
     sb = _ilu.module_from_spec(spec)
     spec.loader.exec_module(sb)
-
-    from slacken_tpu.index import IndexParams, KeyValueIndex
+    n_taxa = 64
     from slacken_tpu.taxonomy import Taxonomy
+
+    nodes = [(1, 1, "root")] + [(10 + i, 1, "species") for i in range(n_taxa)]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"t{t}") for t, _, _ in nodes])
+    return sb, tax, n_taxa
+
+
+def _free_session_device_state():
+    """Drop the bench index's cached device tables (and force a GC) so the
+    scale experiments start from a clean HBM."""
+    import gc
+
+    global QUERIES, CODES_RES
+    if IDX is not None:
+        for attr in (
+            "_device_tiled", "_device_hashed", "_device_keys", "_device_taxa",
+            "_device_router", "_device_bucketed",
+        ):
+            if hasattr(IDX, attr):
+                setattr(IDX, attr, None)
+    QUERIES = None
+    CODES_RES = None
+    gc.collect()
+
+
+@guard("scale_build_tpu")
+def exp_scale_build_tpu():
+    """Device build throughput at scale (0.1 Gbp -> ~33M records), both
+    reduce modes. r3_session1/2: the 0.4 Gbp device-resident build OOMs
+    16 GB HBM, so the big-classify index is prebuilt on CPU and the build
+    datapoint taken at a safe size."""
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+
+    _free_session_device_state()
+    sb, tax, n_taxa = _scale_lib()
+    build_bp = int(float(os.environ.get("STPU_SCALE_BUILD_GBP", "0.1")) * 1e9)
+    out = {"build_bp": build_bp}
+    params = IndexParams(k=35, m=31, spaces=7)
+    for label, flag in (("device", "1"), ("transfer", "0")):
+        os.environ["STPU_BUILD_DEVICE"] = flag
+        KeyValueIndex.build(  # warm kernel shapes
+            [(10, "ACGT" * 100)], params, tax, batch_rows=32, row_len=1 << 16
+        )
+        record("scale_build_progress", ok=True, phase=f"warm_{label}")
+        t0 = time.time()
+        try:
+            bidx = KeyValueIndex.build(
+                sb.synthetic_library(build_bp, n_taxa), params, tax,
+                batch_rows=32, row_len=1 << 16,
+            )
+            dt = time.time() - t0
+            out[f"{label}_s"] = round(dt, 1)
+            out[f"{label}_Mbp_s"] = round(build_bp / dt / 1e6, 2)
+            out.setdefault("records", int(len(bidx.keys)))
+            del bidx
+        except Exception as e:  # noqa: BLE001
+            out[f"{label}_error"] = f"{type(e).__name__}: {e}"
+        record("scale_build_progress", ok=True, phase=f"done_{label}", **out)
+    os.environ.pop("STPU_BUILD_DEVICE", None)
+    import gc
+
+    gc.collect()
+    return out
+
+
+@guard("scale_classify_tpu")
+def exp_scale_classify_tpu():
+    """Classify 200k reads against the CPU-prebuilt 131M-record index
+    (1.57 GB flat / 1.6 GB tiled in HBM): does the single-chip path hold
+    its throughput at 50x the bench index?"""
+    from slacken_tpu.index import KeyValueIndex
     from slacken_tpu import native
     from slacken_tpu.ops import encode as enc
 
+    _free_session_device_state()
+    sb, tax, n_taxa = _scale_lib()
     total_bp = int(float(os.environ.get("STPU_SCALE_GBP", "0.4")) * 1e9)
-    n_taxa = 64
-    nodes = [(1, 1, "root")] + [(10 + i, 1, "species") for i in range(n_taxa)]
-    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"t{t}") for t, _, _ in nodes])
-    out = {"total_bp": total_bp}
-
     prebuilt = os.environ.get(
         "STPU_SCALE_INDEX", "/root/repo/.bench_cache/scale04/idx_sharded"
     )
-    if os.path.exists(os.path.join(prebuilt, "params.json")):
-        t0 = time.time()
-        idx = KeyValueIndex.load_shards(prebuilt, taxonomy=tax)
-        out["load_s"] = round(time.time() - t0, 1)
-        out["records"] = int(len(idx.keys))
-    else:
-        idx = KeyValueIndex.build(
-            sb.synthetic_library(total_bp, n_taxa),
-            IndexParams(k=35, m=31, spaces=7), tax,
-            batch_rows=32, row_len=1 << 16,
-        )
-        out["records"] = int(len(idx.keys))
-
-    # device-build datapoint at a safe size (device-resident reduction)
-    build_bp = int(float(os.environ.get("STPU_SCALE_BUILD_GBP", "0.1")) * 1e9)
-    KeyValueIndex.build(  # warm kernel shapes
-        [(10, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
-        batch_rows=32, row_len=1 << 16,
-    )
     t0 = time.time()
-    bidx = KeyValueIndex.build(
-        sb.synthetic_library(build_bp, n_taxa),
-        IndexParams(k=35, m=31, spaces=7), tax,
-        batch_rows=32, row_len=1 << 16,
-    )
-    dt = time.time() - t0
-    record(
-        "scale_tpu_build", ok=True, build_bp=build_bp, build_s=round(dt, 1),
-        build_Mbp_s=round(build_bp / dt / 1e6, 2), records=int(len(bidx.keys)),
-    )
-    del bidx
+    idx = KeyValueIndex.load_shards(prebuilt, taxonomy=tax)
+    out = {
+        "records": int(len(idx.keys)),
+        "load_s": round(time.time() - t0, 1),
+    }
+    record("scale_classify_progress", ok=True, phase="loaded", **out)
 
     rng = np.random.default_rng(7)
     sim = []
@@ -1482,22 +1518,31 @@ def exp_scale_tpu():
             [f"s{taxon}_{i}" for i in range(len(rows))],
         ))
     n_reads = sum(len(p) for p in sim)
+    out["n_reads"] = n_reads
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
-    for probe in ("tiled", "hashed"):
+    for probe, bp in (("tiled", 1 << 22), ("hashed", 1 << 21)):
         try:
             t0 = time.time()
             cls = Classifier(
-                idx, target_batch_bp=1 << 22, probe=probe, packed_transfer=True
+                idx, target_batch_bp=bp, probe=probe, packed_transfer=True
             )
             out[f"{probe}_table_s"] = round(time.time() - t0, 1)
             cls.classify_packed(sim[:1], cpar)
+            record("scale_classify_progress", ok=True, phase=f"warm_{probe}", **out)
             t0 = time.time()
             cls.classify_packed(sim, cpar)
             out[f"{probe}_reads_s"] = round(n_reads / (time.time() - t0))
             del cls
-        except Exception as e:  # noqa: BLE001 (hashed may not fit HBM)
+        except Exception as e:  # noqa: BLE001 (hashed table is ~5 GB at 131M keys)
             out[f"{probe}_error"] = f"{type(e).__name__}: {e}"
-    out["n_reads"] = n_reads
+        # drop cached device tables between probes
+        for attr in ("_device_tiled", "_device_hashed", "_device_router"):
+            if hasattr(idx, attr):
+                setattr(idx, attr, None)
+        import gc
+
+        gc.collect()
+        record("scale_classify_progress", ok=True, phase=f"done_{probe}", **out)
     return out
 
 
@@ -1526,7 +1571,8 @@ if __name__ == "__main__":
         "kernel3": exp_kernel3,
         "e2e4": exp_e2e4,
         "build2": exp_build2,
-        "scale_tpu": exp_scale_tpu,
+        "scale_build": exp_scale_build_tpu,
+        "scale_classify": exp_scale_classify_tpu,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

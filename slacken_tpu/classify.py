@@ -507,24 +507,41 @@ class Classifier:
         self,
         index: KeyValueIndex,
         max_taxa_per_read: int = 32,
-        target_batch_bp: int = 1 << 20,
+        target_batch_bp: Optional[int] = None,
         probe: Optional[str] = None,
         packed_transfer: Optional[bool] = None,
     ):
         self.index = index
         self.max_taxa = max_taxa_per_read
+        # batch size measured per platform (r2_session4 e2e2 + r3_session2
+        # e2e4): 2 Mbp batches are the hashed-probe e2e sweet spot on TPU
+        # (167.5k reads/s at 2M vs 134.9k at 4M — B=16384 rows sits below
+        # the hashed kernel's B=32768 XLA shape cliff); 1 Mbp stays best on
+        # CPU (cache residency).
+        if target_batch_bp is None:
+            target_batch_bp = 1 << 20 if jax.default_backend() == "cpu" else 1 << 21
         self.target_batch_bp = target_batch_bp
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
 
         # probe kernel (see ops.lookup). Platform-aware default, measured on
-        # the bench workload: "tiled" row-gather wins 9.3x on TPU v5e
-        # (92.9 vs 10.0 Mq/s, .tpu_results/r2_session3.json) while "routed"
-        # binary search wins 2.7x on the CPU backend (55k vs 21k reads/s) —
-        # contiguous-burst gathers are HBM-friendly but thrash CPU caches.
+        # the bench workload (.tpu_results/r3_session2.json): the routerless
+        # aligned-row "hashed" probe wins e2e on TPU v5e (167.5k reads/s vs
+        # tiled 111.6k; kernel 229k vs 192k at B=16384) while "routed"
+        # binary search wins on the CPU backend (contiguous-burst gathers
+        # are HBM-friendly but thrash CPU caches). The hashed table costs
+        # ~2-4x the flat arrays, so very large indexes where it would
+        # crowd a 16 GB HBM fall back to tiled (12 B/key).
         self._dev_lut = index.device_lut  # None for the xor ordering
         if probe is None:
-            default = "routed" if jax.default_backend() == "cpu" else "tiled"
+            if jax.default_backend() == "cpu":
+                default = "routed"
+            elif index.wide:
+                default = "tiled"
+            else:
+                est_bits = max(12, int(np.ceil(np.log2(max(len(index.keys), 2)))) + 1)
+                est_bytes = 12 << min(30, est_bits)
+                default = "hashed" if est_bytes <= (4 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe not in ("routed", "tiled"):
             raise NotImplementedError(
@@ -589,9 +606,13 @@ class Classifier:
         #: reduce each read to its FINAL ordered hit runs on device
         #: (ops.hitruns) so detailed mode transfers ~90 B/read instead of
         #: the dense [B, L] window-taxa array, and the host formats O(runs)
-        #: per row. Default on (every backend); STPU_HIT_RUNS=0 reverts to
-        #: the dense transfer + C++ window walk.
-        self._hit_runs = os.environ.get("STPU_HIT_RUNS", "1") == "1"
+        #: per row. Platform-measured default: ON for CPU (2.7x faster
+        #: detailed e2e) but OFF for accelerators — on the v5e the hit-runs
+        #: reduction's cumsum/one-hot chain costs more device time than the
+        #: dense transfer saves (16.6k vs 40.8k reads/s detailed e2e,
+        #: r3_session2 e2e4). STPU_HIT_RUNS=1/0 overrides.
+        hr_default = "1" if jax.default_backend() == "cpu" else "0"
+        self._hit_runs = os.environ.get("STPU_HIT_RUNS", hr_default) == "1"
         #: opt-in alternative: device RLE of window_taxa (ops.rle). The
         #: v1 global-scatter encode measured SLOWER than the dense transfer
         #: (16.3k vs 36.7k reads/s, r2_session10); v2 is scatter-free but
