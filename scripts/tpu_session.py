@@ -1520,7 +1520,9 @@ def exp_scale_classify_tpu():
     n_reads = sum(len(p) for p in sim)
     out["n_reads"] = n_reads
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
-    for probe, bp in (("tiled", 1 << 22), ("hashed", 1 << 21)):
+    # 1 Mbp dispatches: the probe's padded gather transients (~1.5 kB/query)
+    # must share HBM with the 1.6 GB table (r3_session3 OOM post-mortem)
+    for probe, bp in (("tiled", 1 << 20), ("hashed", 1 << 20)):
         try:
             t0 = time.time()
             cls = Classifier(

@@ -517,9 +517,18 @@ class Classifier:
         # e2e4): 2 Mbp batches are the hashed-probe e2e sweet spot on TPU
         # (167.5k reads/s at 2M vs 134.9k at 4M — B=16384 rows sits below
         # the hashed kernel's B=32768 XLA shape cliff); 1 Mbp stays best on
-        # CPU (cache residency).
+        # CPU (cache residency). Very large indexes halve the batch: the
+        # probe's [Q, tile, 3] gather result is materialised with an 8x
+        # layout padding (~1.5 kB/query), so a 2 Mbp dispatch costs ~6 GB of
+        # HBM transients — fine next to a 30 MB table, OOM next to a 1.6 GB
+        # one (r3_session3 scale_classify post-mortem).
         if target_batch_bp is None:
-            target_batch_bp = 1 << 20 if jax.default_backend() == "cpu" else 1 << 21
+            if jax.default_backend() == "cpu":
+                target_batch_bp = 1 << 20
+            elif 12 * len(index.keys) > (1 << 29):
+                target_batch_bp = 1 << 20
+            else:
+                target_batch_bp = 1 << 21
         self.target_batch_bp = target_batch_bp
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
@@ -541,7 +550,7 @@ class Classifier:
             else:
                 est_bits = max(12, int(np.ceil(np.log2(max(len(index.keys), 2)))) + 1)
                 est_bytes = 12 << min(30, est_bits)
-                default = "hashed" if est_bytes <= (4 << 30) else "tiled"
+                default = "hashed" if est_bytes <= (2 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe not in ("routed", "tiled"):
             raise NotImplementedError(

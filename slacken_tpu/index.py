@@ -711,12 +711,17 @@ class KeyValueIndex:
         # with cap = every position, batch-kernel overflow is impossible
         # (spans <= windows), so no per-batch count fetches are needed
         cap_dr = batch_rows * row_len
-        chunks: List = []  # device [3, n] sentinel-padded record arrays
+        chunks: List = []  # RAW per-batch device [3, n] sentinel-padded arrays
+        reduced: List = []  # superbatch reduction results (merge-tree leaves)
         table_dev = None
         # entries held device-resident before a hierarchical reduction.
-        # The reduction's segment min/max transients are [entries, D] int32
-        # (~2 * entries * D * 4 bytes, D ~ 20), so 8M entries keeps the
-        # peak ~1.3 GB; env override exercises the tree in tests
+        # The reduction's lax.sort transients are a few x the input, so 8M
+        # entries keeps the peak ~1.3 GB; env override exercises the tree in
+        # tests. Merge discipline (r3_session3 post-mortem): raw batches
+        # reduce into `reduced` leaves and the leaves merge PAIRWISE when two
+        # have similar size — NEVER re-sorting one ever-growing carry against
+        # every new batch, which is quadratic work and OOMed 16 GB HBM with
+        # the sort transients of a ~30M-entry carry re-sorted per flush.
         superbatch = int(
             _os.environ.get("STPU_BUILD_SUPERBATCH", max(2 * cap_dr, 1 << 23))
         )
@@ -724,20 +729,48 @@ class KeyValueIndex:
         def _bucket(n: int, g: int = 1 << 18) -> int:
             return max(g, -(-n // g) * g)
 
-        def reduce_chunks(final: bool):
-            """Concatenate device chunks and LCA-reduce on device; keep the
-            (sliced) result as the sole chunk. Returns (out, n) when final."""
-            nonlocal chunks, table_dev
+        def _reduce(parts):
+            """Concatenate device record arrays and LCA-reduce on device,
+            returning the bucket-sliced result and its logical count."""
+            nonlocal table_dev
             if table_dev is None:
                 table_dev = jnp.asarray(taxonomy.rpath_table())
-            hi = jnp.concatenate([c[0] for c in chunks])
-            lo = jnp.concatenate([c[1] for c in chunks])
-            tx = jnp.concatenate([c[2] for c in chunks]).view(jnp.int32)
+            hi = jnp.concatenate([c[0] for c in parts])
+            lo = jnp.concatenate([c[1] for c in parts])
+            tx = jnp.concatenate([c[2] for c in parts]).view(jnp.int32)
             red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
             n = int(np.asarray(n_runs))
-            red = red[:, : _bucket(n)]
-            chunks = [red]
-            return red, n
+            return red[:, : _bucket(n)], n
+
+        def reduce_raw():
+            """Fold the pending raw batches into one reduced leaf, then
+            merge-tree: collapse the two most recent leaves while they are
+            within 2x of each other (keeps every sort linear in its inputs
+            and the resident set at O(log) leaves of geometric sizes)."""
+            nonlocal chunks
+            if not chunks:
+                return
+            leaf, _ = _reduce(chunks)
+            chunks = []
+            reduced.append(leaf)
+            while (
+                len(reduced) > 1
+                and reduced[-2].shape[1] <= 2 * reduced[-1].shape[1]
+            ):
+                a = reduced.pop()
+                b = reduced.pop()
+                leaf, _ = _reduce([b, a])
+                reduced.append(leaf)
+
+        def reduce_chunks(final: bool):
+            """Final global reduction over the merge-tree leaves (+ any raw
+            tail). Returns (out, n)."""
+            assert final
+            parts = reduced + chunks
+            out, n = _reduce(parts)
+            reduced.clear()
+            chunks.clear()
+            return out, n
 
         def harvest(item):
             out_dev, codes, taxa_rows = item
@@ -771,8 +804,8 @@ class KeyValueIndex:
             if device_reduce:
                 out = _build_batch_kernel(codes, taxa_rows, mp, cap_dr, lut)
                 chunks.append(out[:, :cap_dr])
-                if sum(c.shape[1] for c in chunks) >= superbatch and len(chunks) > 1:
-                    reduce_chunks(final=False)
+                if sum(c.shape[1] for c in chunks) >= superbatch:
+                    reduce_raw()
                 return
             if jax.default_backend() == "cpu":
                 # on the CPU backend the kernel's lax.sort costs ~3.4x the
@@ -810,7 +843,7 @@ class KeyValueIndex:
             harvest(pending.popleft())
 
         if device_reduce:
-            if not chunks:
+            if not chunks and not reduced:
                 keys = np.zeros(0, np.uint64)
                 taxa = np.zeros(0, np.int32)
             else:
