@@ -550,7 +550,10 @@ class Classifier:
             else:
                 est_bits = max(12, int(np.ceil(np.log2(max(len(index.keys), 2)))) + 1)
                 est_bytes = 12 << min(30, est_bits)
-                default = "hashed" if est_bytes <= (2 << 30) else "tiled"
+                # r3_session4 scale_classify: hashed still wins at a 3.2 GB
+                # table / 131M records (31.1k vs tiled 11.1k reads/s), so the
+                # guard only excludes tables that genuinely crowd 16 GB HBM
+                default = "hashed" if est_bytes <= (4 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe not in ("routed", "tiled"):
             raise NotImplementedError(

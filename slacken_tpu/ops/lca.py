@@ -153,24 +153,65 @@ def segment_lca_table(run_ids: jnp.ndarray, taxa: jnp.ndarray, rpath_table: jnp.
     path table — one contiguous row gather per record (the index build's
     groupBy+LCA-UDAF, KeyValueIndex.scala:85-93). `run_ids` must be sorted,
     contiguous from 0. Entry r < num_runs of the result holds run r's LCA.
+
+    The reduction runs LEVEL BY LEVEL over 1-D [N] vectors instead of one
+    pass over an [N, D] matrix: TPU tiles minor dims to (8, 128), so for
+    shallow taxonomies (D of 2-20) the matrix form pads up to 64x — at the
+    build's superbatch sizes that padding alone exceeded 16 GB HBM
+    (r3_session4: an s32[34.8M, 2] allocation asking for 17.85 GB).
     """
-    rp = rpath_table[jnp.asarray(taxa, jnp.int32)]
-    return _segment_lca_rp(run_ids, taxa, rp)
+    n = taxa.shape[0]
+    d_levels = rpath_table.shape[-1]
+    taxa_i = jnp.asarray(taxa, jnp.int32)
+    defined = taxa_i != NONE
+    big = jnp.int32(2**31 - 1)
+    best = jnp.full(n, -1, jnp.int32)
+    val = jnp.zeros(n, jnp.int32)
+    # ascending levels with overwrite = deepest level where the whole run
+    # agrees on one (non -1) ancestor — exactly max(agreeing d)
+    for d in range(d_levels):
+        lev = rpath_table[:, d][taxa_i]
+        mn = jax.ops.segment_min(
+            jnp.where(defined, lev, big), run_ids, num_segments=n
+        )
+        mx = jax.ops.segment_max(
+            jnp.where(defined, lev, jnp.int32(-2)), run_ids, num_segments=n
+        )
+        agree = (mn == mx) & (mn != -1) & (mn != big)
+        best = jnp.where(agree, d, best)
+        val = jnp.where(agree, mn, val)
+    any_defined = jax.ops.segment_max(
+        defined.astype(jnp.int32), run_ids, num_segments=n
+    )
+    fallback = jnp.where(any_defined > 0, ROOT, NONE)
+    return jnp.where(best >= 0, val, fallback).astype(jnp.int32)
 
 
 def _segment_lca_rp(run_ids, taxa, rp):
+    """Level-looped segment LCA over a materialised [N, D] path matrix
+    (compat path for segment_lca; see segment_lca_table for the layout
+    rationale)."""
     n = taxa.shape[0]
     max_path = rp.shape[-1]
     # NONE taxa act as the aggregation identity (TaxonLCA.zero,
     # LowestCommonAncestor.scala:153): exclude them from the reduction.
-    defined = (jnp.asarray(taxa, jnp.int32) != NONE)[:, None]
+    defined = jnp.asarray(taxa, jnp.int32) != NONE
     big = jnp.int32(2**31 - 1)
-    mn = jax.ops.segment_min(jnp.where(defined, rp, big), run_ids, num_segments=n)
-    mx = jax.ops.segment_max(jnp.where(defined, rp, jnp.int32(-2)), run_ids, num_segments=n)
-    agree = (mn == mx) & (mn != -1) & (mn != big)
-    d = jnp.arange(max_path, dtype=jnp.int32)
-    best = jnp.max(jnp.where(agree, d, -1), axis=-1)
-    val = jnp.take_along_axis(mn, jnp.maximum(best, 0)[..., None], axis=-1)[..., 0]
-    any_defined = jax.ops.segment_max(defined[:, 0].astype(jnp.int32), run_ids, num_segments=n)
+    best = jnp.full(n, -1, jnp.int32)
+    val = jnp.zeros(n, jnp.int32)
+    for d in range(max_path):
+        lev = rp[:, d]
+        mn = jax.ops.segment_min(
+            jnp.where(defined, lev, big), run_ids, num_segments=n
+        )
+        mx = jax.ops.segment_max(
+            jnp.where(defined, lev, jnp.int32(-2)), run_ids, num_segments=n
+        )
+        agree = (mn == mx) & (mn != -1) & (mn != big)
+        best = jnp.where(agree, d, best)
+        val = jnp.where(agree, mn, val)
+    any_defined = jax.ops.segment_max(
+        defined.astype(jnp.int32), run_ids, num_segments=n
+    )
     fallback = jnp.where(any_defined > 0, ROOT, NONE)
     return jnp.where(best >= 0, val, fallback).astype(jnp.int32)
