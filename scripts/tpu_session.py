@@ -1521,30 +1521,86 @@ def exp_scale_classify_tpu():
     out["n_reads"] = n_reads
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
     # 1 Mbp dispatches: the probe's padded gather transients (~1.5 kB/query)
-    # must share HBM with the 1.6 GB table (r3_session3 OOM post-mortem)
-    for probe, bp in (("tiled", 1 << 20), ("hashed", 1 << 20)):
+    # must share HBM with the 1.6 GB table (r3_session3 OOM post-mortem).
+    # hashed128 (column-block rows, load-factor-1 hash, ~19 B/key) is the
+    # big-index candidate; the dense=0 variant probes one query per span
+    # instead of per window (2.5x fewer gathers — may invert at this scale).
+    cases = (
+        ("hashed", 1 << 20, None),
+        ("hashed128", 1 << 20, None),
+        ("hashed128", 1 << 21, None),
+        ("hashed128", 1 << 20, "0"),
+        ("hashed", 1 << 20, "0"),
+    )
+    for probe, bp, dense in cases:
+        label = f"{probe}_{bp >> 20}M" + ("_span" if dense == "0" else "")
+        if dense is not None:
+            os.environ["STPU_TILED_DENSE"] = dense
         try:
             t0 = time.time()
             cls = Classifier(
                 idx, target_batch_bp=bp, probe=probe, packed_transfer=True
             )
-            out[f"{probe}_table_s"] = round(time.time() - t0, 1)
+            out[f"{label}_table_s"] = round(time.time() - t0, 1)
             cls.classify_packed(sim[:1], cpar)
-            record("scale_classify_progress", ok=True, phase=f"warm_{probe}", **out)
+            record("scale_classify_progress", ok=True, phase=f"warm_{label}", **out)
             t0 = time.time()
             cls.classify_packed(sim, cpar)
-            out[f"{probe}_reads_s"] = round(n_reads / (time.time() - t0))
+            out[f"{label}_reads_s"] = round(n_reads / (time.time() - t0))
             del cls
         except Exception as e:  # noqa: BLE001 (hashed table is ~5 GB at 131M keys)
-            out[f"{probe}_error"] = f"{type(e).__name__}: {e}"
+            out[f"{label}_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            os.environ.pop("STPU_TILED_DENSE", None)
         # drop cached device tables between probes
-        for attr in ("_device_tiled", "_device_hashed", "_device_router"):
+        for attr in (
+            "_device_tiled", "_device_hashed", "_device_hashed_cols",
+            "_device_router",
+        ):
             if hasattr(idx, attr):
                 setattr(idx, attr, None)
         import gc
 
         gc.collect()
-        record("scale_classify_progress", ok=True, phase=f"done_{probe}", **out)
+        record("scale_classify_progress", ok=True, phase=f"done_{label}", **out)
+    return out
+
+
+@guard("e2e5")
+def exp_e2e5():
+    """Bench-scale hashed vs hashed128 (column-block rows): kernel-free e2e
+    comparison at the production batch sizes, plus span-compacted variants
+    (dense probing was chosen when probes were slower; the aligned layouts
+    may invert it)."""
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for probe, bp, dense in (
+        ("hashed", 1 << 21, None),
+        ("hashed128", 1 << 21, None),
+        ("hashed128", 1 << 22, None),
+        ("hashed", 1 << 21, "0"),
+        ("hashed128", 1 << 21, "0"),
+    ):
+        label = f"{probe}_{bp >> 20}M" + ("_span" if dense == "0" else "")
+        if dense is not None:
+            os.environ["STPU_TILED_DENSE"] = dense
+        try:
+            cls = Classifier(
+                IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
+            )
+            cls.classify_packed(packed[:2], cpar)
+            rate = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                cls.classify_packed(packed, cpar)
+                rate = max(rate, n_reads / (time.time() - t0))
+            out[f"{label}_reads_s"] = round(rate)
+        except Exception as e:  # noqa: BLE001
+            out[f"{label}_error"] = f"{type(e).__name__}: {e}"
+        finally:
+            os.environ.pop("STPU_TILED_DENSE", None)
     return out
 
 
@@ -1575,6 +1631,7 @@ if __name__ == "__main__":
         "build2": exp_build2,
         "scale_build": exp_scale_build_tpu,
         "scale_classify": exp_scale_classify_tpu,
+        "e2e5": exp_e2e5,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

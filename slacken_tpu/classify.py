@@ -311,7 +311,7 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
 
         q_limbs, sid, n_spans = lookup_ops.compact_span_queries_wide(wm, cap)
         q_compact = u128_mod.from_limbs(*q_limbs)
-    elif probe[0] in ("tiled", "hashed"):
+    elif probe[0] in ("tiled", "hashed", "hashed128"):
 
         if probe[0] == "hashed":
             # routerless: two aligned row gathers around the home slot (the key's
@@ -319,6 +319,14 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
             # build_hashed). `router` is an unused dummy here.
             def lookup(q):
                 return lookup_ops.lookup_taxa_hashed(
+                    keys, q, probe[1], probe[2], key_bits
+                )
+
+        elif probe[0] == "hashed128":
+            # column-block rows ([n_rows, 3*tile], zero layout padding at
+            # tile >= 128) at hash load factor ~1 (build_hashed_cols)
+            def lookup(q):
+                return lookup_ops.lookup_taxa_hashed_cols(
                     keys, q, probe[1], probe[2], key_bits
                 )
 
@@ -585,11 +593,14 @@ class Classifier:
         elif probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
-        elif probe in ("tiled", "hashed"):
+        elif probe in ("tiled", "hashed", "hashed128"):
             dt = None
             if probe == "hashed":
                 dk, tile, hbits = index.device_hashed
                 self._probe_static = ("hashed", tile, hbits, dense)
+            elif probe == "hashed128":
+                dk, tile, hbits = index.device_hashed_cols
+                self._probe_static = ("hashed128", tile, hbits, dense)
             else:
                 dk, tile = index.device_tiled
                 self._probe_static = ("tiled", tile, dense)
@@ -726,8 +737,8 @@ class Classifier:
                 )
             outs = _classify_kernel_wide(codes, *common)
             return self._post_dispatch(outs, codes, titles, splits, row_lens)
-        if self._probe_static[0] in ("tiled", "hashed"):
-            hashed = self._probe_static[0] == "hashed"
+        if self._probe_static[0] in ("tiled", "hashed", "hashed128"):
+            hashed = self._probe_static[0] in ("hashed", "hashed128")
             common = (
                 self._dev_keys,
                 # the hashed probe is routerless: never build the router

@@ -596,6 +596,21 @@ class KeyValueIndex:
         return self._device_hashed
 
     @property
+    def device_hashed_cols(self):
+        """(column-block hashed [n_rows, 3*tile] uint32 table, tile, bits)
+        for lookup_taxa_hashed_cols: zero-layout-padding row gathers at hash
+        load factor ~1 (~12-24 B/key vs ~38 for device_hashed)."""
+        if getattr(self, "_device_hashed_cols", None) is None:
+            if self.wide:
+                raise NotImplementedError("hashed probes require m <= 31")
+            table, tile, hbits = lookup_ops.build_hashed_cols(
+                self.keys, self.taxa, self.key_bits
+            )
+            with jax.ensure_compile_time_eval():
+                self._device_hashed_cols = (jnp.asarray(table), tile, hbits)
+        return self._device_hashed_cols
+
+    @property
     def router_rounds(self) -> int:
         self.device_router
         return self._router_rounds

@@ -117,7 +117,7 @@ def load_index_for_host(location: str, ctx: HostContext, taxonomy=None):
     return KeyValueIndex.load_shards(location, ids, taxonomy=taxonomy)
 
 
-def ring_index_for_host(location: str, ctx: HostContext, mesh):
+def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=False):
     """Assemble the GLOBAL ring-sharded index arrays over `mesh`, each host
     loading only its own key-range shard files.
 
@@ -160,6 +160,7 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
     ]
     sent = np.uint64(0xFFFFFFFFFFFFFFFF)
     kh, kl, tx, rt = [], [], [], []
+    local_keys, local_taxa = [], []  # host-side rows (probe-table building)
     rounds = 1
     for d in local_rows:
         ids = range(d * s0, (d + 1) * s0)
@@ -178,6 +179,8 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
         kl.append(keys.astype(np.uint32))
         tx.append(taxa)
         rt.append(router)
+        local_keys.append(keys)
+        local_taxa.append(taxa)
 
     if ctx.is_distributed:
         from jax.experimental import multihost_utils
@@ -192,7 +195,53 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh):
             sh, local, global_shape=(n,) + local.shape[1:]
         )
 
-    return mk(kh), mk(kl), mk(tx), mk(rt), rounds, bits, params
+    out = (mk(kh), mk(kl), mk(tx), mk(rt), rounds, bits, params)
+    if return_local:
+        return out + ((local_keys, local_taxa, rt),)
+    return out
+
+
+def ring_tables_for_host(location: str, ctx: HostContext, mesh, keys_rows,
+                         taxa_rows, routers_rows, key_bits: int):
+    """Per-shard TILED probe tables for the multi-host ring, built from the
+    rows `ring_index_for_host` loaded for this host's devices.
+
+    Table geometry (tile width, row count) must agree across every process
+    (the probe kernel is SPMD), but the required tile depends on each
+    shard's densest router bucket — so hosts build candidates, allgather the
+    maxima, and rebuild at the agreed geometry. Returns
+    (tables global array [n, rows, tile, 3], tile)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import lookup as lookup_ops
+
+    # candidate geometry from this host's shards
+    tile = 16
+    for r in routers_rows:
+        t = 16
+        maxb = lookup_ops.max_bucket_span(r)
+        while t + 1 < maxb:
+            t *= 2
+        tile = max(tile, t)
+    agreed = allgather_objects({"tile": tile})
+    tile = max(a["tile"] for a in agreed)
+    tables = [
+        lookup_ops.build_tiled(k, t, r, tile=tile)[0]
+        for k, t, r in zip(keys_rows, taxa_rows, routers_rows)
+    ]
+    rows = max(tb.shape[0] for tb in tables)
+    rows = max(a["rows"] for a in allgather_objects({"rows": rows}))
+    stacked = np.full((len(tables), rows, tile, 3), 0xFFFFFFFF, np.uint32)
+    for i, tb in enumerate(tables):
+        stacked[i, : tb.shape[0]] = tb
+        stacked[i, tb.shape[0] :, :, 2] = 0  # sentinel taxon 0 (a miss)
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P("data"))
+    gtables = jax.make_array_from_process_local_data(
+        sh, stacked, global_shape=(n,) + stacked.shape[1:]
+    )
+    return gtables, tile
 
 
 def global_rows(local_rows: np.ndarray, mesh):
@@ -279,18 +328,37 @@ class MultiHostRingClassifier(_Classifier):
         self.n_global = mesh.devices.size
         self.local_devices = jax.local_device_count()
 
-        kh, kl, tx, rt, rounds, bits, params = ring_index_for_host(
-            location, self.ctx, mesh
-        )
-        self._ring_fn = pmesh.classify_ring_fn(
-            mesh, params.minimizer_params, self.max_taxa, rounds, bits,
-            key_bits=2 * params.m, lut=local.device_lut,
+        kh, kl, tx, rt, rounds, bits, params, local_rows = ring_index_for_host(
+            location, self.ctx, mesh, return_local=True
         )
         table = np.asarray(local.taxonomy.rpath_table())
         gtable = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P()), table, global_shape=table.shape
         )
-        self._gargs = (kh, kl, tx, rt, gtable)
+        # probe choice: per-shard tiled tables on accelerators (the fast
+        # probe; geometry agreed across processes), routed binary search on
+        # the CPU backend — mirroring the single-chip platform defaults.
+        mh_probe = os.environ.get(
+            "STPU_MH_PROBE",
+            "routed" if jax.default_backend() == "cpu" else "tiled",
+        )
+        if mh_probe == "tiled" and not local.wide:
+            lk, lt, lr = local_rows
+            gtables, tile = ring_tables_for_host(
+                location, self.ctx, mesh, lk, lt, lr, 2 * params.m
+            )
+            self._ring_fn = pmesh.classify_ring_fn(
+                mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+                probe=("tiled", tile), key_bits=2 * params.m,
+                lut=local.device_lut,
+            )
+            self._gargs = (gtables, rt, gtable)
+        else:
+            self._ring_fn = pmesh.classify_ring_fn(
+                mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+                key_bits=2 * params.m, lut=local.device_lut,
+            )
+            self._gargs = (kh, kl, tx, rt, gtable)
         self._lockstep = None
 
     def set_lockstep(self, max_share_reads: int, rows: int, bucket: int):

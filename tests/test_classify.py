@@ -311,6 +311,8 @@ def test_probe_and_transfer_variants_identical(rng):
         dict(probe="tiled", packed_transfer=True),
         dict(probe="hashed", packed_transfer=False),
         dict(probe="hashed", packed_transfer=True),
+        dict(probe="hashed128", packed_transfer=False),
+        dict(probe="hashed128", packed_transfer=True),
     ):
         got = Classifier(idx, **kw).classify(frags, cpar)
         for conf in cpar.thresholds:
@@ -369,6 +371,11 @@ def test_bucketed_lookup_matches_routed(rng):
         lookup_ops.lookup_taxa_hashed(htab, qv, htile, hbits, idx.key_bits)
     )
     assert np.array_equal(routed, hashed)
+    ctab, ctile, cbits = idx.device_hashed_cols
+    hashed_cols = np.asarray(
+        lookup_ops.lookup_taxa_hashed_cols(ctab, qv, ctile, cbits, idx.key_bits)
+    )
+    assert np.array_equal(routed, hashed_cols)
 
 
 def test_compact_hits_rounds_matches_sort(rng):

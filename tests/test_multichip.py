@@ -462,6 +462,9 @@ def test_multihost_cli_two_process_byte_identical(rng, tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["STPU_MH_ROWS"] = "32"
+    # exercise the per-shard tiled fast probe across the process boundary
+    # (the routed probe is covered by test_multihost_two_process_ring)
+    env["STPU_MH_PROBE"] = "tiled"
     procs = [
         subprocess.Popen(
             [
