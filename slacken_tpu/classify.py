@@ -311,9 +311,18 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
 
         q_limbs, sid, n_spans = lookup_ops.compact_span_queries_wide(wm, cap)
         q_compact = u128_mod.from_limbs(*q_limbs)
-    elif probe[0] in ("tiled", "hashed", "hashed128"):
+    elif probe[0] in ("tiled", "hashed", "hashed128", "hashed1"):
 
-        if probe[0] == "hashed":
+        if probe[0] == "hashed1":
+            # single aligned row gather: the key's whole hash bucket is one
+            # row (ops/lookup.py build_hashed_rows) — the shortest gather
+            # chain an exact probe can have on the per-row-limited v5e
+            def lookup(q):
+                return lookup_ops.lookup_taxa_hashed_rows(
+                    keys, q, probe[1], probe[2], key_bits
+                )
+
+        elif probe[0] == "hashed":
             # routerless: two aligned row gathers around the home slot (the key's
             # own scrambled top bits are the home-slot hash; ops/lookup.py
             # build_hashed). `router` is an unused dummy here.
@@ -593,7 +602,7 @@ class Classifier:
         elif probe == "bucketed":
             dk, dt, maxb = index.device_bucketed
             self._probe_static = ("bucketed", maxb)
-        elif probe in ("tiled", "hashed", "hashed128"):
+        elif probe in ("tiled", "hashed", "hashed128", "hashed1"):
             dt = None
             if probe == "hashed":
                 dk, tile, hbits = index.device_hashed
@@ -601,6 +610,9 @@ class Classifier:
             elif probe == "hashed128":
                 dk, tile, hbits = index.device_hashed_cols
                 self._probe_static = ("hashed128", tile, hbits, dense)
+            elif probe == "hashed1":
+                dk, tile, rbits = index.device_hashed_rows
+                self._probe_static = ("hashed1", tile, rbits, dense)
             else:
                 dk, tile = index.device_tiled
                 self._probe_static = ("tiled", tile, dense)
@@ -737,8 +749,8 @@ class Classifier:
                 )
             outs = _classify_kernel_wide(codes, *common)
             return self._post_dispatch(outs, codes, titles, splits, row_lens)
-        if self._probe_static[0] in ("tiled", "hashed", "hashed128"):
-            hashed = self._probe_static[0] in ("hashed", "hashed128")
+        if self._probe_static[0] in ("tiled", "hashed", "hashed128", "hashed1"):
+            hashed = self._probe_static[0] in ("hashed", "hashed128", "hashed1")
             common = (
                 self._dev_keys,
                 # the hashed probe is routerless: never build the router

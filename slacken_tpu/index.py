@@ -611,6 +611,21 @@ class KeyValueIndex:
         return self._device_hashed_cols
 
     @property
+    def device_hashed_rows(self):
+        """(row-bucket hashed [2^row_bits, 3*tile] uint32 table, tile,
+        row_bits) for lookup_taxa_hashed_rows: ONE aligned row gather per
+        query (the hashed/hashed128 layouts need two) at ~15-38 B/key."""
+        if getattr(self, "_device_hashed_rows", None) is None:
+            if self.wide:
+                raise NotImplementedError("hashed probes require m <= 31")
+            table, tile, rbits = lookup_ops.build_hashed_rows(
+                self.keys, self.taxa, self.key_bits
+            )
+            with jax.ensure_compile_time_eval():
+                self._device_hashed_rows = (jnp.asarray(table), tile, rbits)
+        return self._device_hashed_rows
+
+    @property
     def router_rounds(self) -> int:
         self.device_router
         return self._router_rounds

@@ -573,6 +573,93 @@ def lookup_taxa_hashed_cols(
     return jnp.maximum(taxon, 0).reshape(shape)
 
 
+def build_hashed_rows(
+    keys: np.ndarray,
+    taxa: np.ndarray,
+    key_bits: int = 62,
+    tile: int = 128,
+    row_bits=None,
+):
+    """Row-bucket hash table probed with ONE aligned row gather per query.
+
+    The two displacement-bounded layouts above (build_hashed/_cols) park a
+    key within tile-1 slots of its home SLOT, which can straddle a row
+    boundary, so lookups must fetch two consecutive rows. Here the hash
+    addresses a whole ROW instead: every key whose scrambled top `row_bits`
+    bits equal r lives somewhere inside row r, so a lookup is a single
+    aligned [3*tile]-lane gather + tile-wide equality scan. v5e gathers are
+    rate-limited per ROW (~95 M rows/s regardless of width — docs/PERF.md
+    roofline), so halving the gathers halves the probe cost of the whole
+    classify kernel; the extra lanes fetched are free until HBM bandwidth
+    binds (1536 B/row at tile=128 ~ 146 GB/s at the gather wall, far under
+    the v5e's ~819 GB/s).
+
+    Row occupancy is binomial with mean n/2^row_bits; `row_bits` grows until
+    the fullest row fits in `tile` slots, landing at load factor ~0.3-0.8
+    (~15-38 B/key — at or below build_hashed's auto sizing). Layout is the
+    column-block [n_rows, 3*tile] (kh | kl | taxon lane blocks): exactly
+    lane-aligned at tile=128, zero layout padding.
+
+    Returns (table [2^row_bits, 3*tile] uint32, tile, row_bits).
+    """
+    n = len(keys)
+    skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
+    order = np.argsort(skeys)
+    skeys = skeys[order]
+    staxa = np.asarray(taxa, np.int32)[order]
+    auto = row_bits is None
+    if auto:
+        row_bits = max(1, int(np.ceil(np.log2(max(n, 2) / tile))))
+    max_bits = min(28, row_bits + 8)
+    if n == 0:
+        rows = np.zeros(0, np.int64)
+        cols = np.zeros(0, np.int64)
+    else:
+        while True:
+            rows = (skeys >> np.uint64(64 - row_bits)).astype(np.int64)
+            counts = np.bincount(rows, minlength=1 << row_bits)
+            if int(counts.max()) <= tile:
+                break
+            if auto and row_bits < max_bits:
+                row_bits += 1
+            elif tile < 1 << 12:
+                tile *= 2
+            else:
+                raise ValueError(
+                    f"hashed-rows layout did not converge (n={n}); "
+                    "use the hashed/tiled probe"
+                )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        cols = np.arange(n, dtype=np.int64) - starts[rows]
+    n_rows = 1 << row_bits
+    # sentinel = all-ones key, taxon lanes read as -1: absorbed by the
+    # max(taxon, 0) reduction exactly as in build_hashed
+    table = np.full((n_rows, 3 * tile), 0xFFFFFFFF, np.uint32)
+    table[rows, cols] = (skeys >> np.uint64(32)).astype(np.uint32)
+    table[rows, tile + cols] = skeys.astype(np.uint32)
+    table[rows, 2 * tile + cols] = staxa.view(np.uint32)
+    return table, tile, row_bits
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def lookup_taxa_hashed_rows(
+    table: jnp.ndarray, q: U64, tile: int, row_bits: int, key_bits: int = 62
+) -> jnp.ndarray:
+    """Lookup against a build_hashed_rows table: scramble (pure ALU), ONE
+    aligned [3*tile]-lane row gather, tile-wide scrambled-key equality;
+    misses return 0. The shortest possible gather chain for an exact-match
+    probe: depth 0, one gather. `key_bits` unused (signature uniformity)."""
+    shape = q.hi.shape
+    sq = _xorshift64_u64(U64(q.hi.reshape(-1), q.lo.reshape(-1)))
+    qh, ql = sq.hi, sq.lo
+    row = u64.shr(sq, 64 - row_bits).lo.astype(jnp.int32)
+    r = table[row]  # [Q, 3*tile]
+    eq = (r[:, :tile] == qh[:, None]) & (r[:, tile : 2 * tile] == ql[:, None])
+    tx = r[:, 2 * tile :].view(jnp.int32)
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    return jnp.maximum(taxon, 0).reshape(shape)
+
+
 def compact_span_queries(wm, cap: int):
     """Compact a batch's span-start minimizers into a [cap] query buffer.
 

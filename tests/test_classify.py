@@ -313,6 +313,8 @@ def test_probe_and_transfer_variants_identical(rng):
         dict(probe="hashed", packed_transfer=True),
         dict(probe="hashed128", packed_transfer=False),
         dict(probe="hashed128", packed_transfer=True),
+        dict(probe="hashed1", packed_transfer=False),
+        dict(probe="hashed1", packed_transfer=True),
     ):
         got = Classifier(idx, **kw).classify(frags, cpar)
         for conf in cpar.thresholds:
@@ -376,6 +378,11 @@ def test_bucketed_lookup_matches_routed(rng):
         lookup_ops.lookup_taxa_hashed_cols(ctab, qv, ctile, cbits, idx.key_bits)
     )
     assert np.array_equal(routed, hashed_cols)
+    rtab, rtile, rbits = idx.device_hashed_rows
+    hashed_rows = np.asarray(
+        lookup_ops.lookup_taxa_hashed_rows(rtab, qv, rtile, rbits, idx.key_bits)
+    )
+    assert np.array_equal(routed, hashed_rows)
 
 
 def test_compact_hits_rounds_matches_sort(rng):
