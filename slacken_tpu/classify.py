@@ -254,6 +254,56 @@ def _finalize_kernel(res, num_distinct, n_hit, n_none, overflow, ambig, req_lut)
     )
 
 
+@jax.jit
+def _window_codes_kernel(window_taxa, hit_taxa):
+    """Dictionary-compress window_taxa for the d2h transfer: each window's
+    taxon is one of the row's <= T compacted hit taxa (compact_hits), so a
+    u8 index into that row's list carries the same information as the i32
+    taxon. One [B, L + 4T] u8 bundle (codes | hit-taxa bytes) replaces the
+    [B, L] i32 array — 2x fewer device->host bytes at L=128, T=32, which is
+    what detailed mode is bound by on a slow link (41 MB/s axon tunnel,
+    docs/PERF.md). Codes: 0..T-1 = index into hit_taxa row; 254 = NONE
+    (index miss); 255 = invalid window; 253 = taxon not in the list (row
+    overflowed max_taxa — the host refetches those rows densely)."""
+    b, l = window_taxa.shape
+    t = hit_taxa.shape[1]
+    eq = window_taxa[:, :, None] == hit_taxa[:, None, :]  # [B, L, T]
+    found = eq.any(-1) & (window_taxa > 0)
+    idx = jnp.argmax(eq, axis=-1).astype(jnp.uint8)
+    code = jnp.where(
+        window_taxa == INVALID_WINDOW,
+        np.uint8(255),
+        jnp.where(
+            window_taxa == NONE,
+            np.uint8(254),
+            jnp.where(found, idx, np.uint8(253)),
+        ),
+    ).astype(jnp.uint8)
+    taxa_bytes = jax.lax.bitcast_convert_type(hit_taxa, jnp.uint8).reshape(b, 4 * t)
+    return jnp.concatenate([code, taxa_bytes], axis=1)
+
+
+def _decode_window_codes(bundle: np.ndarray, l: int):
+    """Host inverse of _window_codes_kernel: ([B, L] int32 window taxa,
+    fallback row indices needing a dense refetch)."""
+    codes = bundle[:, :l].astype(np.int64)
+    t = (bundle.shape[1] - l) // 4
+    taxa = bundle[:, l:].view("<i4").reshape(len(bundle), t)
+    # lut columns: [taxa | NONE | INVALID_WINDOW]
+    lut = np.concatenate(
+        [
+            taxa,
+            np.full((len(bundle), 1), NONE, np.int32),
+            np.full((len(bundle), 1), INVALID_WINDOW, np.int32),
+        ],
+        axis=1,
+    )
+    fallback = np.flatnonzero((codes == 253).any(axis=1))
+    ci = np.where(codes == 254, t, np.where(codes >= 253, t + 1, codes))
+    wt = np.take_along_axis(lut, ci, axis=1)
+    return wt, fallback
+
+
 def _ambig_array(codes, splits, row_lens, k, n):
     """[B] int32 ambiguous pseudo-kmer counts (_ambig_kmers per row); only
     rows whose invalid-char count exceeds pure padding are scanned."""
@@ -509,6 +559,9 @@ class _BatchResult:
     #: device RLE bundle of window_taxa (ops.rle) when detailed output is on
     #: and the backend benefits from compact d2h transfers; None otherwise
     window_rle: Optional[object] = None
+    #: device [B, L + 4T] u8 dictionary-compressed window taxa
+    #: (_window_codes_kernel) — the accelerator detailed-mode transfer
+    window_codes: Optional[object] = None
     #: device bundle of FINAL per-read hit runs (ops.hitruns) — the default
     #: detailed-mode transfer; None when disabled
     hit_runs: Optional[object] = None
@@ -648,6 +701,16 @@ class Classifier:
         #: r3_session2 e2e4). STPU_HIT_RUNS=1/0 overrides.
         hr_default = "1" if jax.default_backend() == "cpu" else "0"
         self._hit_runs = os.environ.get("STPU_HIT_RUNS", hr_default) == "1"
+        #: dictionary-compressed window-taxa transfer for detailed mode
+        #: (_window_codes_kernel): halves d2h bytes for the dominant L=128,
+        #: T=32 shape at the cost of one cheap fused compare/argmax pass.
+        #: Default ON for accelerators (the d2h link binds detailed mode
+        #: there), OFF for CPU (hit_runs wins there). STPU_WINDOW_CODES=1/0
+        #: overrides.
+        wc_default = "0" if jax.default_backend() == "cpu" else "1"
+        self._window_codes = (
+            os.environ.get("STPU_WINDOW_CODES", wc_default) == "1"
+        )
         #: opt-in alternative: device RLE of window_taxa (ops.rle). The
         #: v1 global-scatter encode measured SLOWER than the dense transfer
         #: (16.3k vs 36.7k reads/s, r2_session10); v2 is scatter-free but
@@ -846,6 +909,7 @@ class Classifier:
         k = idx.params.k
         window_rle = None
         hit_runs_dev = None
+        window_codes_dev = None
         hr_splits = hr_lens = None
         if self._fetch_window_taxa and window_taxa.shape[1] < (1 << 16):
             # dispatch the detailed-output reductions now (async) so they
@@ -874,6 +938,8 @@ class Classifier:
                 window_rle = rle_ops.encode_rows(
                     window_taxa, rle_ops.DEFAULT_RUNS_PER_ROW
                 )
+            elif self._window_codes:
+                window_codes_dev = _window_codes_kernel(window_taxa, ch.taxa)
         # ONE device->host transfer for all the scalar-per-read outputs;
         # window_taxa stays device-lazy
         common = dict(
@@ -885,6 +951,7 @@ class Classifier:
             hit_taxa=ch.taxa,  # device; rarely needed on host
             hit_counts=ch.counts,
             window_rle=window_rle,
+            window_codes=window_codes_dev,
             hit_runs=hit_runs_dev,
         )
         # NOTE: an eager window_taxa.copy_to_host_async() here was measured
@@ -1099,7 +1166,15 @@ class Classifier:
             if pairs is not None:
                 batch._hit_pairs_cache = pairs
                 return pairs
-        if batch.window_rle is not None:
+        if batch.window_codes is not None:
+            L = batch.window_taxa.shape[1]
+            wt_host, fallback = _decode_window_codes(
+                np.asarray(batch.window_codes)[:n], L
+            )
+            if len(fallback):
+                # rows that overflowed max_taxa distinct hits: refetch densely
+                wt_host[fallback] = np.asarray(batch.window_taxa[fallback])
+        elif batch.window_rle is not None:
             L = batch.window_taxa.shape[1]
             dense, overflow_rows = rle_ops.decode_rows(
                 np.asarray(batch.window_rle), L, rle_ops.DEFAULT_RUNS_PER_ROW

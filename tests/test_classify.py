@@ -502,6 +502,67 @@ def test_detailed_output_rle_identical(rng, monkeypatch):
         assert base[conf] == got[conf]
 
 
+def test_window_codes_roundtrip(rng):
+    """_window_codes_kernel/_decode_window_codes must reconstruct
+    window_taxa exactly (incl. the bitcast byte order) and flag rows whose
+    taxa fall outside the compacted hit list."""
+    import jax.numpy as jnp
+
+    from slacken_tpu.classify import _decode_window_codes, _window_codes_kernel
+    from slacken_tpu.ops.resolve import INVALID_WINDOW
+
+    B, L, T = 12, 40, 8
+    hit_taxa = np.zeros((B, T), np.int32)
+    wt = np.full((B, L), INVALID_WINDOW, np.int32)
+    for i in range(B):
+        vals = np.sort(rng.choice(np.arange(1, 1 << 30), T - 2, replace=False))
+        hit_taxa[i, : T - 2] = vals
+        pick = rng.integers(0, T - 2, L)
+        wt[i] = vals[pick]
+        wt[i, rng.integers(0, L, 5)] = 0  # NONE misses
+        wt[i, rng.integers(0, L, 5)] = INVALID_WINDOW
+    # row 3: a taxon NOT in the hit list (simulates max_taxa overflow)
+    wt[3, 7] = 999_999_999
+    bundle = np.asarray(_window_codes_kernel(jnp.asarray(wt), jnp.asarray(hit_taxa)))
+    got, fallback = _decode_window_codes(bundle, L)
+    assert list(fallback) == [3]
+    keep = np.ones(B, bool)
+    keep[3] = False
+    assert np.array_equal(got[keep], wt[keep])
+    got[3] = wt[3]  # the production path refetches fallback rows densely
+    assert np.array_equal(got, wt)
+
+
+def test_window_codes_output_identical(rng, monkeypatch):
+    """Detailed output must be byte-identical with the dictionary-compressed
+    window-taxa transfer on vs the dense path, including paired reads,
+    N-heavy rows, and hit-table overflow (max_taxa_per_read=2 forces the
+    253-fallback refetch)."""
+    t, parents, genomes, idx, idx_map = setup(rng)
+    frags = []
+    for i in range(30):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.4:
+            chars = list(seq)
+            for p in rng.integers(0, len(seq), 3):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        if rng.random() < 0.3:
+            _, seq2 = sample_read(rng, genomes)
+            frags.append(Fragment(f"read{i}", seq, seq2))
+        else:
+            frags.append(Fragment(f"read{i}", seq))
+    monkeypatch.setenv("STPU_HIT_RUNS", "0")
+    for max_taxa in (32, 2):
+        cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+        monkeypatch.setenv("STPU_WINDOW_CODES", "0")
+        base = Classifier(idx, max_taxa_per_read=max_taxa).classify(frags, cpar)
+        monkeypatch.setenv("STPU_WINDOW_CODES", "1")
+        got = Classifier(idx, max_taxa_per_read=max_taxa).classify(frags, cpar)
+        for conf in cpar.thresholds:
+            assert base[conf] == got[conf], (max_taxa, conf)
+
+
 def test_device_finalize_matches_host(rng, monkeypatch):
     """The device _finalize_kernel (required-LUT + path walk) must produce
     exactly the host _finalize_taxa results, including hit-table-overflow
