@@ -143,6 +143,11 @@ def _build_parser():
     c2.add_argument("-C", "--min-count", type=int, help="Minimizer total count criterion")
     c2.add_argument("-D", "--min-distinct", type=int, help="Minimizer distinct count criterion")
     c2.add_argument("-R", "--reads", type=int, help="Classified read count criterion (default 100)")
+    c2.add_argument(
+        "-F", "--min-fraction", type=float,
+        help="Minimizer fraction criterion: keep clades whose distinct hits "
+        "cover >= this fraction of the clade's index minimizers",
+    )
     c2.add_argument("--init-confidence", type=float, default=0.15, help="Confidence for step-1 classification")
     c2.add_argument("--bracken-length", type=int, help="Read length for dynamic bracken weights")
     c2.add_argument("--index-reports", action="store_true", help="Report on the dynamic index")
@@ -386,12 +391,6 @@ def _classify_multihost(args, cpar):
 
     if args.paired:
         raise SystemExit("multi-host classify does not support --paired yet")
-    if args.probe not in (None, "routed"):
-        print(
-            f"note: multi-host ring uses the routed probe (--probe "
-            f"{args.probe} ignored)",
-            file=sys.stderr,
-        )
     ctx = getattr(args, "_mh_ctx", None) or mh.initialize(
         args.coordinator, args.num_processes, args.process_id
     )
@@ -408,7 +407,7 @@ def _classify_multihost(args, cpar):
     share_max = max(
         ((q + 1) * total) // nproc - (q * total) // nproc for q in range(nproc)
     )
-    cls = mh.MultiHostRingClassifier(args.index, ctx)
+    cls = mh.MultiHostRingClassifier(args.index, ctx, mh_probe=args.probe)
     rows = int(os.environ.get("STPU_MH_ROWS", "4096"))
     cls.set_lockstep(share_max, rows, wmax)
 

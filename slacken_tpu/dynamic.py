@@ -49,6 +49,22 @@ class ClassifiedReadCount:
     confidence: float
 
 
+@dataclass(frozen=True)
+class MinimizerFraction:
+    """Include taxa whose clade-aggregated distinct minimizer hits cover
+    >= threshold fraction of the clade's minimizers in the index.
+
+    The reference DECLARES this criterion (Dynamic.scala:43) but leaves its
+    counting method unimplemented (`???`, Dynamic.scala:255); these are this
+    framework's semantics, chosen to be self-consistent: the numerator is
+    the sample's distinct (minimizer, LCA taxon) hit count, the denominator
+    the index's minimizer count per LCA taxon, both clade-aggregated with
+    TreeAggregator — so a clade is kept when the sample has touched at least
+    `threshold` of the index content that can possibly vote for it."""
+
+    threshold: float
+
+
 @dataclass
 class GoldSetOptions:
     """User-supplied gold taxon set (Dynamic.scala:62)."""
@@ -65,6 +81,8 @@ def criteria_from_args(args):
         return ClassifiedReadCount(args.reads, args.init_confidence)
     if getattr(args, "min_distinct", None):
         return MinimizerDistinctCount(args.min_distinct)
+    if getattr(args, "min_fraction", None):
+        return MinimizerFraction(args.min_fraction)
     return ClassifiedReadCount(100, getattr(args, "init_confidence", 0.15))
 
 
@@ -218,6 +236,14 @@ class Dynamic:
                     lut=idx.device_lut,
                 )
                 args = (table, np.zeros(2, np.int32))
+            elif probe == "hashed1":
+                table, tile, rb = idx.device_hashed_rows
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    probe=("hashed1", tile, rb), key_bits=idx.key_bits,
+                    lut=idx.device_lut,
+                )
+                args = (np.asarray(table), np.zeros(2, np.int32))
             elif probe == "tiled":
                 table, tile = idx.device_tiled
                 fn = pmesh.span_hits_replicated_fn(
@@ -248,6 +274,13 @@ class Dynamic:
                 tables, tile, hbits = pmesh.shard_hashed_tables(sk, st)
                 fn = pmesh.span_hits_ring_fn(
                     mesh_, mp, rounds, bits, probe=("hashed", tile, hbits),
+                    key_bits=idx.key_bits, lut=idx.device_lut,
+                )
+                args = (tables, np.zeros((n, 2), np.int32))
+            elif probe == "hashed1":
+                tables, tile, rb = pmesh.shard_hashed1_tables(sk, st)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, probe=("hashed1", tile, rb),
                     key_bits=idx.key_bits, lut=idx.device_lut,
                 )
                 args = (tables, np.zeros((n, 2), np.int32))
@@ -313,6 +346,22 @@ class Dynamic:
             and agg.clade_totals[t] >= threshold
         }
 
+    def fraction_filter(self, counts: Dict[int, int], threshold: float) -> Set[int]:
+        """Clade hit fraction of the clade's index minimizers >= threshold
+        at depth >= rank (the MinimizerFraction criterion — see its
+        docstring; the reference declares but never implements it,
+        Dynamic.scala:255)."""
+        tax = self.taxonomy
+        hits = TreeAggregator(tax, counts.items()).clade_totals
+        t, c = np.unique(self.base.taxa, return_counts=True)
+        denom = TreeAggregator(tax, zip(t.tolist(), c.tolist())).clade_totals
+        return {
+            x
+            for x, h in hits.items()
+            if tax.depth(x) >= self.rank_depth
+            and h >= threshold * denom.get(x, float("inf"))
+        }
+
     def find_taxon_set(self, fragments, write_location: Optional[str] = None) -> Set[int]:
         t = Timer("Find taxon set in subjects")
         c = self.criteria
@@ -322,6 +371,9 @@ class Dynamic:
         elif isinstance(c, MinimizerDistinctCount):
             counts = self.distinct_minimizers_per_taxon(fragments)
             keep = self.count_filter(counts, c.threshold)
+        elif isinstance(c, MinimizerFraction):
+            counts = self.distinct_minimizers_per_taxon(fragments)
+            keep = self.fraction_filter(counts, c.threshold)
         elif isinstance(c, ClassifiedReadCount):
             counts = self.classified_reads_per_taxon(fragments, c.confidence)
             keep = self.count_filter(counts, c.threshold)

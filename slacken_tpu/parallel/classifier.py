@@ -90,7 +90,7 @@ class MeshClassifier(Classifier):
                     np.asarray(index.device_router),
                     table,
                 )
-            elif ps[0] in ("tiled", "hashed"):
+            elif ps[0] in ("tiled", "hashed", "hashed1"):
                 self._mesh_fn = pmesh.classify_replicated_fn(
                     self.mesh, mp, self.max_taxa,
                     index.router_rounds, index.router_bits, probe=ps,
@@ -98,6 +98,9 @@ class MeshClassifier(Classifier):
                 )
                 if ps[0] == "hashed":
                     ptable = np.asarray(index.device_hashed[0])
+                    router = np.zeros(2, np.int32)  # routerless dummy
+                elif ps[0] == "hashed1":
+                    ptable = np.asarray(index.device_hashed_rows[0])
                     router = np.zeros(2, np.int32)  # routerless dummy
                 else:
                     ptable = np.asarray(index.device_tiled[0])
@@ -158,6 +161,16 @@ class MeshClassifier(Classifier):
                 self._mesh_fn = pmesh.classify_ring_fn(
                     self.mesh, mp, self.max_taxa, rounds, bits,
                     probe=("hashed", tile, hbits), key_bits=index.key_bits,
+                    lut=index.device_lut,
+                )
+                dummies = np.zeros((self.n_devices, 2), np.int32)
+                self._mesh_args = (tables, dummies, table)
+            elif self._probe_static[0] == "hashed1" and not index.wide:
+                # per-shard single-gather row-bucket tables (routerless)
+                tables, tile, rb = pmesh.shard_hashed1_tables(sk, st)
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, rounds, bits,
+                    probe=("hashed1", tile, rb), key_bits=index.key_bits,
                     lut=index.device_lut,
                 )
                 dummies = np.zeros((self.n_devices, 2), np.int32)

@@ -196,12 +196,16 @@ def classify_replicated_fn(
             return finish(wm, looked, rpath_table)
 
         in_specs = (P("data"), P(), P(), P(), P(), P(), P(), P())
-    elif probe[0] in ("tiled", "hashed"):
+    elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, table, router, rpath_table):
             wm = _window_scan(codes, mp, lut)
             if probe[0] == "hashed":
                 looked = lookup_ops.lookup_taxa_hashed(
+                    table, wm.minimizer, probe[1], probe[2]
+                )
+            elif probe[0] == "hashed1":
+                looked = lookup_ops.lookup_taxa_hashed_rows(
                     table, wm.minimizer, probe[1], probe[2]
                 )
             else:
@@ -336,6 +340,30 @@ def shard_hashed_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
     return tables, tile, bits
 
 
+def shard_hashed1_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
+    """Per-shard single-gather row-bucket hash tables (build_hashed_rows)
+    with UNIFORM (row_bits, tile) so they stack into one
+    [n, 2^row_bits, 3*tile] array shardable over 'data'. Geometry agreement
+    mirrors shard_hashed_tables: row_bits/tile = the maxima any shard needs,
+    iterated until stable (forcing row_bits can grow a shard's tile)."""
+    pad_key = np.uint64(0xFFFFFFFFFFFFFFFF)
+    reals = [k != pad_key for k in sharded_keys]
+    built = [
+        lookup_ops.build_hashed_rows(k[r], t[r])
+        for k, t, r in zip(sharded_keys, sharded_taxa, reals)
+    ]
+    while True:
+        tile = max(b[1] for b in built)
+        rb = max(b[2] for b in built)
+        if all(b[1] == tile and b[2] == rb for b in built):
+            break
+        built = [
+            lookup_ops.build_hashed_rows(k[r], t[r], tile=tile, row_bits=rb)
+            for k, t, r in zip(sharded_keys, sharded_taxa, reals)
+        ]
+    return np.stack([b[0] for b in built]), tile, rb
+
+
 def classify_ring_fn(
     mesh: Mesh,
     mp: MinimizerParams,
@@ -422,7 +450,7 @@ def classify_ring_fn(
             P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
             P("data"), P(),
         )
-    elif probe[0] in ("tiled", "hashed"):
+    elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, tables, routers, rpath_table):
             wm = _window_scan(codes, mp, lut)
@@ -433,6 +461,13 @@ def classify_ring_fn(
 
                 def probe_fn(q_hi, q_lo):
                     return lookup_ops.lookup_taxa_hashed(
+                        table, u64.U64(q_hi, q_lo), probe[1], probe[2]
+                    )
+
+            elif probe[0] == "hashed1":
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_hashed_rows(
                         table, u64.U64(q_hi, q_lo), probe[1], probe[2]
                     )
 
@@ -500,12 +535,16 @@ def span_hits_replicated_fn(
     def finish(wm, looked):
         return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
-    if probe[0] in ("tiled", "hashed"):
+    if probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, table, router):
             wm = _window_scan(codes, mp, lut)
             if probe[0] == "hashed":
                 looked = lookup_ops.lookup_taxa_hashed(
+                    table, wm.minimizer, probe[1], probe[2]
+                )
+            elif probe[0] == "hashed1":
+                looked = lookup_ops.lookup_taxa_hashed_rows(
                     table, wm.minimizer, probe[1], probe[2]
                 )
             else:
@@ -554,7 +593,7 @@ def span_hits_ring_fn(
     def finish(wm, looked):
         return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
-    if probe[0] in ("tiled", "hashed"):
+    if probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, tables, routers):
             wm = _window_scan(codes, mp, lut)
@@ -565,6 +604,13 @@ def span_hits_ring_fn(
 
                 def probe_fn(q_hi, q_lo):
                     return lookup_ops.lookup_taxa_hashed(
+                        table, u64.U64(q_hi, q_lo), probe[1], probe[2]
+                    )
+
+            elif probe[0] == "hashed1":
+
+                def probe_fn(q_hi, q_lo):
+                    return lookup_ops.lookup_taxa_hashed_rows(
                         table, u64.U64(q_hi, q_lo), probe[1], probe[2]
                     )
 

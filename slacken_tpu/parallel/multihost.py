@@ -244,6 +244,68 @@ def ring_tables_for_host(location: str, ctx: HostContext, mesh, keys_rows,
     return gtables, tile
 
 
+def ring_hashed_tables_for_host(ctx: HostContext, mesh, keys_rows, taxa_rows,
+                                kind: str = "hashed"):
+    """Per-shard HASHED probe tables for the multi-host ring (the fast
+    routerless probes): kind="hashed" builds displacement-bounded two-row
+    tables (ops/lookup.py build_hashed), kind="hashed1" the single-gather
+    row-bucket tables (build_hashed_rows). Geometry (bits/row_bits, tile,
+    row count) must agree across every process (SPMD probe kernel), so hosts
+    build at their local maxima, allgather, and rebuild until the agreed
+    geometry is stable (forcing bits can grow a shard's tile). The all-ones
+    range-pad keys are stripped first (cannot inflate displacement).
+    Returns (tables global array, tile, bits)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import lookup as lookup_ops
+
+    pad_key = np.uint64(0xFFFFFFFFFFFFFFFF)
+    reals = [k != pad_key for k in keys_rows]
+    if kind == "hashed1":
+        build = lookup_ops.build_hashed_rows
+        kw = lambda tile, bits: dict(tile=tile, row_bits=bits)
+    elif kind == "hashed":
+        build = lookup_ops.build_hashed
+        kw = lambda tile, bits: dict(tile=tile, bits=bits)
+    else:
+        raise ValueError(f"unknown hashed kind {kind!r}")
+    built = [
+        build(k[r], t[r]) for k, t, r in zip(keys_rows, taxa_rows, reals)
+    ]
+    while True:
+        geo = {
+            "tile": max(b[1] for b in built),
+            "bits": max(b[2] for b in built),
+            "rows": max(b[0].shape[0] for b in built),
+        }
+        agreed = allgather_objects(geo)
+        tile = max(a["tile"] for a in agreed)
+        bits = max(a["bits"] for a in agreed)
+        rows = max(a["rows"] for a in agreed)
+        if all(b[1] == tile and b[2] == bits for b in built) and geo == {
+            "tile": tile, "bits": bits, "rows": rows
+        }:
+            break
+        built = [
+            build(k[r], t[r], **kw(tile, bits))
+            for k, t, r in zip(keys_rows, taxa_rows, reals)
+        ]
+    # pad every table to the agreed row count (hashed1 tables are already
+    # exactly 2^row_bits rows; hashed tables vary with the last occupied
+    # slot). Clamped/over gathers land on sentinel rows — a correct miss.
+    shape = built[0][0].shape[1:]
+    stacked = np.full((len(built), rows) + shape, 0xFFFFFFFF, np.uint32)
+    for i, (tb, _, _) in enumerate(built):
+        stacked[i, : tb.shape[0]] = tb
+    n = mesh.devices.size
+    sh = NamedSharding(mesh, P("data"))
+    gtables = jax.make_array_from_process_local_data(
+        sh, stacked, global_shape=(n,) + stacked.shape[1:]
+    )
+    return gtables, tile, bits
+
+
 def global_rows(local_rows: np.ndarray, mesh):
     """Build a global [B, ...] jax Array sharded over mesh axis 0 from this
     process's rows (each process contributes B/process_count rows)."""
@@ -308,7 +370,8 @@ class MultiHostRingClassifier(_Classifier):
     and written by process 0.
     """
 
-    def __init__(self, location: str, ctx: Optional[HostContext] = None, **kwargs):
+    def __init__(self, location: str, ctx: Optional[HostContext] = None,
+                 mh_probe: Optional[str] = None, **kwargs):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -335,14 +398,37 @@ class MultiHostRingClassifier(_Classifier):
         gtable = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P()), table, global_shape=table.shape
         )
-        # probe choice: per-shard tiled tables on accelerators (the fast
-        # probe; geometry agreed across processes), routed binary search on
-        # the CPU backend — mirroring the single-chip platform defaults.
-        mh_probe = os.environ.get(
+        # probe choice: per-shard hashed tables on accelerators (the
+        # measured single-chip e2e winner; geometry agreed across
+        # processes), routed binary search on the CPU backend — mirroring
+        # the single-chip platform defaults. STPU_MH_PROBE overrides
+        # (routed/tiled/hashed/hashed1).
+        mh_probe = mh_probe or os.environ.get(
             "STPU_MH_PROBE",
-            "routed" if jax.default_backend() == "cpu" else "tiled",
+            "routed" if jax.default_backend() == "cpu" else "hashed",
         )
-        if mh_probe == "tiled" and not local.wide:
+        if mh_probe not in ("routed", "tiled", "hashed", "hashed1"):
+            raise ValueError(
+                f"multi-host ring supports routed/tiled/hashed/hashed1 "
+                f"probes, not {mh_probe!r}"
+            )
+        if mh_probe in ("hashed", "hashed1") and not local.wide:
+            lk, lt, _ = local_rows
+            gtables, tile, hb = ring_hashed_tables_for_host(
+                self.ctx, mesh, lk, lt, kind=mh_probe
+            )
+            self._ring_fn = pmesh.classify_ring_fn(
+                mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+                probe=(mh_probe, tile, hb), key_bits=2 * params.m,
+                lut=local.device_lut,
+            )
+            dummies = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data")),
+                np.zeros((len(lk), 2), np.int32),
+                global_shape=(self.n_global, 2),
+            )
+            self._gargs = (gtables, dummies, gtable)
+        elif mh_probe == "tiled" and not local.wide:
             lk, lt, lr = local_rows
             gtables, tile = ring_tables_for_host(
                 location, self.ctx, mesh, lk, lt, lr, 2 * params.m

@@ -8,6 +8,7 @@ from slacken_tpu.dynamic import (
     Dynamic,
     GoldSetOptions,
     MinimizerDistinctCount,
+    MinimizerFraction,
     MinimizerTotalCount,
 )
 from slacken_tpu.index import IndexParams, KeyValueIndex
@@ -77,10 +78,32 @@ def test_dynamic_all_criteria(rng, tmp_path):
             ClassifiedReadCount(5, 0.0),
             MinimizerTotalCount(50),
             MinimizerDistinctCount(30),
+            MinimizerFraction(0.2),
         ]
     ):
         stored, present = run_criterion(rng, crit, tmp_path / str(i))
         assert stored & present, f"{crit}: detected set misses sampled taxa"
+
+
+def test_minimizer_fraction_filter_semantics(rng, tmp_path):
+    """MinimizerFraction keeps exactly the clades whose aggregated distinct
+    hits reach the threshold share of the clade's index minimizers, and an
+    impossible threshold keeps nothing."""
+    t, genomes, idx, lib, frags = setup(rng)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    dyn = Dynamic(idx, lib, 8, MinimizerFraction(0.5), cpar, None, str(tmp_path / "o"))
+    counts = dyn.distinct_minimizers_per_taxon(frags)
+    from slacken_tpu.report import TreeAggregator
+
+    hits = TreeAggregator(t, counts.items()).clade_totals
+    tt, cc = np.unique(idx.taxa, return_counts=True)
+    denom = TreeAggregator(t, zip(tt.tolist(), cc.tolist())).clade_totals
+    want = {
+        x for x, h in hits.items()
+        if t.depth(x) >= 8 and h >= 0.5 * denom.get(x, float("inf"))
+    }
+    assert dyn.fraction_filter(counts, 0.5) == want
+    assert dyn.fraction_filter(counts, 1.1) == set()
 
 
 def test_gold_set(rng, tmp_path):

@@ -306,6 +306,42 @@ def test_multihost_single_process_degenerate(rng, tmp_path):
     assert np.array_equal(multihost.report_counts_across_hosts(counts), counts)
 
 
+def test_multihost_probe_variants_byte_identical(rng, tmp_path):
+    """MultiHostRingClassifier with each fast probe must produce exactly the
+    single-device Classifier results (single-process degenerate run: the
+    geometry-agreement allgathers and lockstep glue still execute)."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.parallel import multihost
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(), t)
+    loc = str(tmp_path / "sharded")
+    idx.save_sharded(loc, n_shards=8)
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode
+
+    reads = []
+    for i in range(21):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append(g[s : s + 101])
+    codes, _ = encode.pack_batch(reads, 128)
+    packed = native.PackedReads(
+        codes, np.full(len(reads), 101, np.int32),
+        [f"r{i}" for i in range(len(reads))],
+    )
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    frags = [Fragment(f"r{i}", s) for i, s in enumerate(reads)]
+    want = Classifier(idx).classify(frags, cpar)
+    for probe in ("tiled", "hashed", "hashed1"):
+        cls = multihost.MultiHostRingClassifier(loc, mh_probe=probe)
+        cls.set_lockstep(len(reads), 16, 128)
+        got = cls.classify_packed(iter([packed]), cpar)
+        for conf in cpar.thresholds:
+            assert want[conf] == got[conf], (probe, conf)
+
+
 def test_multihost_two_process_ring(rng, tmp_path):
     """REAL multi-process (DCN-model) execution: two jax.distributed CPU
     processes on localhost form a 4-device global mesh, each loading only its
@@ -462,9 +498,11 @@ def test_multihost_cli_two_process_byte_identical(rng, tmp_path):
     env.pop("JAX_PLATFORMS", None)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["STPU_MH_ROWS"] = "32"
-    # exercise the per-shard tiled fast probe across the process boundary
-    # (the routed probe is covered by test_multihost_two_process_ring)
-    env["STPU_MH_PROBE"] = "tiled"
+    # exercise the per-shard single-gather hashed fast probe (and its
+    # allgather geometry agreement) across the process boundary; routed is
+    # covered by test_multihost_two_process_ring, tiled/hashed by the
+    # single-process probe test below
+    env["STPU_MH_PROBE"] = "hashed1"
     procs = [
         subprocess.Popen(
             [
@@ -584,7 +622,7 @@ def test_mesh_classifier_probe_variants_byte_identical(rng, tmp_path):
         frags.append(Fragment(f"r{i}", g[s : s + 101]))
     cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
     want = Classifier(idx).classify(frags, cpar)
-    for probe in ("tiled", "hashed"):
+    for probe in ("tiled", "hashed", "hashed1"):
         got = MeshClassifier(idx, 8, "replicated", probe=probe).classify(frags, cpar)
         for conf in cpar.thresholds:
             assert want[conf] == got[conf], (probe, conf)
@@ -673,12 +711,24 @@ def test_ring_hashed_probe_matches_routed(rng):
     assert np.array_equal(np.asarray(res_h.max_taxon), np.asarray(res_r.max_taxon))
     assert np.array_equal(np.asarray(counts_h), np.asarray(counts_r))
 
+    tables1, tile1, rb1 = pmesh.shard_hashed1_tables(sk, st)
+    ring_h1 = pmesh.classify_ring_fn(
+        m, mp, 16, rounds, rbits, probe=("hashed1", tile1, rb1)
+    )
+    wt_h1, _, _, res_h1, _, counts_h1 = ring_h1(
+        codes, tables1, np.zeros((n, 2), np.int32), table
+    )
+    assert np.array_equal(np.asarray(wt_h1), np.asarray(wt_r))
+    assert np.array_equal(np.asarray(res_h1.max_taxon), np.asarray(res_r.max_taxon))
+    assert np.array_equal(np.asarray(counts_h1), np.asarray(counts_r))
+
     frags = [Fragment(f"r{i}", s) for i, s in enumerate(reads)]
     cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
     want = Classifier(idx).classify(frags, cpar)
-    got = MeshClassifier(idx, 8, "ring", probe="hashed").classify(frags, cpar)
-    for conf in cpar.thresholds:
-        assert want[conf] == got[conf]
+    for probe in ("hashed", "hashed1"):
+        got = MeshClassifier(idx, 8, "ring", probe=probe).classify(frags, cpar)
+        for conf in cpar.thresholds:
+            assert want[conf] == got[conf], probe
 
 
 def test_mesh_classifier_small_m_byte_identical(rng):
@@ -702,7 +752,7 @@ def test_mesh_classifier_small_m_byte_identical(rng):
     # sanity: reads from the library must actually classify
     assert sum(r.classified for r in want[0.0]) > 10
     for layout in ("replicated", "ring"):
-        for probe in ("routed", "tiled", "hashed"):
+        for probe in ("routed", "tiled", "hashed", "hashed1"):
             got = MeshClassifier(idx, 8, layout, probe=probe).classify(frags, cpar)
             assert want[0.0] == got[0.0], (layout, probe)
 
