@@ -755,6 +755,26 @@ class KeyValueIndex:
         superbatch = int(
             _os.environ.get("STPU_BUILD_SUPERBATCH", max(2 * cap_dr, 1 << 23))
         )
+        # HBM bound for the resident merge tree: a leaf reaching this many
+        # entries is transferred to host (sorted + LCA-reduced, so the spill
+        # is distinct records, not raw spans) and the FINAL cross-leaf merge
+        # runs the host reduce path. 48M entries ~ 0.6 GB leaf data with
+        # ~4-5 GB of lax.sort transients at the final pairwise merge — the
+        # r3 post-mortem's OOM regime started when the resident set passed
+        # ~30M entries WITH the old quadratic carry; the merge tree plus this
+        # bound keeps device builds working at any library size (the spill
+        # traffic is proportional to index size, which must cross the link
+        # once anyway). STPU_BUILD_DEVICE_BUDGET overrides (entries).
+        budget_entries = int(
+            _os.environ.get("STPU_BUILD_DEVICE_BUDGET", 48 << 20)
+        )
+        host_leaves: List[Tuple[np.ndarray, np.ndarray]] = []
+
+        def _spill_leaf(leaf):
+            out = np.asarray(leaf)
+            count = int(np.count_nonzero(out[0] < np.uint32(0x40000000)))
+            keys = (out[0, :count].astype(np.uint64) << np.uint64(32)) | out[1, :count]
+            host_leaves.append((keys, out[2, :count].view(np.int32).copy()))
 
         def _bucket(n: int, g: int = 1 << 18) -> int:
             return max(g, -(-n // g) * g)
@@ -791,6 +811,10 @@ class KeyValueIndex:
                 b = reduced.pop()
                 leaf, _ = _reduce([b, a])
                 reduced.append(leaf)
+            # bound the resident set: a leaf at the budget moves to host
+            # (earlier leaves are smaller by the merge discipline)
+            while reduced and reduced[-1].shape[1] >= budget_entries:
+                _spill_leaf(reduced.pop())
 
         def reduce_chunks(final: bool):
             """Final global reduction over the merge-tree leaves (+ any raw
@@ -873,7 +897,24 @@ class KeyValueIndex:
             harvest(pending.popleft())
 
         if device_reduce:
-            if not chunks and not reduced:
+            if host_leaves:
+                # budget-spilled build: device-reduce the resident tail, then
+                # merge the (already per-leaf-reduced) host leaves with the
+                # standard host path — LCA is associative, so re-reducing
+                # partial LCAs equals one global reduction
+                if chunks or reduced:
+                    red, n = reduce_chunks(final=True)
+                    out = np.asarray(red)
+                    k_tail = (
+                        out[0, :n].astype(np.uint64) << np.uint64(32)
+                    ) | out[1, :n]
+                    host_leaves.append((k_tail, out[2, :n].view(np.int32).copy()))
+                pair_keys = np.concatenate([k for k, _ in host_leaves])
+                pair_taxa = np.concatenate([t for _, t in host_leaves])
+                host_leaves.clear()
+                pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+                keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+            elif not chunks and not reduced:
                 keys = np.zeros(0, np.uint64)
                 taxa = np.zeros(0, np.int32)
             else:

@@ -263,3 +263,11 @@ def test_device_reduce_build_matches_host(rng, monkeypatch):
     dev = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
     assert np.array_equal(host.keys, dev.keys)
     assert np.array_equal(host.taxa, dev.taxa)
+
+    # HBM-bounded variant: a tiny budget forces merge-tree leaves to spill
+    # to host and the final cross-leaf merge to run the host reduce path —
+    # still bit-identical (LCA associativity across partial reductions)
+    monkeypatch.setenv("STPU_BUILD_DEVICE_BUDGET", "20000")
+    spilled = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    assert np.array_equal(host.keys, spilled.keys)
+    assert np.array_equal(host.taxa, spilled.taxa)
