@@ -1428,7 +1428,8 @@ def _free_session_device_state():
     global QUERIES, CODES_RES
     if IDX is not None:
         for attr in (
-            "_device_tiled", "_device_hashed", "_device_keys", "_device_taxa",
+            "_device_tiled", "_device_hashed", "_device_hashed_rows",
+            "_device_hashed_cols", "_device_keys", "_device_taxa",
             "_device_router", "_device_bucketed",
         ):
             if hasattr(IDX, attr):
@@ -1604,6 +1605,164 @@ def exp_e2e5():
     return out
 
 
+# ---------------------------------------------------------------------------
+# Round-4 experiments: the single-gather row-bucket probe (hashed1), the
+# column-block hashed128 layout, and the dictionary-compressed detailed-mode
+# transfer (window codes).
+# ---------------------------------------------------------------------------
+
+
+@guard("probe4")
+def exp_probe4():
+    """Pure lookup throughput: hashed1 (ONE aligned row gather) and
+    hashed128 (two zero-padding row gathers at load factor ~1) vs the
+    shipped hashed/tiled probes, latency-corrected dependent chase."""
+    ensure_queries()
+    nq = lookup_ops.span_query_cap(8192 * 128)
+    out = {"n_queries": nq}
+    qh, ql = QUERIES.hi, QUERIES.lo
+
+    def dep(c):
+        return (c & 1).astype(jnp.uint32)
+
+    htab, htile, hbits = IDX.device_hashed
+    jax.block_until_ready(htab)
+    r_ref = lookup_ops.lookup_taxa_hashed(htab, QUERIES, htile, hbits, IDX.key_bits)
+
+    def h_step(i, c):
+        r = lookup_ops.lookup_taxa_hashed(
+            htab, u64.U64(qh, ql ^ dep(c)), htile, hbits, IDX.key_bits
+        )
+        return r.sum()
+
+    per = timeit_loop(h_step, jnp.int32(0), R=8)
+    out["hashed_Mq_s"] = round(nq / per / 1e6, 2)
+    out["hashed_MB"] = round(htab.nbytes / 1e6, 1)
+
+    for label, dev in (
+        ("hashed1", IDX.device_hashed_rows),
+        ("hashed128", IDX.device_hashed_cols),
+    ):
+        tab, tile, bits = dev
+        jax.block_until_ready(tab)
+        out[f"{label}_tile"] = tile
+        out[f"{label}_bits"] = bits
+        out[f"{label}_MB"] = round(tab.nbytes / 1e6, 1)
+        lk = (
+            lookup_ops.lookup_taxa_hashed_rows
+            if label == "hashed1"
+            else lookup_ops.lookup_taxa_hashed_cols
+        )
+
+        def step(i, c, tab=tab, tile=tile, bits=bits, lk=lk):
+            r = lk(tab, u64.U64(qh, ql ^ dep(c)), tile, bits, IDX.key_bits)
+            return r.sum()
+
+        per = timeit_loop(step, jnp.int32(0), R=8)
+        out[f"{label}_Mq_s"] = round(nq / per / 1e6, 2)
+        r = lk(tab, QUERIES, tile, bits, IDX.key_bits)
+        out[f"{label}_matches"] = bool(
+            np.array_equal(np.asarray(r_ref), np.asarray(r))
+        )
+    return out
+
+
+@guard("kernel4")
+def exp_kernel4():
+    """Dense classify kernel B sweep: hashed1 (single gather) vs the shipped
+    hashed (two gathers). The probe is ~2/3 of the kernel at the gather
+    wall, so hashed1's ceiling is ~+45% if the gather count is what binds."""
+    ensure_index()
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    router = IDX.device_router
+    htab, htile, hbits = IDX.device_hashed
+    rtab, rtile, rbits2 = IDX.device_hashed_rows
+    jax.block_until_ready((htab, rtab))
+    out = {"h1_tile": rtile, "h1_bits": rbits2}
+    codes_h = np.asarray(CODES_RES)
+
+    from slacken_tpu.classify import _classify_kernel_tiled
+
+    for b in (8192, 16384, 32768, 65536):
+        reps = -(-b // 8192)
+        cd = jax.device_put(np.concatenate([codes_h] * reps)[:b])
+        jax.block_until_ready(cd)
+
+        def h_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, htab, router, table_tax, mp, 32, 0,
+                ("hashed", htile, hbits, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(h_step, jnp.int32(0), R=4)
+        out[f"B{b}_hashed_reads_s"] = round(b / per)
+
+        def r_step(i, c, cd=cd):
+            cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, rtab, router, table_tax, mp, 32, 0,
+                ("hashed1", rtile, rbits2, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(r_step, jnp.int32(0), R=4)
+        out[f"B{b}_hashed1_reads_s"] = round(b / per)
+    return out
+
+
+@guard("e2e6")
+def exp_e2e6():
+    """Round-4 e2e: reports mode hashed1 vs hashed (batch sweep), detailed
+    mode with the dictionary-compressed window-codes transfer on vs off."""
+    import os
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    best = (0.0, None)
+    for probe in ("hashed1", "hashed"):
+        for bp in (1 << 21, 1 << 22, 1 << 23):
+            cls = Classifier(
+                IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
+            )
+            cls.classify_packed(packed[:2], cpar)  # warm
+            rate = 0.0
+            for _ in range(2):
+                t0 = time.time()
+                cls.classify_packed(packed, cpar)
+                rate = max(rate, n_reads / (time.time() - t0))
+            out[f"{probe}_{bp >> 20}M_reads_s"] = round(rate)
+            if rate > best[0]:
+                best = (rate, (probe, bp))
+    probe, bp = best[1]
+    out["best"] = f"{probe}_{bp >> 20}M"
+
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    os.environ["STPU_HIT_RUNS"] = "0"
+    for label, wc in (("detailed_codes", "1"), ("detailed_dense", "0")):
+        os.environ["STPU_WINDOW_CODES"] = wc
+        cls = Classifier(
+            IDX, target_batch_bp=bp, probe=probe, packed_transfer=True
+        )
+        loc = tempfile.mkdtemp(prefix="stpu_e2e6_")
+        try:
+            cls.classify_and_write_packed(packed[:2], loc + "/warm", dpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/run", dpar)
+            out[f"{label}_reads_s"] = round(n_reads / (time.time() - t0))
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_WINDOW_CODES", None)
+    os.environ.pop("STPU_HIT_RUNS", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1632,6 +1791,9 @@ if __name__ == "__main__":
         "scale_build": exp_scale_build_tpu,
         "scale_classify": exp_scale_classify_tpu,
         "e2e5": exp_e2e5,
+        "probe4": exp_probe4,
+        "kernel4": exp_kernel4,
+        "e2e6": exp_e2e6,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are
