@@ -337,7 +337,7 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
     b, l = wm.valid.shape
     n = b * l
     cap = lookup_ops.span_query_cap(n)
-    wide = probe[0] in ("routed_wide", "tiled_wide") or isinstance(
+    wide = probe[0] in ("routed_wide", "tiled_wide", "hashed1_wide") or isinstance(
         keys, u128_mod.U128
     )
 
@@ -351,6 +351,16 @@ def _probe_spans(wm, keys, key_taxa, router, rounds, bits, probe=("routed",), ke
 
             if probe[-1]:
                 # dense probing: same rationale as the narrow table probes
+                return lookup(wm.minimizer)
+        elif probe[0] == "hashed1_wide":
+            # single-gather row-bucket table of raw limbs
+            # (build_hashed_rows_wide); routerless
+            def lookup(q):
+                return lookup_ops.lookup_taxa_hashed_rows_wide(
+                    keys, q, probe[1], probe[2], key_bits
+                )
+
+            if probe[-1]:
                 return lookup(wm.minimizer)
         else:
 
@@ -625,9 +635,10 @@ class Classifier:
                 # guard only excludes tables that genuinely crowd 16 GB HBM
                 default = "hashed" if est_bytes <= (4 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
-        if index.wide and probe not in ("routed", "tiled"):
+        if index.wide and probe not in ("routed", "tiled", "hashed1"):
             raise NotImplementedError(
-                "wide (m > 31) indexes support the routed and tiled probes"
+                "wide (m > 31) indexes support the routed, tiled and "
+                "hashed1 probes"
             )
         # dense (per-position) probing beats span compaction wherever
         # gathers pipeline (every accelerator backend); see _probe_spans.
@@ -648,6 +659,10 @@ class Classifier:
                 dk, tile = index.device_tiled
                 dt = None
                 self._probe_static = ("tiled_wide", tile, dense)
+            elif probe == "hashed1":
+                dk, tile, rbits = index.device_hashed_rows
+                dt = None
+                self._probe_static = ("hashed1_wide", tile, rbits, dense)
             else:
                 dk = index.device_keys
                 dt = index.device_taxa

@@ -48,7 +48,7 @@ def _add_classify_opts(p):
     )
     p.add_argument(
         "--probe",
-        choices=["routed", "tiled", "hashed", "hashed128", "bucketed"],
+        choices=["routed", "tiled", "hashed", "hashed1", "hashed128", "bucketed"],
         help="Index probe kernel (default: measured platform best — the "
         "routerless hashed layout on TPU, falling back to tiled row gathers "
         "for very large or wide indexes; routed binary search on CPU)",

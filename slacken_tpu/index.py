@@ -614,13 +614,18 @@ class KeyValueIndex:
     def device_hashed_rows(self):
         """(row-bucket hashed [2^row_bits, 3*tile] uint32 table, tile,
         row_bits) for lookup_taxa_hashed_rows: ONE aligned row gather per
-        query (the hashed/hashed128 layouts need two) at ~15-38 B/key."""
+        query (the hashed/hashed128 layouts need two) at ~15-38 B/key.
+        Wide (m > 31) indexes get the [2^row_bits, 5*tile] raw-limb table
+        for lookup_taxa_hashed_rows_wide."""
         if getattr(self, "_device_hashed_rows", None) is None:
             if self.wide:
-                raise NotImplementedError("hashed probes require m <= 31")
-            table, tile, rbits = lookup_ops.build_hashed_rows(
-                self.keys, self.taxa, self.key_bits
-            )
+                table, tile, rbits = lookup_ops.build_hashed_rows_wide(
+                    self.keys, self.taxa, self.key_bits
+                )
+            else:
+                table, tile, rbits = lookup_ops.build_hashed_rows(
+                    self.keys, self.taxa, self.key_bits
+                )
             with jax.ensure_compile_time_eval():
                 self._device_hashed_rows = (jnp.asarray(table), tile, rbits)
         return self._device_hashed_rows

@@ -660,6 +660,96 @@ def lookup_taxa_hashed_rows(
     return jnp.maximum(taxon, 0).reshape(shape)
 
 
+def _wide_row_hash_np(keys2: np.ndarray) -> np.ndarray:
+    """Uniform 64-bit hash of [N, 2] u64 wide keys for row addressing.
+
+    hi64 holds only key_bits-64 significant bits for m just over 31, so the
+    hash mixes the (near-uniform, xor-toggled) lo64 upward first:
+    h = xorshift64(hi64 ^ xorshift64(lo64)). Collisions are harmless — the
+    probe compares the RAW four limbs, the hash only picks the row."""
+    keys2 = np.ascontiguousarray(keys2, np.uint64)
+    return _xorshift64_np(keys2[:, 0] ^ _xorshift64_np(keys2[:, 1]))
+
+
+def _wide_row_hash_u64(hi64: U64, lo64: U64) -> U64:
+    return _xorshift64_u64(u64.bxor(hi64, _xorshift64_u64(lo64)))
+
+
+def build_hashed_rows_wide(
+    keys2: np.ndarray,
+    taxa: np.ndarray,
+    key_bits: int = 126,
+    tile: int = 128,
+    row_bits=None,
+):
+    """build_hashed_rows for wide ([N, 2] u64) keys: single-gather
+    row-bucket table [2^row_bits, 5*tile] uint32 with lane blocks
+    (l3 | l2 | l1 | l0 | taxon); raw limbs stored, row picked by
+    _wide_row_hash_np. Returns (table, tile, row_bits)."""
+    n = len(keys2)
+    keys2 = np.ascontiguousarray(keys2, np.uint64)
+    h = _wide_row_hash_np(keys2)
+    order = np.argsort(h, kind="stable")
+    h = h[order]
+    keys2 = keys2[order]
+    staxa = np.asarray(taxa, np.int32)[order]
+    auto = row_bits is None
+    if auto:
+        row_bits = max(1, int(np.ceil(np.log2(max(n, 2) / tile))))
+    max_bits = min(28, row_bits + 8)
+    if n == 0:
+        rows = np.zeros(0, np.int64)
+        cols = np.zeros(0, np.int64)
+    else:
+        while True:
+            rows = (h >> np.uint64(64 - row_bits)).astype(np.int64)
+            counts = np.bincount(rows, minlength=1 << row_bits)
+            if int(counts.max()) <= tile:
+                break
+            if auto and row_bits < max_bits:
+                row_bits += 1
+            elif tile < 1 << 12:
+                tile *= 2
+            else:
+                raise ValueError(
+                    f"wide hashed-rows layout did not converge (n={n}); "
+                    "use the tiled probe"
+                )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        cols = np.arange(n, dtype=np.int64) - starts[rows]
+    n_rows = 1 << row_bits
+    table = np.full((n_rows, 5 * tile), 0xFFFFFFFF, np.uint32)
+    table[rows, cols] = (keys2[:, 0] >> np.uint64(32)).astype(np.uint32)
+    table[rows, tile + cols] = keys2[:, 0].astype(np.uint32)
+    table[rows, 2 * tile + cols] = (keys2[:, 1] >> np.uint64(32)).astype(np.uint32)
+    table[rows, 3 * tile + cols] = keys2[:, 1].astype(np.uint32)
+    table[rows, 4 * tile + cols] = staxa.view(np.uint32)
+    return table, tile, row_bits
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def lookup_taxa_hashed_rows_wide(
+    table: jnp.ndarray, q: U128, tile: int, row_bits: int, key_bits: int = 126
+) -> jnp.ndarray:
+    """Single aligned row gather + 4-limb raw equality for wide keys
+    (build_hashed_rows_wide tables); misses return 0. A real all-ones key
+    cannot exist (keys are <= 126 bits), so sentinel lanes never match."""
+    shape = q.hi.hi.shape
+    limbs = [x.reshape(-1) for x in (q.hi.hi, q.hi.lo, q.lo.hi, q.lo.lo)]
+    h = _wide_row_hash_u64(U64(limbs[0], limbs[1]), U64(limbs[2], limbs[3]))
+    row = u64.shr(h, 64 - row_bits).lo.astype(jnp.int32)
+    r = table[row]  # [Q, 5*tile]
+    eq = (
+        (r[:, :tile] == limbs[0][:, None])
+        & (r[:, tile : 2 * tile] == limbs[1][:, None])
+        & (r[:, 2 * tile : 3 * tile] == limbs[2][:, None])
+        & (r[:, 3 * tile : 4 * tile] == limbs[3][:, None])
+    )
+    tx = r[:, 4 * tile :].view(jnp.int32)
+    taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
+    return jnp.maximum(taxon, 0).reshape(shape)
+
+
 def compact_span_queries(wm, cap: int):
     """Compact a batch's span-start minimizers into a [cap] query buffer.
 

@@ -184,7 +184,9 @@ def test_wide_tiled_probe_matches_routed(rng, k, m, s):
         os.environ["STPU_TILED_DENSE"] = dense
         try:
             got = Classifier(idx, probe="tiled").classify(frags, cpar)
+            got_h1 = Classifier(idx, probe="hashed1").classify(frags, cpar)
         finally:
             del os.environ["STPU_TILED_DENSE"]
         for conf in cpar.thresholds:
             assert want[conf] == got[conf], (dense, conf)
+            assert want[conf] == got_h1[conf], ("hashed1", dense, conf)
