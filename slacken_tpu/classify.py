@@ -593,34 +593,34 @@ class Classifier:
     ):
         self.index = index
         self.max_taxa = max_taxa_per_read
-        # batch size measured per platform (r2_session4 e2e2 + r3_session2
-        # e2e4): 2 Mbp batches are the hashed-probe e2e sweet spot on TPU
-        # (167.5k reads/s at 2M vs 134.9k at 4M — B=16384 rows sits below
-        # the hashed kernel's B=32768 XLA shape cliff); 1 Mbp stays best on
-        # CPU (cache residency). Very large indexes halve the batch: the
-        # probe's [Q, tile, 3] gather result is materialised with an 8x
-        # layout padding (~1.5 kB/query), so a 2 Mbp dispatch costs ~6 GB of
-        # HBM transients — fine next to a 30 MB table, OOM next to a 1.6 GB
-        # one (r3_session3 scale_classify post-mortem).
+        # batch size measured per platform (r4_session1 e2e6 supersedes the
+        # r2/r3 sweeps): 4 Mbp batches are the hashed1 e2e sweet spot on TPU
+        # (228.4k reads/s at 4M vs 186.0k at 2M and 178.6k at 8M — the
+        # lane-aligned [Q, 3*tile] layout has NO padded-gather shape cliff,
+        # kernel throughput rises monotonically to B=65536); 1 Mbp stays
+        # best on CPU (cache residency). Very large indexes halve the
+        # batch: HBM headroom next to a multi-GB table.
         if target_batch_bp is None:
             if jax.default_backend() == "cpu":
                 target_batch_bp = 1 << 20
             elif 12 * len(index.keys) > (1 << 29):
-                target_batch_bp = 1 << 20
-            else:
                 target_batch_bp = 1 << 21
+            else:
+                target_batch_bp = 1 << 22
         self.target_batch_bp = target_batch_bp
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
 
         # probe kernel (see ops.lookup). Platform-aware default, measured on
-        # the bench workload (.tpu_results/r3_session2.json): the routerless
-        # aligned-row "hashed" probe wins e2e on TPU v5e (167.5k reads/s vs
-        # tiled 111.6k; kernel 229k vs 192k at B=16384) while "routed"
-        # binary search wins on the CPU backend (contiguous-burst gathers
-        # are HBM-friendly but thrash CPU caches). The hashed table costs
-        # ~2-4x the flat arrays, so very large indexes where it would
-        # crowd a 16 GB HBM fall back to tiled (12 B/key).
+        # the bench workload (.tpu_results/r4_session1.json): the
+        # SINGLE-gather row-bucket "hashed1" probe wins everything on TPU
+        # v5e — kernel 969k reads/s at B=65536 vs hashed's 233k best (v5e
+        # gathers are rate-limited per row, and the lane-aligned [Q, 3*tile]
+        # result removes the 8x-padded-gather shape cliff), e2e 228.4k vs
+        # 201.6k, probe 65.7 vs 17.0 Mq/s, at HALF the table bytes (~19 vs
+        # 38 B/key). "routed" binary search stays the CPU-backend default
+        # (contiguous-burst gathers thrash CPU caches). Very large tables
+        # that would crowd 16 GB HBM fall back to tiled (12 B/key).
         self._dev_lut = index.device_lut  # None for the xor ordering
         if probe is None:
             if jax.default_backend() == "cpu":
@@ -628,12 +628,13 @@ class Classifier:
             elif index.wide:
                 default = "tiled"
             else:
-                est_bits = max(12, int(np.ceil(np.log2(max(len(index.keys), 2)))) + 1)
-                est_bytes = 12 << min(30, est_bits)
-                # r3_session4 scale_classify: hashed still wins at a 3.2 GB
-                # table / 131M records (31.1k vs tiled 11.1k reads/s), so the
-                # guard only excludes tables that genuinely crowd 16 GB HBM
-                default = "hashed" if est_bytes <= (4 << 30) else "tiled"
+                # hashed1 auto sizing: slots = 2^ceil(log2(n/tile))*tile
+                # grown until the fullest row fits -> <= 4x n worst case,
+                # typically ~1.6x (bench index: lf 0.63)
+                est_slots = 1 << max(
+                    12, int(np.ceil(np.log2(max(len(index.keys), 2) / 128))) + 7
+                )
+                default = "hashed1" if 12 * est_slots <= (4 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe not in ("routed", "tiled", "hashed1"):
             raise NotImplementedError(
@@ -718,14 +719,12 @@ class Classifier:
         self._hit_runs = os.environ.get("STPU_HIT_RUNS", hr_default) == "1"
         #: dictionary-compressed window-taxa transfer for detailed mode
         #: (_window_codes_kernel): halves d2h bytes for the dominant L=128,
-        #: T=32 shape at the cost of one cheap fused compare/argmax pass.
-        #: Default ON for accelerators (the d2h link binds detailed mode
-        #: there), OFF for CPU (hit_runs wins there). STPU_WINDOW_CODES=1/0
-        #: overrides.
-        wc_default = "0" if jax.default_backend() == "cpu" else "1"
-        self._window_codes = (
-            os.environ.get("STPU_WINDOW_CODES", wc_default) == "1"
-        )
+        #: T=32 shape. MEASURED-AND-REJECTED as a default on the v5e
+        #: (r4_session1 e2e6: 15.6k vs dense 47.7k reads/s — the [B, L, T]
+        #: compare/argmax pass costs more device time than the transfer
+        #: saves); stays available via STPU_WINDOW_CODES=1 for genuinely
+        #: d2h-starved links.
+        self._window_codes = os.environ.get("STPU_WINDOW_CODES", "0") == "1"
         #: opt-in alternative: device RLE of window_taxa (ops.rle). The
         #: v1 global-scatter encode measured SLOWER than the dense transfer
         #: (16.3k vs 36.7k reads/s, r2_session10); v2 is scatter-free but

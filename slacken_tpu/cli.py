@@ -50,8 +50,9 @@ def _add_classify_opts(p):
         "--probe",
         choices=["routed", "tiled", "hashed", "hashed1", "hashed128", "bucketed"],
         help="Index probe kernel (default: measured platform best — the "
-        "routerless hashed layout on TPU, falling back to tiled row gathers "
-        "for very large or wide indexes; routed binary search on CPU)",
+        "single-gather hashed1 layout on TPU, falling back to tiled row "
+        "gathers for very large or wide indexes; routed binary search on "
+        "CPU)",
     )
 
 

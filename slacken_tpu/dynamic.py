@@ -152,7 +152,7 @@ class Dynamic:
         use_mesh = self._use_mesh()
         if use_mesh:
             mesh_fn, mesh_args, mesh_n = self._mesh_span_setup()
-        tiled = _jax.default_backend() != "cpu" and not idx.wide
+        fast = _jax.default_backend() != "cpu" and not idx.wide
         for bucket, frags in _bucketize(fragments, cls):
             codes, _ = encode.pack_batch(
                 [_concat_pair(f) for f in frags], bucket
@@ -170,12 +170,22 @@ class Dynamic:
                     )
                     codes = np.concatenate([codes, pad], axis=0)
                 hi, lo, starts, taxa = mesh_fn(codes, *mesh_args)
-            elif tiled:
-                table, tile = idx.device_tiled
-                hi, lo, starts, taxa = _span_hits_kernel_tiled(
-                    codes, table, idx.device_router, mp, tile,
-                    idx.router_bits, idx.key_bits, idx.device_lut,
+            elif fast:
+                est_slots = 1 << max(
+                    12, int(np.ceil(np.log2(max(len(idx.keys), 2) / 128))) + 7
                 )
+                if 12 * est_slots <= (4 << 30):
+                    table, tile, rb = idx.device_hashed_rows
+                    hi, lo, starts, taxa = _span_hits_kernel_hashed1(
+                        codes, table, mp, tile, rb, idx.key_bits,
+                        idx.device_lut,
+                    )
+                else:
+                    table, tile = idx.device_tiled
+                    hi, lo, starts, taxa = _span_hits_kernel_tiled(
+                        codes, table, idx.device_router, mp, tile,
+                        idx.router_bits, idx.key_bits, idx.device_lut,
+                    )
             else:
                 hi, lo, starts, taxa = _span_hits_kernel(
                     codes,
@@ -221,7 +231,7 @@ class Dynamic:
         layout = self.layout or "replicated"
         probe = self.probe
         if probe is None:
-            probe = "routed" if jax.default_backend() == "cpu" else "tiled"
+            probe = "routed" if jax.default_backend() == "cpu" else "hashed1"
 
         if layout == "replicated":
             if probe == "hashed":
@@ -541,11 +551,24 @@ def _span_hits_kernel(
 def _span_hits_kernel_tiled(
     codes, table, router, mp, tile, bits, key_bits=62, lut=None
 ):
-    """_span_hits_kernel with the tiled row-gather probe (the TPU fast
-    path; bit-identical to the routed variant)."""
+    """_span_hits_kernel with the tiled row-gather probe (bit-identical to
+    the routed variant)."""
     wm = window_minimizers(codes, mp, lut)
     looked = lookup_ops.lookup_taxa_tiled(
         table, router, wm.minimizer, tile, bits, key_bits
+    )
+    return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _span_hits_kernel_hashed1(
+    codes, table, mp, tile, row_bits, key_bits=62, lut=None
+):
+    """_span_hits_kernel with the single-gather row-bucket probe (the TPU
+    fast path, r4_session1; bit-identical to the routed variant)."""
+    wm = window_minimizers(codes, mp, lut)
+    looked = lookup_ops.lookup_taxa_hashed_rows(
+        table, wm.minimizer, tile, row_bits, key_bits
     )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 

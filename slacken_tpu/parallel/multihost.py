@@ -398,14 +398,14 @@ class MultiHostRingClassifier(_Classifier):
         gtable = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P()), table, global_shape=table.shape
         )
-        # probe choice: per-shard hashed tables on accelerators (the
-        # measured single-chip e2e winner; geometry agreed across
-        # processes), routed binary search on the CPU backend — mirroring
-        # the single-chip platform defaults. STPU_MH_PROBE overrides
-        # (routed/tiled/hashed/hashed1).
+        # probe choice: per-shard single-gather hashed1 tables on
+        # accelerators (the measured single-chip winner, r4_session1;
+        # geometry agreed across processes), routed binary search on the
+        # CPU backend — mirroring the single-chip platform defaults.
+        # STPU_MH_PROBE overrides (routed/tiled/hashed/hashed1).
         mh_probe = mh_probe or os.environ.get(
             "STPU_MH_PROBE",
-            "routed" if jax.default_backend() == "cpu" else "hashed",
+            "routed" if jax.default_backend() == "cpu" else "hashed1",
         )
         if mh_probe not in ("routed", "tiled", "hashed", "hashed1"):
             raise ValueError(
