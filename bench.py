@@ -150,8 +150,9 @@ def main(force_cpu: bool = False):
     # reports-only production path (the reference's SQL classifier,
     # Classifier.scala:259-410): streaming (sample, taxon) aggregation, no
     # per-read objects materialised. Probe + batch size are the measured
-    # platform defaults (r3_session2 e2e4: hashed @ 2 Mbp = 167.5k reads/s
-    # on the v5e; routed @ 1 Mbp on CPU) — Classifier picks them itself.
+    # platform defaults (r4_session1 e2e6: single-gather hashed1 @ 4 Mbp =
+    # 228.4k reads/s on the v5e; routed @ 1 Mbp on CPU) — Classifier picks
+    # them itself.
     import shutil
     import tempfile
 
