@@ -747,7 +747,7 @@ class KeyValueIndex:
         # (spans <= windows), so no per-batch count fetches are needed
         cap_dr = batch_rows * row_len
         chunks: List = []  # RAW per-batch device [3, n] sentinel-padded arrays
-        reduced: List = []  # superbatch reduction results (merge-tree leaves)
+        reduced: List = []  # merge-tree leaves as (device array, exact count)
         table_dev = None
         # entries held device-resident before a hierarchical reduction.
         # The reduction's lax.sort transients are a few x the input, so 8M
@@ -775,9 +775,8 @@ class KeyValueIndex:
         )
         host_leaves: List[Tuple[np.ndarray, np.ndarray]] = []
 
-        def _spill_leaf(leaf):
+        def _spill_leaf(leaf, count):
             out = np.asarray(leaf)
-            count = int(np.count_nonzero(out[0] < np.uint32(0x40000000)))
             keys = (out[0, :count].astype(np.uint64) << np.uint64(32)) | out[1, :count]
             host_leaves.append((keys, out[2, :count].view(np.int32).copy()))
 
@@ -805,27 +804,35 @@ class KeyValueIndex:
             nonlocal chunks
             if not chunks:
                 return
-            leaf, _ = _reduce(chunks)
+            leaf, n = _reduce(chunks)
             chunks = []
-            reduced.append(leaf)
+            reduced.append((leaf, n))
             while (
                 len(reduced) > 1
-                and reduced[-2].shape[1] <= 2 * reduced[-1].shape[1]
+                and reduced[-2][0].shape[1] <= 2 * reduced[-1][0].shape[1]
             ):
                 a = reduced.pop()
                 b = reduced.pop()
-                leaf, _ = _reduce([b, a])
-                reduced.append(leaf)
+                leaf, n = _reduce([b[0], a[0]])
+                reduced.append((leaf, n))
             # bound the resident set: a leaf at the budget moves to host
             # (earlier leaves are smaller by the merge discipline)
-            while reduced and reduced[-1].shape[1] >= budget_entries:
-                _spill_leaf(reduced.pop())
+            while reduced and reduced[-1][0].shape[1] >= budget_entries:
+                _spill_leaf(*reduced.pop())
 
         def reduce_chunks(final: bool):
             """Final global reduction over the merge-tree leaves (+ any raw
-            tail). Returns (out, n)."""
+            tail). Returns (out, n). A single already-reduced leaf with no
+            raw tail is returned as-is — re-reducing it would pay a second
+            full device sort for nothing (the pre-round-4 bench build spent
+            ~25% of its time doing exactly that when the batch count landed
+            on the superbatch boundary)."""
             assert final
-            parts = reduced + chunks
+            if not chunks and len(reduced) == 1:
+                out, n = reduced[0]
+                reduced.clear()
+                return out, n
+            parts = [l for l, _ in reduced] + chunks
             out, n = _reduce(parts)
             reduced.clear()
             chunks.clear()
