@@ -1763,6 +1763,241 @@ def exp_e2e6():
     return out
 
 
+@guard("build4")
+def exp_build4():
+    """Phase split of the 8 Mbp bench build on TPU: host packing, the
+    per-batch scan/sort kernel, the global reduce, and the final d2h —
+    locate what keeps e2e at ~2 Mbp/s when the scan kernel does 23.6."""
+    ensure_index()
+    from slacken_tpu.index import _build_batch_kernel, _reduce_chunks_kernel
+
+    mp = IDX.params.minimizer_params
+    out = {}
+    rng = np.random.default_rng(5)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [
+        encode.encode_seq(lut[rng.integers(0, 4, 1 << 16)].tobytes().decode())
+        for _ in range(32)
+    ]
+    t0 = time.time()
+    for _ in range(4):
+        codes, _ = encode.pack_batch(seqs, 1 << 16)
+    out["pack_host_ms_per_2Mbp"] = round((time.time() - t0) / 4 * 1e3, 1)
+
+    taxa_rows = rng.integers(1, 100, 32).astype(np.int32)
+    cd = jax.device_put(codes)
+    jax.block_until_ready(cd)
+    cap_dr = 32 * (1 << 16)
+
+    def bstep(i, c):
+        cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+        o = _build_batch_kernel(cc, taxa_rows, mp, cap_dr)
+        return o[0, 0].astype(jnp.int32)
+
+    per = timeit_loop(bstep, jnp.int32(0), R=4)
+    out["batch_kernel_ms_per_2Mbp"] = round(per * 1e3, 1)
+    out["batch_kernel_Mbp_s"] = round(cap_dr / per / 1e6, 1)
+
+    # global reduce of 4 batch outputs (the bench build's one big sort)
+    chunk = _build_batch_kernel(cd, taxa_rows, mp, cap_dr)[:, :cap_dr]
+    hi = jnp.concatenate([chunk[0]] * 4)
+    lo = jnp.concatenate([chunk[1]] * 4)
+    tx = jnp.concatenate([chunk[2]] * 4).view(jnp.int32)
+    table_dev = jnp.asarray(IDX.taxonomy.rpath_table())
+    jax.block_until_ready((hi, lo, tx))
+
+    def rstep(i, c):
+        red, n = _reduce_chunks_kernel(hi ^ (c & 1).astype(jnp.uint32), lo, tx, table_dev)
+        return n.astype(jnp.int32)
+
+    per = timeit_loop(rstep, jnp.int32(0), R=3)
+    out["reduce_8M_ms"] = round(per * 1e3, 1)
+
+    red, n = _reduce_chunks_kernel(hi, lo, tx, table_dev)
+    jax.block_until_ready(red)
+    t0 = time.time()
+    np.asarray(red[:, : int(np.asarray(n))])
+    out["final_d2h_s"] = round(time.time() - t0, 2)
+    out["final_d2h_MB"] = round(red.nbytes / 1e6, 1)
+    return out
+
+
+@guard("build5")
+def exp_build5():
+    """e2e bench build after the lone-leaf re-reduce fix, device-resident
+    vs per-batch transfer (supersedes build2)."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.taxonomy import Taxonomy
+
+    nodes = [(1, 1, "root"), (455631, 1, "sp"), (526997, 1, "sp"), (9606, 1, "sp")]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"t{t}") for t, _, _ in nodes])
+    params = IndexParams(k=35, m=31, spaces=7)
+    out = {}
+    for label, flag in (("device", "1"), ("transfer", "0")):
+        os.environ["STPU_BUILD_DEVICE"] = flag
+        lib = list(bench.synthetic_library(np.random.default_rng(20260816)))
+        KeyValueIndex.build(
+            [(9606, "ACGT" * 100)], params, tax, batch_rows=32, row_len=1 << 16
+        )
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            idx2 = KeyValueIndex.build(
+                iter(lib), params, tax, batch_rows=32, row_len=1 << 16
+            )
+            best = max(best, 8.0 / (time.time() - t0))
+        out[f"{label}_Mbp_s"] = round(best, 2)
+        out.setdefault("records", len(idx2.keys))
+    os.environ.pop("STPU_BUILD_DEVICE", None)
+    return out
+
+
+@guard("kernel5")
+def exp_kernel5():
+    """hashed1 tile sweep (64/128/256) at B=65536 + the B=131072 point:
+    is the single-gather kernel fetch-width- or issue-bound?"""
+    ensure_index()
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    router = IDX.device_router
+    out = {}
+    codes_h = np.asarray(CODES_RES)
+
+    from slacken_tpu.classify import _classify_kernel_tiled
+
+    cd64 = jax.device_put(np.concatenate([codes_h] * 8))
+    jax.block_until_ready(cd64)
+    for tile in (64, 128, 256):
+        tab, t_, rb = lookup_ops.build_hashed_rows(
+            IDX.keys, IDX.taxa, IDX.key_bits, tile=tile
+        )
+        tab = jnp.asarray(tab)
+        jax.block_until_ready(tab)
+        out[f"t{tile}_bits"] = rb
+        out[f"t{tile}_MB"] = round(tab.nbytes / 1e6, 1)
+
+        def step(i, c, tab=tab, t_=t_, rb=rb):
+            cc = cd64.at[0, 0].set((c & 3).astype(jnp.uint8))
+            wt, nd, ch, res, hp = _classify_kernel_tiled(
+                cc, tab, router, table_tax, mp, 32, 0,
+                ("hashed1", t_, rb, True),
+            )
+            return res.max_taxon.sum()
+
+        per = timeit_loop(step, jnp.int32(0), R=4)
+        out[f"t{tile}_B65536_reads_s"] = round(65536 / per)
+        del tab
+
+    rtab, rtile, rb = IDX.device_hashed_rows
+    cd128 = jax.device_put(np.concatenate([codes_h] * 16))
+    jax.block_until_ready((cd128, rtab))
+
+    def step2(i, c):
+        cc = cd128.at[0, 0].set((c & 3).astype(jnp.uint8))
+        wt, nd, ch, res, hp = _classify_kernel_tiled(
+            cc, rtab, router, table_tax, mp, 32, 0,
+            ("hashed1", rtile, rb, True),
+        )
+        return res.max_taxon.sum()
+
+    per = timeit_loop(step2, jnp.int32(0), R=3)
+    out["t128_B131072_reads_s"] = round(131072 / per)
+    return out
+
+
+@guard("e2e7")
+def exp_e2e7():
+    """The exact bench path (classify_and_write_packed, reports mode) at
+    4/8/16 Mbp batches with the hashed1 default: does a bigger dispatch
+    amortise the tunnel's 37 ms latency further?"""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for bp in (1 << 22, 1 << 23, 1 << 24):
+        cls = Classifier(IDX, target_batch_bp=bp, probe="hashed1",
+                         packed_transfer=True)
+        loc = tempfile.mkdtemp(prefix="stpu_e2e7_")
+        try:
+            cls.classify_and_write_packed(packed[:1], loc + "/warm", cpar)
+            best = 0.0
+            for t in range(3):
+                t0 = time.time()
+                cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
+                best = max(best, n_reads / (time.time() - t0))
+            out[f"hashed1_{bp >> 20}M_reads_s"] = round(best)
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    return out
+
+
+@guard("scale_classify2")
+def exp_scale_classify2():
+    """Classify 200k reads against the 131M-record (1.57 GB) index with
+    hashed1 — r3's best at this scale was hashed at 31.1k reads/s."""
+    from slacken_tpu.index import KeyValueIndex
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode as enc
+
+    _free_session_device_state()
+    sb, tax, n_taxa = _scale_lib()
+    total_bp = int(float(os.environ.get("STPU_SCALE_GBP", "0.4")) * 1e9)
+    prebuilt = os.environ.get(
+        "STPU_SCALE_INDEX", "/root/repo/.bench_cache/scale04/idx_sharded"
+    )
+    t0 = time.time()
+    idx = KeyValueIndex.load_shards(prebuilt, taxonomy=tax)
+    out = {"records": int(len(idx.keys)), "load_s": round(time.time() - t0, 1)}
+    record("scale_classify2_progress", ok=True, phase="loaded", **out)
+
+    rng = np.random.default_rng(7)
+    sim = []
+    per = 25_000
+    for j, (taxon, seq) in enumerate(sb.synthetic_library(total_bp, n_taxa)):
+        if j >= 8:
+            break
+        codes_full = enc.encode_seq(seq[: 2_000_000])
+        starts = rng.integers(0, len(codes_full) - 101, per)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = rng.random(rows.shape) < 0.01
+        rows[mut] = rng.integers(0, 4, int(mut.sum()))
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(native.PackedReads(
+            rows, np.full(len(rows), 101, np.int32),
+            [f"s{taxon}_{i}" for i in range(len(rows))],
+        ))
+    n_reads = sum(len(p) for p in sim)
+    out["n_reads"] = n_reads
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for bp in (1 << 21, 1 << 22):
+        label = f"hashed1_{bp >> 20}M"
+        try:
+            t0 = time.time()
+            cls = Classifier(idx, target_batch_bp=bp, probe="hashed1",
+                             packed_transfer=True)
+            out[f"{label}_table_s"] = round(time.time() - t0, 1)
+            cls.classify_packed(sim[:1], cpar)
+            record("scale_classify2_progress", ok=True, phase=f"warm_{label}", **out)
+            t0 = time.time()
+            cls.classify_packed(sim, cpar)
+            out[f"{label}_reads_s"] = round(n_reads / (time.time() - t0))
+            del cls
+        except Exception as e:  # noqa: BLE001
+            out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:300]
+        if hasattr(idx, "_device_hashed_rows"):
+            idx._device_hashed_rows = None
+        import gc
+
+        gc.collect()
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -1794,6 +2029,11 @@ if __name__ == "__main__":
         "probe4": exp_probe4,
         "kernel4": exp_kernel4,
         "e2e6": exp_e2e6,
+        "build4": exp_build4,
+        "build5": exp_build5,
+        "kernel5": exp_kernel5,
+        "e2e7": exp_e2e7,
+        "scale_classify2": exp_scale_classify2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are
