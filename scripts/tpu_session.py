@@ -1857,8 +1857,11 @@ def exp_build5():
 
 @guard("kernel5")
 def exp_kernel5():
-    """hashed1 tile sweep (64/128/256) at B=65536 + the B=131072 point:
-    is the single-gather kernel fetch-width- or issue-bound?"""
+    """hashed1 tile sweep at B=65536: r4_session2 showed the kernel is HBM-
+    BYTES-bound (the [Q, 3*tile] gather result is materialised — 12.9 GB
+    written+read at tile=128/B=65536, and tile=64/256 compile-OOMed), so a
+    narrower row should trade table load factor for ~linear kernel speedup.
+    Every variant individually guarded (one OOM must not kill the sweep)."""
     ensure_index()
     mp = IDX.params.minimizer_params
     table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
@@ -1870,41 +1873,68 @@ def exp_kernel5():
 
     cd64 = jax.device_put(np.concatenate([codes_h] * 8))
     jax.block_until_ready(cd64)
-    for tile in (64, 128, 256):
-        tab, t_, rb = lookup_ops.build_hashed_rows(
-            IDX.keys, IDX.taxa, IDX.key_bits, tile=tile
-        )
-        tab = jnp.asarray(tab)
-        jax.block_until_ready(tab)
-        out[f"t{tile}_bits"] = rb
-        out[f"t{tile}_MB"] = round(tab.nbytes / 1e6, 1)
-
-        def step(i, c, tab=tab, t_=t_, rb=rb):
-            cc = cd64.at[0, 0].set((c & 3).astype(jnp.uint8))
-            wt, nd, ch, res, hp = _classify_kernel_tiled(
-                cc, tab, router, table_tax, mp, 32, 0,
-                ("hashed1", t_, rb, True),
+    for tile in (32, 64, 128):
+        try:
+            tab, t_, rb = lookup_ops.build_hashed_rows(
+                IDX.keys, IDX.taxa, IDX.key_bits, tile=tile
             )
-            return res.max_taxon.sum()
+            tab = jnp.asarray(tab)
+            jax.block_until_ready(tab)
+            out[f"t{tile}_bits"] = rb
+            out[f"t{tile}_MB"] = round(tab.nbytes / 1e6, 1)
 
-        per = timeit_loop(step, jnp.int32(0), R=4)
-        out[f"t{tile}_B65536_reads_s"] = round(65536 / per)
-        del tab
+            def step(i, c, tab=tab, t_=t_, rb=rb):
+                cc = cd64.at[0, 0].set((c & 3).astype(jnp.uint8))
+                wt, nd, ch, res, hp = _classify_kernel_tiled(
+                    cc, tab, router, table_tax, mp, 32, 0,
+                    ("hashed1", t_, rb, True),
+                )
+                return res.max_taxon.sum()
 
-    rtab, rtile, rb = IDX.device_hashed_rows
-    cd128 = jax.device_put(np.concatenate([codes_h] * 16))
-    jax.block_until_ready((cd128, rtab))
+            per = timeit_loop(step, jnp.int32(0), R=4)
+            out[f"t{tile}_B65536_reads_s"] = round(65536 / per)
+            del tab
+        except Exception as e:  # noqa: BLE001
+            out[f"t{tile}_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
-    def step2(i, c):
-        cc = cd128.at[0, 0].set((c & 3).astype(jnp.uint8))
-        wt, nd, ch, res, hp = _classify_kernel_tiled(
-            cc, rtab, router, table_tax, mp, 32, 0,
-            ("hashed1", rtile, rb, True),
-        )
-        return res.max_taxon.sum()
 
-    per = timeit_loop(step2, jnp.int32(0), R=3)
-    out["t128_B131072_reads_s"] = round(131072 / per)
+@guard("e2e8")
+def exp_e2e8():
+    """e2e reports mode with the narrow-tile hashed1 variants (if a tile
+    wins kernel5, confirm it end-to-end before flipping the default)."""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for tile in (32, 64):
+        try:
+            tab, t_, rb = lookup_ops.build_hashed_rows(
+                IDX.keys, IDX.taxa, IDX.key_bits, tile=tile
+            )
+            cls = Classifier(
+                IDX, target_batch_bp=1 << 22, probe="hashed1",
+                packed_transfer=True,
+            )
+            # swap in the narrow-tile table under the same kernel
+            cls._dev_keys = jax.device_put(tab)
+            cls._probe_static = ("hashed1", t_, rb, True)
+            loc = tempfile.mkdtemp(prefix="stpu_e2e8_")
+            try:
+                cls.classify_and_write_packed(packed[:1], loc + "/warm", cpar)
+                best = 0.0
+                for t in range(3):
+                    t0 = time.time()
+                    cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
+                    best = max(best, n_reads / (time.time() - t0))
+                out[f"t{tile}_4M_reads_s"] = round(best)
+            finally:
+                shutil.rmtree(loc, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            out[f"t{tile}_error"] = f"{type(e).__name__}: {e}"[:200]
     return out
 
 
@@ -2033,6 +2063,7 @@ if __name__ == "__main__":
         "build5": exp_build5,
         "kernel5": exp_kernel5,
         "e2e7": exp_e2e7,
+        "e2e8": exp_e2e8,
         "scale_classify2": exp_scale_classify2,
     }
     # argv order is honored so risky experiments can be sequenced LAST

@@ -378,6 +378,15 @@ def _xorshift64_u64(x: U64) -> U64:
     return u64.bxor(x, u64.shl(x, 17))
 
 
+def _sort_by_key(skeys: np.ndarray, taxa: np.ndarray):
+    """Sort (u64 key, i32 taxon) pairs by key — the C++ OpenMP LSD radix
+    sort when available (np.argsort of 131M u64 keys costs minutes on this
+    host; the native sort seconds), numpy fallback otherwise."""
+    from .. import native
+
+    return native.radix_sort_kv(skeys, np.asarray(taxa, np.int32))
+
+
 def build_hashed(
     keys: np.ndarray,
     taxa: np.ndarray,
@@ -416,9 +425,7 @@ def build_hashed(
     """
     n = len(keys)
     skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
-    order = np.argsort(skeys)
-    skeys = skeys[order]
-    staxa = np.asarray(taxa, np.int32)[order]
+    skeys, staxa = _sort_by_key(skeys, taxa)
     auto_bits = bits is None
     if auto_bits:
         bits = max(12, int(np.ceil(np.log2(max(n, 2)))) + 1)
@@ -513,9 +520,7 @@ def build_hashed_cols(
     """
     n = len(keys)
     skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
-    order = np.argsort(skeys)
-    skeys = skeys[order]
-    staxa = np.asarray(taxa, np.int32)[order]
+    skeys, staxa = _sort_by_key(skeys, taxa)
     auto_bits = bits is None
     if auto_bits:
         # load factor ~1: the 127-slot displacement budget absorbs the
@@ -604,9 +609,7 @@ def build_hashed_rows(
     """
     n = len(keys)
     skeys = _xorshift64_np(np.ascontiguousarray(keys, np.uint64))
-    order = np.argsort(skeys)
-    skeys = skeys[order]
-    staxa = np.asarray(taxa, np.int32)[order]
+    skeys, staxa = _sort_by_key(skeys, taxa)
     auto = row_bits is None
     if auto:
         row_bits = max(1, int(np.ceil(np.log2(max(n, 2) / tile))))
@@ -615,10 +618,17 @@ def build_hashed_rows(
         rows = np.zeros(0, np.int64)
         cols = np.zeros(0, np.int64)
     else:
+        # keys are sorted, so per-row counts come from searchsorted on the
+        # 2^row_bits row boundaries — O(rows log n) per growth retry instead
+        # of a full O(n) bincount pass (at 131M keys this is the difference
+        # between seconds and minutes of table-build time)
         while True:
-            rows = (skeys >> np.uint64(64 - row_bits)).astype(np.int64)
-            counts = np.bincount(rows, minlength=1 << row_bits)
-            if int(counts.max()) <= tile:
+            bnd = np.arange(1 << row_bits, dtype=np.uint64) << np.uint64(
+                64 - row_bits
+            )
+            starts = np.searchsorted(skeys, bnd, side="left")
+            maxc = int(np.max(np.diff(np.append(starts, n))))
+            if maxc <= tile:
                 break
             if auto and row_bits < max_bits:
                 row_bits += 1
@@ -629,7 +639,7 @@ def build_hashed_rows(
                     f"hashed-rows layout did not converge (n={n}); "
                     "use the hashed/tiled probe"
                 )
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rows = (skeys >> np.uint64(64 - row_bits)).astype(np.int64)
         cols = np.arange(n, dtype=np.int64) - starts[rows]
     n_rows = 1 << row_bits
     # sentinel = all-ones key, taxon lanes read as -1: absorbed by the
@@ -689,7 +699,9 @@ def build_hashed_rows_wide(
     n = len(keys2)
     keys2 = np.ascontiguousarray(keys2, np.uint64)
     h = _wide_row_hash_np(keys2)
-    order = np.argsort(h, kind="stable")
+    from .. import native
+
+    _, order = native.radix_sort_kv(h, np.arange(len(h), dtype=np.int32))
     h = h[order]
     keys2 = keys2[order]
     staxa = np.asarray(taxa, np.int32)[order]
@@ -701,10 +713,14 @@ def build_hashed_rows_wide(
         rows = np.zeros(0, np.int64)
         cols = np.zeros(0, np.int64)
     else:
+        # h is sorted: searchsorted row boundaries (see build_hashed_rows)
         while True:
-            rows = (h >> np.uint64(64 - row_bits)).astype(np.int64)
-            counts = np.bincount(rows, minlength=1 << row_bits)
-            if int(counts.max()) <= tile:
+            bnd = np.arange(1 << row_bits, dtype=np.uint64) << np.uint64(
+                64 - row_bits
+            )
+            starts = np.searchsorted(h, bnd, side="left")
+            maxc = int(np.max(np.diff(np.append(starts, n))))
+            if maxc <= tile:
                 break
             if auto and row_bits < max_bits:
                 row_bits += 1
@@ -715,7 +731,7 @@ def build_hashed_rows_wide(
                     f"wide hashed-rows layout did not converge (n={n}); "
                     "use the tiled probe"
                 )
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rows = (h >> np.uint64(64 - row_bits)).astype(np.int64)
         cols = np.arange(n, dtype=np.int64) - starts[rows]
     n_rows = 1 << row_bits
     table = np.full((n_rows, 5 * tile), 0xFFFFFFFF, np.uint32)
