@@ -593,21 +593,6 @@ class Classifier:
     ):
         self.index = index
         self.max_taxa = max_taxa_per_read
-        # batch size measured per platform (r4_session1 e2e6 supersedes the
-        # r2/r3 sweeps): 4 Mbp batches are the hashed1 e2e sweet spot on TPU
-        # (228.4k reads/s at 4M vs 186.0k at 2M and 178.6k at 8M — the
-        # lane-aligned [Q, 3*tile] layout has NO padded-gather shape cliff,
-        # kernel throughput rises monotonically to B=65536); 1 Mbp stays
-        # best on CPU (cache residency). Very large indexes halve the
-        # batch: HBM headroom next to a multi-GB table.
-        if target_batch_bp is None:
-            if jax.default_backend() == "cpu":
-                target_batch_bp = 1 << 20
-            elif 12 * len(index.keys) > (1 << 29):
-                target_batch_bp = 1 << 21
-            else:
-                target_batch_bp = 1 << 22
-        self.target_batch_bp = target_batch_bp
         self._table_dev = jnp.asarray(index.taxonomy.rpath_table())
         self.max_path = index.taxonomy.max_path_len
 
@@ -628,13 +613,11 @@ class Classifier:
             elif index.wide:
                 default = "tiled"
             else:
-                # hashed1 auto sizing: slots = 2^ceil(log2(n/tile))*tile
-                # grown until the fullest row fits -> <= 4x n worst case,
-                # typically ~1.6x (bench index: lf 0.63)
-                est_slots = 1 << max(
-                    12, int(np.ceil(np.log2(max(len(index.keys), 2) / 128))) + 7
+                default = (
+                    "hashed1"
+                    if lookup_ops.fits_hashed_rows(len(index.keys))
+                    else "tiled"
                 )
-                default = "hashed1" if 12 * est_slots <= (4 << 30) else "tiled"
             probe = os.environ.get("STPU_PROBE", default)
         if index.wide and probe not in ("routed", "tiled", "hashed1"):
             raise NotImplementedError(
@@ -693,6 +676,28 @@ class Classifier:
             raise ValueError(f"unknown probe mode {probe!r}")
         self._dev_keys = dk
         self._dev_taxa = dt
+
+        # batch size measured per platform, AFTER probe resolution because
+        # the safe dispatch size depends on the probe's gather layout
+        # (r4_session1 e2e6 supersedes the r2/r3 sweeps): 4 Mbp batches are
+        # the hashed1 e2e sweet spot on TPU (228.4k reads/s at 4M vs 186.0k
+        # at 2M and 178.6k at 8M — the lane-aligned [Q, 3*tile] layout has
+        # NO padded-gather shape cliff, and 4M stayed fastest even against
+        # the 3.2 GB 131M-record table, r4_session2 scale_classify2); 1 Mbp
+        # stays best on CPU (cache residency). The OTHER probes' [Q, tile,
+        # 3] gather results materialise with 8x layout padding (~1.5 kB/
+        # query), so next to a very large table they keep the 1 Mbp cap the
+        # r3_session3 OOM post-mortem established.
+        if target_batch_bp is None:
+            if jax.default_backend() == "cpu":
+                target_batch_bp = 1 << 20
+            elif self._probe_static[0] in ("hashed1", "hashed1_wide"):
+                target_batch_bp = 1 << 22
+            elif 12 * len(index.keys) > (1 << 29):
+                target_batch_bp = 1 << 20
+            else:
+                target_batch_bp = 1 << 21
+        self.target_batch_bp = target_batch_bp
 
         # wire-packed host->device transfer (2 bit/base + validity bit):
         # pays off whenever the link is slower than the pack (PCIe, or this
@@ -807,15 +812,17 @@ class Classifier:
             codes = np.concatenate([codes, pad], axis=0)
         idx = self.index
         if idx.wide:
+            # hashed1_wide is routerless: never build/upload the wide router
+            h1w = self._probe_static[0] == "hashed1_wide"
             common = (
                 self._dev_keys,
                 self._dev_taxa,
-                idx.device_router,
+                self._router_dummy if h1w else idx.device_router,
                 self._table_dev,
                 idx.params.minimizer_params,
                 self.max_taxa,
-                idx.router_rounds,
-                idx.router_bits,
+                0 if h1w else idx.router_rounds,
+                0 if h1w else idx.router_bits,
                 self._probe_static,
             )
             if self._packed_transfer and bucket % 8 == 0:
@@ -952,7 +959,9 @@ class Classifier:
                 window_rle = rle_ops.encode_rows(
                     window_taxa, rle_ops.DEFAULT_RUNS_PER_ROW
                 )
-            elif self._window_codes:
+            elif self._window_codes and self.max_taxa <= 250:
+                # the u8 code space reserves 253/254/255; larger hit lists
+                # would collide with the sentinels and wrap mod 256
                 window_codes_dev = _window_codes_kernel(window_taxa, ch.taxa)
         # ONE device->host transfer for all the scalar-per-read outputs;
         # window_taxa stays device-lazy

@@ -392,6 +392,11 @@ def _classify_multihost(args, cpar):
 
     if args.paired:
         raise SystemExit("multi-host classify does not support --paired yet")
+    if args.probe not in (None, "routed", "tiled", "hashed", "hashed1"):
+        raise SystemExit(
+            f"multi-host classify supports --probe routed/tiled/hashed/"
+            f"hashed1, not {args.probe!r}"
+        )
     ctx = getattr(args, "_mh_ctx", None) or mh.initialize(
         args.coordinator, args.num_processes, args.process_id
     )

@@ -171,10 +171,7 @@ class Dynamic:
                     codes = np.concatenate([codes, pad], axis=0)
                 hi, lo, starts, taxa = mesh_fn(codes, *mesh_args)
             elif fast:
-                est_slots = 1 << max(
-                    12, int(np.ceil(np.log2(max(len(idx.keys), 2) / 128))) + 7
-                )
-                if 12 * est_slots <= (4 << 30):
+                if lookup_ops.fits_hashed_rows(len(idx.keys)):
                     table, tile, rb = idx.device_hashed_rows
                     hi, lo, starts, taxa = _span_hits_kernel_hashed1(
                         codes, table, mp, tile, rb, idx.key_bits,
@@ -233,13 +230,12 @@ class Dynamic:
         if probe is None:
             probe = "routed" if jax.default_backend() == "cpu" else "hashed1"
 
+        # device tables are passed as-is: jax.device_put reshards committed
+        # arrays without the d2h round-trip an np.asarray would force (the
+        # hashed1 table is up to GBs; d2h rides a 41 MB/s link here)
         if layout == "replicated":
             if probe == "hashed":
-                table, tile, hbits = (
-                    np.asarray(idx.device_hashed[0]),
-                    idx.device_hashed[1],
-                    idx.device_hashed[2],
-                )
+                table, tile, hbits = idx.device_hashed
                 fn = pmesh.span_hits_replicated_fn(
                     mesh_, mp, idx.router_rounds, idx.router_bits,
                     probe=("hashed", tile, hbits), key_bits=idx.key_bits,
@@ -253,7 +249,7 @@ class Dynamic:
                     probe=("hashed1", tile, rb), key_bits=idx.key_bits,
                     lut=idx.device_lut,
                 )
-                args = (np.asarray(table), np.zeros(2, np.int32))
+                args = (table, np.zeros(2, np.int32))
             elif probe == "tiled":
                 table, tile = idx.device_tiled
                 fn = pmesh.span_hits_replicated_fn(
@@ -261,7 +257,7 @@ class Dynamic:
                     probe=("tiled", tile), key_bits=idx.key_bits,
                     lut=idx.device_lut,
                 )
-                args = (np.asarray(table), np.asarray(idx.device_router))
+                args = (table, idx.device_router)
             else:
                 fn = pmesh.span_hits_replicated_fn(
                     mesh_, mp, idx.router_rounds, idx.router_bits,

@@ -578,6 +578,18 @@ def lookup_taxa_hashed_cols(
     return jnp.maximum(taxon, 0).reshape(shape)
 
 
+def fits_hashed_rows(n_keys: int, budget_bytes: int = 4 << 30) -> bool:
+    """Conservative HBM-fit test for a build_hashed_rows table of n_keys:
+    the auto sizing starts at 2^ceil(log2(n/128)) rows and grows row_bits
+    until the fullest row fits 128 slots — one growth step in practice
+    (after one doubling the mean row load is <= 64 and the binomial max over
+    2^row_bits rows stays under 128) — so the estimate allows 2x over the
+    initial slot count. Shared by every auto-probe selection site so the
+    policy cannot desynchronize."""
+    est_slots = 1 << max(12, int(np.ceil(np.log2(max(n_keys, 2) / 128))) + 7)
+    return 12 * 2 * est_slots <= budget_bytes
+
+
 def build_hashed_rows(
     keys: np.ndarray,
     taxa: np.ndarray,

@@ -96,15 +96,17 @@ class MeshClassifier(Classifier):
                     index.router_rounds, index.router_bits, probe=ps,
                     key_bits=index.key_bits, lut=index.device_lut,
                 )
+                # device tables pass through as-is — device_put reshards a
+                # committed array without forcing a d2h round-trip
                 if ps[0] == "hashed":
-                    ptable = np.asarray(index.device_hashed[0])
+                    ptable = index.device_hashed[0]
                     router = np.zeros(2, np.int32)  # routerless dummy
                 elif ps[0] == "hashed1":
-                    ptable = np.asarray(index.device_hashed_rows[0])
+                    ptable = index.device_hashed_rows[0]
                     router = np.zeros(2, np.int32)  # routerless dummy
                 else:
-                    ptable = np.asarray(index.device_tiled[0])
-                    router = np.asarray(index.device_router)
+                    ptable = index.device_tiled[0]
+                    router = index.device_router
                 self._mesh_args = (ptable, router, table)
             else:
                 self._mesh_fn = pmesh.classify_replicated_fn(

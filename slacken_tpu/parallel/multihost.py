@@ -273,24 +273,33 @@ def ring_hashed_tables_for_host(ctx: HostContext, mesh, keys_rows, taxa_rows,
     built = [
         build(k[r], t[r]) for k, t, r in zip(keys_rows, taxa_rows, reals)
     ]
+    # fixed-point on (tile, bits) ONLY — row counts are data-dependent for
+    # kind="hashed" (n_rows tracks the last occupied slot) and handled by
+    # padding below, so requiring row agreement would never converge. Every
+    # process executes the same allgather sequence per iteration, and exit
+    # is decided by a gathered did-anyone-rebuild flag so the loop count is
+    # identical on all processes (a mismatch would desync the collectives).
     while True:
-        geo = {
+        agreed = allgather_objects({
             "tile": max(b[1] for b in built),
             "bits": max(b[2] for b in built),
-            "rows": max(b[0].shape[0] for b in built),
-        }
-        agreed = allgather_objects(geo)
+        })
         tile = max(a["tile"] for a in agreed)
         bits = max(a["bits"] for a in agreed)
-        rows = max(a["rows"] for a in agreed)
-        if all(b[1] == tile and b[2] == bits for b in built) and geo == {
-            "tile": tile, "bits": bits, "rows": rows
-        }:
+        changed = not all(b[1] == tile and b[2] == bits for b in built)
+        if changed:
+            built = [
+                build(k[r], t[r], **kw(tile, bits))
+                for k, t, r in zip(keys_rows, taxa_rows, reals)
+            ]
+        if not any(
+            a["changed"] for a in allgather_objects({"changed": changed})
+        ):
             break
-        built = [
-            build(k[r], t[r], **kw(tile, bits))
-            for k, t, r in zip(keys_rows, taxa_rows, reals)
-        ]
+    rows = max(
+        a["rows"]
+        for a in allgather_objects({"rows": max(b[0].shape[0] for b in built)})
+    )
     # pad every table to the agreed row count (hashed1 tables are already
     # exactly 2^row_bits rows; hashed tables vary with the last occupied
     # slot). Clamped/over gathers land on sentinel rows — a correct miss.

@@ -490,51 +490,54 @@ def test_multihost_cli_two_process_byte_identical(rng, tmp_path):
     )
     single = collect(single_out)
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    mh_out = str(tmp_path / "mh")
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["STPU_MH_ROWS"] = "32"
-    # exercise the per-shard single-gather hashed fast probe (and its
-    # allgather geometry agreement) across the process boundary; routed is
-    # covered by test_multihost_two_process_ring, tiled/hashed by the
-    # single-process probe test below
-    env["STPU_MH_PROBE"] = "hashed1"
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable, "-m", "slacken_tpu.cli", "--platform", "cpu",
-                "classify", fq, "-i", idx_loc, "-o", mh_out + "/out",
-                "-c", "0.0", "0.15",
-                "--coordinator", f"127.0.0.1:{port}",
-                "--num-processes", "2", "--process-id", str(pid),
-            ],
-            env=env,
-            cwd="/root/repo",
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for pid in range(2)
-    ]
-    for p in procs:
-        out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+    # exercise BOTH per-shard hashed fast probes across the process
+    # boundary: hashed1 (the accelerator default; geometry = (tile,
+    # row_bits), equal row counts after agreement) and hashed (data-
+    # dependent per-shard row counts — the kind whose geometry loop once
+    # deadlocked on the row-agreement condition). routed is covered by
+    # test_multihost_two_process_ring, tiled by the single-process test.
+    for probe in ("hashed1", "hashed"):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        mh_out = str(tmp_path / f"mh_{probe}")
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["STPU_MH_ROWS"] = "32"
+        env["STPU_MH_PROBE"] = probe
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "slacken_tpu.cli", "--platform", "cpu",
+                    "classify", fq, "-i", idx_loc, "-o", mh_out + "/out",
+                    "-c", "0.0", "0.15",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", "2", "--process-id", str(pid),
+                ],
+                env=env,
+                cwd="/root/repo",
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for pid in range(2)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"worker failed ({probe}):\n{err[-3000:]}"
 
-    mh = collect(mh_out)
-    # kreports byte-identical; per-read parts merge (in name order) to the
-    # single-process part content
-    for name, data in single.items():
-        if name.endswith("_kreport.txt"):
-            assert mh[name] == data, name
-        else:
-            d = os.path.dirname(name)
-            parts = sorted(k for k in mh if os.path.dirname(k) == d)
-            assert len(parts) == 2, parts
-            assert b"".join(mh[k] for k in parts) == data, name
+        mh = collect(mh_out)
+        # kreports byte-identical; per-read parts merge (in name order) to
+        # the single-process part content
+        for name, data in single.items():
+            if name.endswith("_kreport.txt"):
+                assert mh[name] == data, (probe, name)
+            else:
+                d = os.path.dirname(name)
+                parts = sorted(k for k in mh if os.path.dirname(k) == d)
+                assert len(parts) == 2, (probe, parts)
+                assert b"".join(mh[k] for k in parts) == data, (probe, name)
 
 
 def test_dryrun_driver_style_subprocess():
