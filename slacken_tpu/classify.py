@@ -263,21 +263,26 @@ def _window_codes_kernel(window_taxa, hit_taxa):
     [B, L] i32 array — 2x fewer device->host bytes at L=128, T=32, which is
     what detailed mode is bound by on a slow link (41 MB/s axon tunnel,
     docs/PERF.md). Codes: 0..T-1 = index into hit_taxa row; 254 = NONE
-    (index miss); 255 = invalid window; 253 = taxon not in the list (row
-    overflowed max_taxa — the host refetches those rows densely)."""
+    (index miss); 255 = invalid window.
+
+    The code is the taxon's RANK in the row's list: compact_hits emits its
+    taxa ascending (0-padded tail), so rank = count of nonzero entries
+    below the window's taxon — T fused compare+add passes over [B, L], no
+    [B, L, T] one-hot materialisation (the v1 argmax kernel cost more
+    device time than the transfer saved, r4_session1 e2e6). Rows that
+    overflowed max_taxa can hold taxa missing from the list, whose rank
+    would silently alias a different entry — the HOST must densely refetch
+    every overflow row (classify._hit_pairs uses batch.overflow)."""
     b, l = window_taxa.shape
     t = hit_taxa.shape[1]
-    eq = window_taxa[:, :, None] == hit_taxa[:, None, :]  # [B, L, T]
-    found = eq.any(-1) & (window_taxa > 0)
-    idx = jnp.argmax(eq, axis=-1).astype(jnp.uint8)
+    code = jnp.zeros((b, l), jnp.uint8)
+    for j in range(t):
+        col = hit_taxa[:, j : j + 1]  # [B, 1]
+        code = code + ((col != NONE) & (col < window_taxa)).astype(jnp.uint8)
     code = jnp.where(
         window_taxa == INVALID_WINDOW,
         np.uint8(255),
-        jnp.where(
-            window_taxa == NONE,
-            np.uint8(254),
-            jnp.where(found, idx, np.uint8(253)),
-        ),
+        jnp.where(window_taxa == NONE, np.uint8(254), code),
     ).astype(jnp.uint8)
     taxa_bytes = jax.lax.bitcast_convert_type(hit_taxa, jnp.uint8).reshape(b, 4 * t)
     return jnp.concatenate([code, taxa_bytes], axis=1)
@@ -1194,8 +1199,11 @@ class Classifier:
             wt_host, fallback = _decode_window_codes(
                 np.asarray(batch.window_codes)[:n], L
             )
+            # rows that overflowed max_taxa can hold taxa absent from the
+            # dictionary whose rank code aliases another entry: refetch
+            # every overflow row densely (see _window_codes_kernel)
+            fallback = np.union1d(fallback, np.flatnonzero(batch.overflow[:n]))
             if len(fallback):
-                # rows that overflowed max_taxa distinct hits: refetch densely
                 wt_host[fallback] = np.asarray(batch.window_taxa[fallback])
         elif batch.window_rle is not None:
             L = batch.window_taxa.shape[1]
