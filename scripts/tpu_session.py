@@ -1967,6 +1967,39 @@ def exp_e2e7():
     return out
 
 
+@guard("e2e9")
+def exp_e2e9():
+    """Detailed-mode re-measurement with the RANK-code window-codes kernel
+    (r4: the v1 argmax kernel lost 15.6k vs dense 47.7k; the rank rewrite
+    is T fused VPU passes — if the kernel cost is gone, the 2x d2h saving
+    should now win on the 41 MB/s link)."""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    os.environ["STPU_HIT_RUNS"] = "0"
+    for label, wc in (("detailed_rankcodes", "1"), ("detailed_dense", "0")):
+        os.environ["STPU_WINDOW_CODES"] = wc
+        cls = Classifier(IDX, probe="hashed1", packed_transfer=True)
+        loc = tempfile.mkdtemp(prefix="stpu_e2e9_")
+        try:
+            cls.classify_and_write_packed(packed[:1], loc + "/warm", dpar)
+            best = 0.0
+            for t in range(3):
+                t0 = time.time()
+                cls.classify_and_write_packed(packed, loc + f"/t{t}", dpar)
+                best = max(best, n_reads / (time.time() - t0))
+            out[f"{label}_reads_s"] = round(best)
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_WINDOW_CODES", None)
+    os.environ.pop("STPU_HIT_RUNS", None)
+    return out
+
+
 @guard("scale_classify2")
 def exp_scale_classify2():
     """Classify 200k reads against the 131M-record (1.57 GB) index with
@@ -2064,6 +2097,7 @@ if __name__ == "__main__":
         "kernel5": exp_kernel5,
         "e2e7": exp_e2e7,
         "e2e8": exp_e2e8,
+        "e2e9": exp_e2e9,
         "scale_classify2": exp_scale_classify2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
