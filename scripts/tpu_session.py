@@ -2000,6 +2000,36 @@ def exp_e2e9():
     return out
 
 
+@guard("e2e10")
+def exp_e2e10():
+    """Pipeline-depth sweep through the bench path: with the kernel at
+    ~1 us/read, the 37 ms dispatch latency and host packing set the e2e
+    ceiling — does a deeper in-flight queue hide more of it?"""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for depth in (2, 3, 6):
+        os.environ["STPU_PIPELINE_DEPTH"] = str(depth)
+        cls = Classifier(IDX, probe="hashed1", packed_transfer=True)
+        loc = tempfile.mkdtemp(prefix="stpu_e2e10_")
+        try:
+            cls.classify_and_write_packed(packed[:1], loc + "/warm", cpar)
+            best = 0.0
+            for t in range(3):
+                t0 = time.time()
+                cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
+                best = max(best, n_reads / (time.time() - t0))
+            out[f"depth{depth}_reads_s"] = round(best)
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_PIPELINE_DEPTH", None)
+    return out
+
+
 @guard("scale_classify2")
 def exp_scale_classify2():
     """Classify 200k reads against the 131M-record (1.57 GB) index with
@@ -2098,6 +2128,7 @@ if __name__ == "__main__":
         "e2e7": exp_e2e7,
         "e2e8": exp_e2e8,
         "e2e9": exp_e2e9,
+        "e2e10": exp_e2e10,
         "scale_classify2": exp_scale_classify2,
     }
     # argv order is honored so risky experiments can be sequenced LAST
