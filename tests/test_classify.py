@@ -385,6 +385,20 @@ def test_bucketed_lookup_matches_routed(rng):
     assert np.array_equal(routed, hashed_rows)
 
 
+def test_fits_hashed_rows_bounds_actual_table(rng):
+    """The shared HBM-fit estimate must bound the REAL table the auto build
+    produces (the guard's 2x growth allowance): for a range of key counts,
+    actual bytes <= the allowance used by fits_hashed_rows."""
+    from slacken_tpu.ops import lookup as lookup_ops
+
+    for n in (1000, 50_000, 300_000, 1_000_000):
+        keys = np.unique(rng.integers(0, 1 << 62, int(n * 1.1)).astype(np.uint64))[:n]
+        taxa = rng.integers(1, 100, len(keys)).astype(np.int32)
+        tab, tile, rb = lookup_ops.build_hashed_rows(keys, taxa)
+        est_slots = 1 << max(12, int(np.ceil(np.log2(max(n, 2) / 128))) + 7)
+        assert tab.nbytes <= 12 * 2 * est_slots, (n, tab.nbytes, est_slots)
+
+
 def test_compact_hits_rounds_matches_sort(rng):
     """The production successive-minimum compaction must stay bit-identical
     to the sort-based reference implementation (ops/resolve.py)."""
