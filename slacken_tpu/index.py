@@ -285,11 +285,9 @@ def reduce_records_wide(
     while start < len(keys2):
         end = min(start + chunk, len(keys2))
         if end < len(keys2):
-            end = int(run_starts[np.searchsorted(run_starts, end, side="left")])
-            if end <= start:
-                end = min(start + chunk, len(keys2))
-                nxt = np.searchsorted(run_starts, end)
-                end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys2)
+            # snap UP to the next run boundary (see reduce_records)
+            nxt = np.searchsorted(run_starts, end, side="left")
+            end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys2)
         rid = run_of[start:end] - run_of[start]
         red = np.asarray(
             lca_ops.segment_lca_table(
@@ -319,6 +317,15 @@ class SpillCollector:
         os.makedirs(directory, exist_ok=True)
         self.dir = directory
         self.n_ranges = n_ranges
+        # a previous crashed build's spill files would silently merge into
+        # this build (files are opened in append mode): remove any of OUR
+        # range files up front so every build starts from a clean slate
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(directory, "k[0-9]*.bin")):
+            os.unlink(stale)
+        for stale in _glob.glob(os.path.join(directory, "t[0-9]*.bin")):
+            os.unlink(stale)
         # uniform boundaries over the 62-bit priority space (XOR-scrambled
         # keys are uniform)
         self.bounds = (np.arange(1, n_ranges) * ((1 << 62) // n_ranges)).astype(np.uint64)
@@ -446,12 +453,11 @@ def reduce_records(
     while start < len(keys):
         end = min(start + chunk, len(keys))
         if end < len(keys):
-            # snap to a run boundary
-            end = int(run_starts[np.searchsorted(run_starts, end, side="left")])
-            if end <= start:  # single run larger than chunk
-                end = min(start + chunk, len(keys))
-                nxt = np.searchsorted(run_starts, end)
-                end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys)
+            # snap UP to the next run boundary (a run must not straddle
+            # chunks); the final run straddling the boundary means there is
+            # no later run start, so the chunk extends to the end
+            nxt = np.searchsorted(run_starts, end, side="left")
+            end = int(run_starts[nxt]) if nxt < len(run_starts) else len(keys)
         rid = run_of[start:end] - run_of[start]
         red = np.asarray(
             lca_ops.segment_lca_table(
@@ -1045,6 +1051,12 @@ class KeyValueIndex:
         for i in range(n_shards):
             storage.np_save(storage.join(location, f"keys.{i:05d}.npy"), self.keys[bounds[i] : bounds[i + 1]])
             storage.np_save(storage.join(location, f"taxa.{i:05d}.npy"), self.taxa[bounds[i] : bounds[i + 1]])
+        if self.ordering_lut is not None:
+            # explicit-ordering keys are LUT ranks: an index loaded without
+            # its LUT would silently probe xor priorities and miss everything
+            storage.np_save(
+                storage.join(location, "ordering_lut.npy"), self.ordering_lut
+            )
         self.taxonomy.save(storage.join(location, "taxonomy"))
 
     @classmethod
@@ -1066,7 +1078,11 @@ class KeyValueIndex:
         ) if ids else np.zeros(0, np.int32)
         if taxonomy is None:
             taxonomy = Taxonomy.load(storage.join(location, "taxonomy"))
-        return cls(keys, taxa, params, taxonomy, location)
+        idx = cls(keys, taxa, params, taxonomy, location)
+        olp = storage.join(location, "ordering_lut.npy")
+        if storage.exists(olp):
+            idx.ordering_lut = storage.np_load(olp, mmap=False)
+        return idx
 
     # -- tooling ------------------------------------------------------------
 

@@ -194,9 +194,7 @@ def build_tiled_wide(
     table [n_rows, tile, 5] uint32 (l3, l2, l1, l0, taxon); one row gather
     fetches `tile` whole records as a contiguous tile*20-byte burst."""
     n = len(keys2)
-    maxb = max_bucket_span(router)
-    while tile + 1 < maxb:
-        tile *= 2
+    tile = tile_for_span(max_bucket_span(router), tile)
     n_rows = -(-n // tile) + 2
     keys2 = np.ascontiguousarray(keys2, np.uint64)
     table = np.empty((n_rows * tile, 5), np.uint32)
@@ -235,6 +233,16 @@ def lookup_taxa_tiled_wide(
     tx = both[:, :, 4].view(jnp.int32)
     taxon = jnp.max(jnp.where(eq, tx, 0), axis=-1).astype(jnp.int32)
     return taxon.reshape(shape)
+
+
+def tile_for_span(maxb: int, tile: int = 16) -> int:
+    """Smallest power-of-two tile with tile + 1 >= maxb: two consecutive
+    rows then cover any router bucket (the build_tiled lookup invariant).
+    Shared by every tiled-table build site so the geometry rule cannot
+    drift between the single-chip, mesh, and multi-host builders."""
+    while tile + 1 < maxb:
+        tile *= 2
+    return tile
 
 
 def max_bucket_span(router: np.ndarray) -> int:
@@ -308,9 +316,7 @@ def build_tiled(keys: np.ndarray, taxa: np.ndarray, router: np.ndarray, tile: in
     the flat arrays (taxon limb) + one pad row — no per-bucket blowup.
     """
     n = len(keys)
-    maxb = max_bucket_span(router)
-    while tile + 1 < maxb:
-        tile *= 2
+    tile = tile_for_span(max_bucket_span(router), tile)
     n_rows = -(-n // tile) + 2  # +1 straddle row, +1 for row+1 gather
     keys = np.ascontiguousarray(keys, np.uint64)
     table = np.empty((n_rows * tile, 3), np.uint32)

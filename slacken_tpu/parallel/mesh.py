@@ -107,11 +107,7 @@ def shard_tiled_tables_wide(
     UNIFORM tile (cf. shard_tiled_tables)."""
     tile = 16
     for r in routers:
-        t = 16
-        maxb = lookup_ops.max_bucket_span(r)
-        while t + 1 < maxb:
-            t *= 2
-        tile = max(tile, t)
+        tile = max(tile, lookup_ops.tile_for_span(lookup_ops.max_bucket_span(r)))
     tables = [
         lookup_ops.build_tiled_wide(k, t, r, tile=tile)[0]
         for k, t, r in zip(sharded_keys2, sharded_taxa, routers)
@@ -244,11 +240,7 @@ def shard_tiled_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray,
     equal-length (shard_index_by_range pads), so row counts match too."""
     tile = 16
     for r in routers:
-        t = 16
-        maxb = lookup_ops.max_bucket_span(r)
-        while t + 1 < maxb:
-            t *= 2
-        tile = max(tile, t)
+        tile = max(tile, lookup_ops.tile_for_span(lookup_ops.max_bucket_span(r)))
     tables = [
         lookup_ops.build_tiled(k, t, r, tile=tile)[0]
         for k, t, r in zip(sharded_keys, sharded_taxa, routers)

@@ -202,7 +202,7 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
 
 
 def ring_tables_for_host(location: str, ctx: HostContext, mesh, keys_rows,
-                         taxa_rows, routers_rows, key_bits: int):
+                         taxa_rows, routers_rows):
     """Per-shard TILED probe tables for the multi-host ring, built from the
     rows `ring_index_for_host` loaded for this host's devices.
 
@@ -219,11 +219,7 @@ def ring_tables_for_host(location: str, ctx: HostContext, mesh, keys_rows,
     # candidate geometry from this host's shards
     tile = 16
     for r in routers_rows:
-        t = 16
-        maxb = lookup_ops.max_bucket_span(r)
-        while t + 1 < maxb:
-            t *= 2
-        tile = max(tile, t)
+        tile = max(tile, lookup_ops.tile_for_span(lookup_ops.max_bucket_span(r)))
     agreed = allgather_objects({"tile": tile})
     tile = max(a["tile"] for a in agreed)
     tables = [
@@ -388,10 +384,18 @@ class MultiHostRingClassifier(_Classifier):
 
         self.ctx = ctx or initialize()
         mesh = global_mesh()
-        # base init on THIS host's shard range only (params/taxonomy/host
-        # glue); the routed probe avoids building host-side tables the ring
-        # never uses
-        local = load_index_for_host(location, self.ctx)
+        # base init with an EMPTY-range index (params/taxonomy/LUT only):
+        # the ring never probes self.index — loading this host's whole key
+        # range here would duplicate ring_index_for_host's IO AND upload the
+        # keys to device via the base routed-probe setup, for nothing
+        from ..index import KeyValueIndex
+
+        local = KeyValueIndex.load_shards(location, [], taxonomy=None)
+        if local.wide:
+            raise NotImplementedError(
+                "multi-host classify does not support wide (m > 31) indexes "
+                "yet; use --devices/--layout ring on one host instead"
+            )
         kwargs.setdefault("probe", "routed")
         kwargs.setdefault("packed_transfer", False)
         super().__init__(local, **kwargs)
@@ -440,7 +444,7 @@ class MultiHostRingClassifier(_Classifier):
         elif mh_probe == "tiled" and not local.wide:
             lk, lt, lr = local_rows
             gtables, tile = ring_tables_for_host(
-                location, self.ctx, mesh, lk, lt, lr, 2 * params.m
+                location, self.ctx, mesh, lk, lt, lr
             )
             self._ring_fn = pmesh.classify_ring_fn(
                 mesh, params.minimizer_params, self.max_taxa, rounds, bits,
@@ -552,8 +556,6 @@ class MultiHostRingClassifier(_Classifier):
     # -- global dispatch ------------------------------------------------------
 
     def _dispatch_codes(self, codes, titles, splits, row_lens):
-        import jax
-
         from ..ops import encode
 
         n_disp, rows, bucket = self._lockstep
@@ -563,12 +565,26 @@ class MultiHostRingClassifier(_Classifier):
             )
             codes = np.concatenate([codes, pad], axis=0)
         gcodes = global_rows(codes, self.mesh)
-        wt, nd, ch, res, hp, _counts = self._ring_fn(gcodes, *self._gargs)
-        # bring THIS process's rows home, then hand the LOCAL slices to the
-        # standard single-chip post-dispatch glue (the device finalize is
-        # re-dispatched on this host's own devices)
-        local = jax.tree_util.tree_map(collect_local, (wt, nd, ch, res, hp))
-        return self._post_dispatch(local, codes, titles, splits, row_lens)
+        outs = self._ring_fn(gcodes, *self._gargs)
+        # defer the blocking device->host collection to _harvest so the
+        # pending deque actually pipelines: the next batch can pack and
+        # dispatch while this one still rotates the ring
+        return ("mh", outs, codes, titles, splits, row_lens)
+
+    def _harvest(self, dispatched):
+        import jax
+
+        if isinstance(dispatched, tuple) and dispatched and dispatched[0] == "mh":
+            _, outs, codes, titles, splits, row_lens = dispatched
+            wt, nd, ch, res, hp, _counts = outs
+            # bring THIS process's rows home, then hand the LOCAL slices to
+            # the standard single-chip post-dispatch glue (the device
+            # finalize is re-dispatched on this host's own devices)
+            local = jax.tree_util.tree_map(collect_local, (wt, nd, ch, res, hp))
+            dispatched = self._post_dispatch(
+                local, codes, titles, splits, row_lens
+            )
+        return super()._harvest(dispatched)
 
     # -- merged reports -------------------------------------------------------
 

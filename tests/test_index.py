@@ -241,6 +241,82 @@ def test_remote_storage_memory_fs(rng):
     assert not storage.exists(loc)
 
 
+def test_reduce_records_final_run_straddles_chunk(rng):
+    """A run of equal keys straddling a chunk boundary — including the
+    ARRAY-FINAL run, which used to IndexError in the boundary snap — must
+    reduce exactly like the unchunked path."""
+    from slacken_tpu.index import reduce_records, reduce_records_wide
+
+    t = random_taxonomy(rng)
+    leaves = [x for x in t.taxa() if t.is_leaf(x)]
+    # 10 distinct keys then one key repeated 50x as the FINAL run
+    keys = np.concatenate([
+        np.sort(np.unique(rng.integers(1, 1 << 40, 16).astype(np.uint64))[:10]),
+        np.full(50, np.uint64(1 << 41)),
+    ])
+    taxa = rng.choice(leaves, len(keys)).astype(np.int32)
+    want_k, want_t = reduce_records(keys.copy(), taxa.copy(), t, chunk=1 << 22)
+    for chunk in (7, 16, 32):
+        got_k, got_t = reduce_records(keys.copy(), taxa.copy(), t, chunk=chunk)
+        assert np.array_equal(got_k, want_k)
+        assert np.array_equal(got_t, want_t)
+    # wide variant, same shape of bug
+    keys2 = np.stack([keys >> np.uint64(20), keys], axis=1)
+    want_k2, want_t2 = reduce_records_wide(keys2.copy(), taxa.copy(), t)
+    got_k2, got_t2 = reduce_records_wide(keys2.copy(), taxa.copy(), t, chunk=16)
+    assert np.array_equal(got_k2, want_k2)
+    assert np.array_equal(got_t2, want_t2)
+
+
+def test_sharded_persistence_keeps_ordering_lut(rng, tmp_path):
+    """save_sharded/load_shards must round-trip the explicit-ordering rank
+    LUT: without it a reloaded non-xor index silently probes xor priorities
+    and classifies nothing."""
+    from test_index import make_genomes
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=600)
+    idx = KeyValueIndex.build(
+        genomes, IndexParams(k=25, m=11, spaces=0, ordering="lexicographic"), t
+    )
+    assert idx.ordering_lut is not None
+    loc = str(tmp_path / "sharded_lex")
+    idx.save_sharded(loc, n_shards=4)
+    got = KeyValueIndex.load_shards(loc, taxonomy=t)
+    assert got.ordering_lut is not None
+    assert np.array_equal(got.ordering_lut, idx.ordering_lut)
+
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+
+    _, g = genomes[0]
+    frags = [Fragment("r", g[:101])]
+    cpar = ClassifyParams(thresholds=[0.0])
+    want = Classifier(idx).classify(frags, cpar)[0.0]
+    have = Classifier(got).classify(frags, cpar)[0.0]
+    assert want == have and want[0].classified
+
+
+def test_spill_collector_cleans_stale_files(rng, tmp_path):
+    """A crashed build's leftover spill files must not merge into the next
+    build using the same --spill-dir."""
+    from slacken_tpu.index import SpillCollector
+
+    t = random_taxonomy(rng)
+    d = str(tmp_path / "spill")
+    stale = SpillCollector(d)
+    stale.add(
+        np.array([1, 2, 3], np.uint64), np.array([5, 5, 5], np.int32)
+    )
+    stale.close()  # crash before reduce/cleanup: files remain on disk
+
+    fresh = SpillCollector(d)
+    fresh.add(np.array([10, 11], np.uint64), np.array([7, 7], np.int32))
+    keys, taxa, _ = fresh.reduce(t)
+    fresh.cleanup()
+    assert np.array_equal(keys, np.array([10, 11], np.uint64))
+    assert np.array_equal(taxa, np.array([7, 7], np.int32))
+
+
 def test_device_reduce_build_matches_host(rng, monkeypatch):
     """The device-resident build (batch sort/dedup + hierarchical
     _reduce_chunks_kernel LCA reduction) must produce a bit-identical index
