@@ -141,7 +141,33 @@ CODES_RES = None  # resident [8192, 128] codes
 @guard("load_index")
 def exp_load_index():
     global IDX, CODES_RES
-    IDX = KeyValueIndex.load("/root/repo/.bench_cache/idx")
+    cache = "/root/repo/.bench_cache/idx"
+    if not os.path.exists(os.path.join(cache, "params.json")):
+        # the cache is gitignored and may be wiped between sessions; build
+        # it here rather than burning a tunnel window on a FileNotFoundError
+        # (r4_session5). Same deterministic library/params as bench.py.
+        import importlib.util as _ilu
+
+        from slacken_tpu.index import IndexParams
+        from slacken_tpu.taxonomy import Taxonomy
+
+        spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+        bench = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        nodes = [(1, 1, "root"), (455631, 1, "species"),
+                 (526997, 1, "species"), (9606, 1, "species")]
+        tax = Taxonomy.from_nodes_and_names(
+            nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+        )
+        idx = KeyValueIndex.build(
+            bench.synthetic_library(np.random.default_rng(20260816)),
+            IndexParams(k=35, m=31, spaces=7),
+            tax,
+            batch_rows=32,
+            row_len=1 << 16,
+        )
+        idx.save(cache)
+    IDX = KeyValueIndex.load(cache)
     t0 = time.time()
     jax.block_until_ready((IDX.device_keys.hi, IDX.device_taxa, IDX.device_router))
     up = time.time() - t0
@@ -1950,20 +1976,28 @@ def exp_e2e7():
     packed, n_reads = _e2e_reads()
     out = {"n_reads": n_reads}
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
-    for bp in (1 << 22, 1 << 23, 1 << 24):
-        cls = Classifier(IDX, target_batch_bp=bp, probe="hashed1",
-                         packed_transfer=True)
+    # 16 Mbp is OUT: the dense hashed1 probe materialises a [Q, 3*128] u32
+    # gather result, which at 16M positions is ~24 GB — the r4_session5
+    # compile OOMed exactly there (u32[16777216,384] > 16 GB HBM)
+    for bp, depth in ((1 << 22, 3), (1 << 23, 3), (1 << 23, 6)):
+        label = f"hashed1_{bp >> 20}M_d{depth}"
+        os.environ["STPU_PIPELINE_DEPTH"] = str(depth)
         loc = tempfile.mkdtemp(prefix="stpu_e2e7_")
         try:
+            cls = Classifier(IDX, target_batch_bp=bp, probe="hashed1",
+                             packed_transfer=True)
             cls.classify_and_write_packed(packed[:1], loc + "/warm", cpar)
             best = 0.0
             for t in range(3):
                 t0 = time.time()
                 cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
                 best = max(best, n_reads / (time.time() - t0))
-            out[f"hashed1_{bp >> 20}M_reads_s"] = round(best)
+            out[f"{label}_reads_s"] = round(best)
+        except Exception as e:  # noqa: BLE001 - one OOM must not kill the sweep
+            out[f"{label}_error"] = f"{type(e).__name__}: {e}"[:200]
         finally:
             shutil.rmtree(loc, ignore_errors=True)
+            os.environ.pop("STPU_PIPELINE_DEPTH", None)
     return out
 
 

@@ -37,9 +37,24 @@ from ..ops.minimizers import MinimizerParams, window_minimizers
 from ..ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis: str = "data",
+    platform: Optional[str] = None,
+) -> Mesh:
+    """1-D device mesh over the default backend (or an explicit `platform`,
+    e.g. "cpu" for the virtual-device dryrun — the default backend may
+    already be pinned to a single remote TPU by the time the caller runs).
+    Asking for more devices than the platform has is a loud error: silently
+    folding to fewer devices would make every `n`-derived shard shape wrong.
+    """
+    devs = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but platform "
+                f"{platform or jax.default_backend()!r} has {len(devs)}"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
