@@ -183,10 +183,15 @@ def main(force_cpu: bool = False):
 
     # second north-star metric (BASELINE.json): DB-build throughput — build
     # the classify library itself (8 Mbp / 3 genomes) fresh every run, so the
-    # number measures the production build at a non-toy scale
+    # number measures the production build at a non-toy scale. The warmup
+    # must run the FULL 8 Mbp shapes: a tiny warmup leaves the big-shape
+    # executables to be compiled (or deserialized from the persistent cache)
+    # inside the timed run — ~2-3 s of one-time cost that a production
+    # multi-hour build would never see per batch (r4_session6 build6 trace).
     build_bp = 8_000_000
-    KeyValueIndex.build(  # warm up / compile the build kernel shapes
-        [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
+    KeyValueIndex.build(
+        synthetic_library(np.random.default_rng(20260816)),
+        IndexParams(k=35, m=31, spaces=7), tax,
         batch_rows=32, row_len=1 << 16,
     )
     _mark("build warm done")

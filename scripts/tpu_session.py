@@ -2125,6 +2125,98 @@ def exp_scale_classify2():
     return out
 
 
+@guard("bench_warm")
+def exp_bench_warm():
+    """Warm the persistent jit cache with EXACTLY the shapes bench.py
+    compiles (the .jax_cache + .bench_cache are gitignored and were wiped
+    between rounds — a cold driver bench burns its stall budget on
+    compiles). Replicates bench.py's classify path (default Classifier,
+    warm batch + full workload) and its tiny warmup build. The full 8 Mbp
+    fresh-build shapes are warmed by load_index's cache rebuild + build6."""
+    import shutil
+    import tempfile
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    cls = Classifier(IDX)  # bench.py uses pure defaults
+    loc = tempfile.mkdtemp(prefix="stpu_benchwarm_")
+    try:
+        t0 = time.time()
+        cls.classify_and_write_packed(packed[:1], loc + "/warm", cpar)
+        out["warm_batch_s"] = round(time.time() - t0, 1)
+        best = 0.0
+        for t in range(3):
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
+            best = max(best, n_reads / (time.time() - t0))
+        out["bench_path_reads_s"] = round(best)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    t0 = time.time()
+    KeyValueIndex.build(  # bench.py's tiny build-warmup shapes
+        [(9606, "ACGT" * 100)], IndexParams(k=35, m=31, spaces=7), tax,
+        batch_rows=32, row_len=1 << 16,
+    )
+    out["tiny_build_s"] = round(time.time() - t0, 1)
+    return out
+
+
+@guard("build6")
+def exp_build6():
+    """Phase-traced fresh bench build (the exact bench.py measurement):
+    build4 accounted for ~1.2s of the measured ~4.1s warm build — where do
+    the other ~3s go? STPU_BUILD_TRACE times fragment generation,
+    encode_seq, host packing, kernel dispatch, device reduces, and the
+    final d2h inside KeyValueIndex.build itself."""
+    import importlib.util as _ilu
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+
+    spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    out = {}
+    os.environ["STPU_BUILD_TRACE"] = "1"
+    try:
+        for trial in ("cold", "warm"):
+            t0 = time.time()
+            idx = KeyValueIndex.build(
+                bench.synthetic_library(np.random.default_rng(20260816)),
+                IndexParams(k=35, m=31, spaces=7), tax,
+                batch_rows=32, row_len=1 << 16,
+            )
+            dt = time.time() - t0
+            out[f"{trial}_s"] = round(dt, 2)
+            out[f"{trial}_mbp_s"] = round(8.0 / dt, 2)
+            ph = getattr(idx, "_build_phases", None)
+            if ph is not None:
+                out[f"{trial}_phases"] = {
+                    k: round(v, 2) for k, v in sorted(
+                        ph.totals.items(), key=lambda kv: -kv[1]
+                    )
+                }
+            out[f"{trial}_records"] = len(idx.keys)
+    finally:
+        os.environ.pop("STPU_BUILD_TRACE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -2164,6 +2256,8 @@ if __name__ == "__main__":
         "e2e9": exp_e2e9,
         "e2e10": exp_e2e10,
         "scale_classify2": exp_scale_classify2,
+        "bench_warm": exp_bench_warm,
+        "build6": exp_build6,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

@@ -726,6 +726,42 @@ class KeyValueIndex:
         elif ordering_lut is not None:
             raise ValueError('ordering_lut given but params.ordering == "xor"')
         collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
+        # opt-in phase accounting (STPU_BUILD_TRACE=1): where does build
+        # wall-clock go in a given environment? The report prints to stderr
+        # and is attached to the returned index as _build_phases.
+        import os as _os
+
+        from .utils import PhaseTimers
+
+        trace = PhaseTimers() if _os.environ.get("STPU_BUILD_TRACE") == "1" else None
+
+        if trace is not None:
+            _inner_frag = fragments
+
+            def _timed_frags():
+                it = iter(_inner_frag)
+                while True:
+                    with trace.phase("fragment_source"):
+                        try:
+                            item = next(it)
+                        except StopIteration:
+                            return
+                    yield item
+
+            fragments = _timed_frags()
+
+        import contextlib as _contextlib
+        import sys as _sys
+
+        def _ph(name):
+            return trace.phase(name) if trace is not None else _contextlib.nullcontext()
+
+        def _attach_trace(idx):
+            if trace is not None:
+                print("build phases:", file=_sys.stderr)
+                trace.report()
+                idx._build_phases = trace
+
         buf_seqs: List[np.ndarray] = []
         buf_taxa: List[int] = []
         # spans occupy ~1/3 of positions on typical DNA; cap at 1/2 with a
@@ -793,14 +829,15 @@ class KeyValueIndex:
             """Concatenate device record arrays and LCA-reduce on device,
             returning the bucket-sliced result and its logical count."""
             nonlocal table_dev
-            if table_dev is None:
-                table_dev = jnp.asarray(taxonomy.rpath_table())
-            hi = jnp.concatenate([c[0] for c in parts])
-            lo = jnp.concatenate([c[1] for c in parts])
-            tx = jnp.concatenate([c[2] for c in parts]).view(jnp.int32)
-            red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
-            n = int(np.asarray(n_runs))
-            return red[:, : _bucket(n)], n
+            with _ph("device_reduce"):
+                if table_dev is None:
+                    table_dev = jnp.asarray(taxonomy.rpath_table())
+                hi = jnp.concatenate([c[0] for c in parts])
+                lo = jnp.concatenate([c[1] for c in parts])
+                tx = jnp.concatenate([c[2] for c in parts]).view(jnp.int32)
+                red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
+                n = int(np.asarray(n_runs))
+                return red[:, : _bucket(n)], n
 
         def reduce_raw():
             """Fold the pending raw batches into one reduced leaf, then
@@ -859,23 +896,25 @@ class KeyValueIndex:
         def flush():
             if not buf_seqs:
                 return
-            codes, _ = encode.pack_batch(buf_seqs, row_len)
-            taxa_rows = np.zeros(batch_rows, np.int32)
-            taxa_rows[: len(buf_taxa)] = buf_taxa
-            if codes.shape[0] < batch_rows:
-                pad = np.full(
-                    (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
-                )
-                codes = np.concatenate([codes, pad], axis=0)
-            buf_seqs.clear()
-            buf_taxa.clear()
+            with _ph("pack_batch"):
+                codes, _ = encode.pack_batch(buf_seqs, row_len)
+                taxa_rows = np.zeros(batch_rows, np.int32)
+                taxa_rows[: len(buf_taxa)] = buf_taxa
+                if codes.shape[0] < batch_rows:
+                    pad = np.full(
+                        (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
+                    )
+                    codes = np.concatenate([codes, pad], axis=0)
+                buf_seqs.clear()
+                buf_taxa.clear()
             if mp.wide:
                 k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
                 collector.add(k2, t2)
                 return
             if device_reduce:
-                out = _build_batch_kernel(codes, taxa_rows, mp, cap_dr, lut)
-                chunks.append(out[:, :cap_dr])
+                with _ph("kernel_dispatch"):
+                    out = _build_batch_kernel(codes, taxa_rows, mp, cap_dr, lut)
+                    chunks.append(out[:, :cap_dr])
                 if sum(c.shape[1] for c in chunks) >= superbatch:
                     reduce_raw()
                 return
@@ -884,8 +923,9 @@ class KeyValueIndex:
                 # whole raw-extraction + C++ radix dedup path (1013 vs
                 # 131+168 ms on a 2 Mbp batch); the device sort/dedup only
                 # pays where it shrinks the device->host transfer (TPU)
-                k, t = spans_to_records(codes, taxa_rows, mp, lut)
-                collector.add(k, t)
+                with _ph("spans_to_records"):
+                    k, t = spans_to_records(codes, taxa_rows, mp, lut)
+                    collector.add(k, t)
                 return
             # async dispatch: the next batch packs on the host while this one
             # scans/sorts on device and its single output array transfers
@@ -902,7 +942,8 @@ class KeyValueIndex:
             if taxon_filter is not None and taxon not in taxon_filter:
                 continue
             if isinstance(seq, str):
-                seq = encode.encode_seq(seq)
+                with _ph("encode_seq"):
+                    seq = encode.encode_seq(seq)
             # split long sequences with overlap
             step = row_len - (params.k - 1)
             for off in range(0, max(len(seq) - params.k + 1, 1), step):
@@ -927,49 +968,59 @@ class KeyValueIndex:
                         out[0, :n].astype(np.uint64) << np.uint64(32)
                     ) | out[1, :n]
                     host_leaves.append((k_tail, out[2, :n].view(np.int32).copy()))
-                pair_keys = np.concatenate([k for k, _ in host_leaves])
-                pair_taxa = np.concatenate([t for _, t in host_leaves])
-                host_leaves.clear()
-                pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
-                keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+                with _ph("host_leaf_merge"):
+                    pair_keys = np.concatenate([k for k, _ in host_leaves])
+                    pair_taxa = np.concatenate([t for _, t in host_leaves])
+                    host_leaves.clear()
+                    pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+                    keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
             elif not chunks and not reduced:
                 keys = np.zeros(0, np.uint64)
                 taxa = np.zeros(0, np.int32)
             else:
                 red, n = reduce_chunks(final=True)
-                out = np.asarray(red)  # ONE transfer: the finished index
-                keys = (out[0, :n].astype(np.uint64) << np.uint64(32)) | out[1, :n]
-                taxa = out[2, :n].view(np.int32).copy()
+                with _ph("final_d2h"):
+                    out = np.asarray(red)  # ONE transfer: the finished index
+                with _ph("final_unpack"):
+                    keys = (
+                        out[0, :n].astype(np.uint64) << np.uint64(32)
+                    ) | out[1, :n]
+                    taxa = out[2, :n].view(np.int32).copy()
             idx = cls(keys, taxa, params, taxonomy)
             if lut is not None:
                 idx.ordering_lut = np.asarray(lut)
+            _attach_trace(idx)
             return idx
 
         if spill_dir:
-            keys, taxa, recs = collector.reduce(taxonomy, keep_records)
-            collector.cleanup()
+            with _ph("host_reduce"):
+                keys, taxa, recs = collector.reduce(taxonomy, keep_records)
+                collector.cleanup()
             idx = cls(keys, taxa, params, taxonomy)
             if lut is not None:
                 idx.ordering_lut = np.asarray(lut)
             if recs is not None:
                 idx.record_keys, idx.record_taxa = recs
+            _attach_trace(idx)
             return idx
 
-        pair_keys, pair_taxa = collector.concat()
-        if mp.wide:
-            if pair_keys.ndim == 1:  # empty library: concat() default shape
-                pair_keys = pair_keys.reshape(0, 2)
-            pair_keys, pair_taxa = dedup_pairs_wide(pair_keys, pair_taxa)
-            keys, taxa = reduce_records_wide(pair_keys, pair_taxa, taxonomy)
-        else:
-            pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
-            keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+        with _ph("host_reduce"):
+            pair_keys, pair_taxa = collector.concat()
+            if mp.wide:
+                if pair_keys.ndim == 1:  # empty library: concat() default shape
+                    pair_keys = pair_keys.reshape(0, 2)
+                pair_keys, pair_taxa = dedup_pairs_wide(pair_keys, pair_taxa)
+                keys, taxa = reduce_records_wide(pair_keys, pair_taxa, taxonomy)
+            else:
+                pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+                keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
         idx = cls(keys, taxa, params, taxonomy)
         if lut is not None:
             idx.ordering_lut = np.asarray(lut)
         if keep_records:
             idx.record_keys = pair_keys
             idx.record_taxa = pair_taxa
+        _attach_trace(idx)
         return idx
 
     # -- persistence --------------------------------------------------------

@@ -347,3 +347,24 @@ def test_device_reduce_build_matches_host(rng, monkeypatch):
     spilled = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
     assert np.array_equal(host.keys, spilled.keys)
     assert np.array_equal(host.taxa, spilled.taxa)
+
+
+def test_build_trace_phases(rng, monkeypatch):
+    """STPU_BUILD_TRACE=1 attaches a PhaseTimers accounting to the index on
+    both the host path and the device-reduce path, without changing the
+    result (the bench build6 experiment reads idx._build_phases)."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=3, length=400)
+    params = IndexParams(k=35, m=31, spaces=7)
+    base = KeyValueIndex.build(genomes, params, t, row_len=256)
+
+    monkeypatch.setenv("STPU_BUILD_TRACE", "1")
+    for dev in ("0", "1"):
+        monkeypatch.setenv("STPU_BUILD_DEVICE", dev)
+        idx = KeyValueIndex.build(genomes, params, t, row_len=256)
+        assert np.array_equal(idx.keys, base.keys)
+        assert np.array_equal(idx.taxa, base.taxa)
+        ph = idx._build_phases
+        assert ph.totals and all(v >= 0 for v in ph.totals.values())
+        expect = "device_reduce" if dev == "1" else "spans_to_records"
+        assert expect in ph.totals
