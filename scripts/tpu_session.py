@@ -2217,6 +2217,89 @@ def exp_build6():
     return out
 
 
+@guard("build7")
+def exp_build7():
+    """Attack the two dominant warm-build phases found by build6
+    (final_d2h 1.62s, device_reduce 1.11s of a 2.86s build):
+    (a) characterize d2h layout cost — [3, X] u32 (the reduce output, whose
+    3-row sublane dim pads to 8 under (8,128) tiling) vs a 1-D ravel vs a
+    plain 1-D array of the same bytes; (b) h2d of a raw [32, 65536] u8
+    codes batch vs its 2-bit packing (is a packed build transfer worth
+    implementing?); (c) A/B the full bench build with STPU_BUILD_FLAT_D2H."""
+    import importlib.util as _ilu
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+    from slacken_tpu.ops import encode as enc
+
+    out = {}
+    X = 2_883_584  # bucket(2623028): the real final-transfer shape
+    rng = np.random.default_rng(3)
+    host23 = rng.integers(0, 1 << 32, (3, X), dtype=np.uint32)
+    a23 = jax.device_put(host23)
+    jax.block_until_ready(a23)
+    for label, fetch in (
+        ("d2h_3xX", lambda: np.asarray(a23)),
+        ("d2h_ravel", lambda: np.asarray(jnp.ravel(a23))),
+        ("d2h_flat1d", lambda: np.asarray(jax.device_put(host23.reshape(-1)))),
+    ):
+        fetch()  # warm any relayout compile
+        t0 = time.time()
+        fetch()
+        dt = time.time() - t0
+        out[f"{label}_s"] = round(dt, 2)
+        out[f"{label}_MB_s"] = round(host23.nbytes / dt / 1e6, 1)
+    del a23
+
+    codes = rng.integers(0, 4, (32, 1 << 16), dtype=np.uint8)
+    t0 = time.time()
+    for _ in range(4):
+        jax.block_until_ready(jax.device_put(codes))
+    out["h2d_codes_2Mbp_ms"] = round((time.time() - t0) / 4 * 1e3, 1)
+    packed, valid = enc.pack_2bit(codes)
+    t0 = time.time()
+    for _ in range(4):
+        jax.block_until_ready(
+            (jax.device_put(packed), jax.device_put(valid))
+        )
+    out["h2d_packed_2Mbp_ms"] = round((time.time() - t0) / 4 * 1e3, 1)
+
+    spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    os.environ["STPU_BUILD_TRACE"] = "1"
+    try:
+        for flat in ("0", "1", "1b"):
+            os.environ["STPU_BUILD_FLAT_D2H"] = flat[0]
+            t0 = time.time()
+            idx = KeyValueIndex.build(
+                bench.synthetic_library(np.random.default_rng(20260816)),
+                IndexParams(k=35, m=31, spaces=7), tax,
+                batch_rows=32, row_len=1 << 16,
+            )
+            dt = time.time() - t0
+            out[f"flat{flat}_s"] = round(dt, 2)
+            out[f"flat{flat}_mbp_s"] = round(8.0 / dt, 2)
+            ph = getattr(idx, "_build_phases", None)
+            if ph is not None:
+                out[f"flat{flat}_d2h_s"] = round(
+                    ph.totals.get("final_d2h", 0.0), 2
+                )
+                out[f"flat{flat}_reduce_s"] = round(
+                    ph.totals.get("device_reduce", 0.0), 2
+                )
+            out[f"flat{flat}_records"] = len(idx.keys)
+    finally:
+        os.environ.pop("STPU_BUILD_FLAT_D2H", None)
+        os.environ.pop("STPU_BUILD_TRACE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -2258,6 +2341,7 @@ if __name__ == "__main__":
         "scale_classify2": exp_scale_classify2,
         "bench_warm": exp_bench_warm,
         "build6": exp_build6,
+        "build7": exp_build7,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

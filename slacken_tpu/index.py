@@ -816,9 +816,24 @@ class KeyValueIndex:
             _os.environ.get("STPU_BUILD_DEVICE_BUDGET", 48 << 20)
         )
         host_leaves: List[Tuple[np.ndarray, np.ndarray]] = []
+        # ravel device [3, X] record arrays before d2h (TPU default): the
+        # 3-row sublane dim pads to 8 under (8,128) tiling and the padded
+        # layout transfers ~2.7x the logical bytes on the measured tunnel
+        # (r4_session7 build7); the 1-D relayout copy is HBM-cheap.
+        _flat_env = _os.environ.get("STPU_BUILD_FLAT_D2H")
+        flat_d2h = (
+            jax.default_backend() != "cpu" if _flat_env is None else _flat_env == "1"
+        )
+
+        def _fetch_records(arr):
+            """One d2h of a [3, X] device record array, padding-free."""
+            if flat_d2h:
+                return np.asarray(jnp.ravel(arr)).reshape(arr.shape)
+            return np.asarray(arr)
 
         def _spill_leaf(leaf, count):
-            out = np.asarray(leaf)
+            with _ph("leaf_d2h"):
+                out = _fetch_records(leaf)
             keys = (out[0, :count].astype(np.uint64) << np.uint64(32)) | out[1, :count]
             host_leaves.append((keys, out[2, :count].view(np.int32).copy()))
 
@@ -980,7 +995,7 @@ class KeyValueIndex:
             else:
                 red, n = reduce_chunks(final=True)
                 with _ph("final_d2h"):
-                    out = np.asarray(red)  # ONE transfer: the finished index
+                    out = _fetch_records(red)  # ONE transfer: the finished index
                 with _ph("final_unpack"):
                     keys = (
                         out[0, :n].astype(np.uint64) << np.uint64(32)

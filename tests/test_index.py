@@ -368,3 +368,19 @@ def test_build_trace_phases(rng, monkeypatch):
         assert ph.totals and all(v >= 0 for v in ph.totals.values())
         expect = "device_reduce" if dev == "1" else "spans_to_records"
         assert expect in ph.totals
+
+
+def test_build_flat_d2h_identical(rng, monkeypatch):
+    """The ravel-before-transfer final d2h (TPU default) is a pure layout
+    change: forced on via STPU_BUILD_FLAT_D2H it must produce the identical
+    index on any backend."""
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=500)
+    params = IndexParams(k=35, m=31, spaces=7)
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "1")
+    monkeypatch.setenv("STPU_BUILD_FLAT_D2H", "0")
+    base = KeyValueIndex.build(genomes, params, t, row_len=256)
+    monkeypatch.setenv("STPU_BUILD_FLAT_D2H", "1")
+    flat = KeyValueIndex.build(genomes, params, t, row_len=256)
+    assert np.array_equal(base.keys, flat.keys)
+    assert np.array_equal(base.taxa, flat.taxa)
