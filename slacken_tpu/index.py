@@ -313,10 +313,14 @@ class SpillCollector:
     KeyValueIndex.scala:125-139).
     """
 
-    def __init__(self, directory: str, n_ranges: int = 64):
+    def __init__(self, directory: str, n_ranges: int = 64, m: int = 31):
         os.makedirs(directory, exist_ok=True)
         self.dir = directory
         self.n_ranges = n_ranges
+        #: wide (m > 31) collectors store [N, 2] uint64 keys and partition on
+        #: the top 64 bits of the 2m-bit priority
+        self.wide = m > 31
+        self._m = m
         # a previous crashed build's spill files would silently merge into
         # this build (files are opened in append mode): remove any of OUR
         # range files up front so every build starts from a clean slate
@@ -326,15 +330,31 @@ class SpillCollector:
             os.unlink(stale)
         for stale in _glob.glob(os.path.join(directory, "t[0-9]*.bin")):
             os.unlink(stale)
-        # uniform boundaries over the 62-bit priority space (XOR-scrambled
-        # keys are uniform)
-        self.bounds = (np.arange(1, n_ranges) * ((1 << 62) // n_ranges)).astype(np.uint64)
+        # uniform boundaries over the priority space (XOR-scrambled keys are
+        # uniform): 62 bits narrow (2*31), the top-64-bit projection wide
+        space_bits = 64 if self.wide else 62
+        self.bounds = (
+            np.arange(1, n_ranges) * ((1 << space_bits) // n_ranges)
+        ).astype(np.uint64)
         self._files = {}
+
+    def _part_key(self, keys: np.ndarray) -> np.ndarray:
+        """uint64 projection that preserves key order for range partitioning:
+        the key itself (narrow) or the top 64 of the 2m priority bits (wide;
+        hi holds bits 64..2m-1, so the projection spans both limbs)."""
+        if not self.wide:
+            return keys
+        shift = 2 * self._m - 64  # in [0, 62] for 31 < m <= 63
+        if shift == 0:
+            return keys[:, 1]
+        return (keys[:, 0] << np.uint64(64 - shift)) | (
+            keys[:, 1] >> np.uint64(shift)
+        )
 
     def add(self, keys: np.ndarray, taxa: np.ndarray):
         keys = np.asarray(keys, np.uint64)
         taxa = np.asarray(taxa, np.int32)
-        part = np.searchsorted(self.bounds, keys, side="right")
+        part = np.searchsorted(self.bounds, self._part_key(keys), side="right")
         order = np.argsort(part, kind="stable")
         keys, taxa, part = keys[order], taxa[order], part[order]
         edges = np.searchsorted(part, np.arange(self.n_ranges + 1))
@@ -370,15 +390,24 @@ class SpillCollector:
             if not os.path.exists(kp):
                 continue
             keys = np.fromfile(kp, dtype=np.uint64)
+            if self.wide:
+                keys = keys.reshape(-1, 2)
             taxa = np.fromfile(os.path.join(self.dir, f"t{r:04d}.bin"), dtype=np.int32)
-            pk, pt = dedup_pairs(keys, taxa)
+            if self.wide:
+                pk, pt = dedup_pairs_wide(keys, taxa)
+            else:
+                pk, pt = dedup_pairs(keys, taxa)
             if keep_records:
                 rec_keys.append(pk)
                 rec_taxa.append(pt)
-            k2, t2 = reduce_records(pk, pt, taxonomy)
+            if self.wide:
+                k2, t2 = reduce_records_wide(pk, pt, taxonomy)
+            else:
+                k2, t2 = reduce_records(pk, pt, taxonomy)
             out_keys.append(k2)
             out_taxa.append(t2)
-        keys = np.concatenate(out_keys) if out_keys else np.zeros(0, np.uint64)
+        empty_keys = np.zeros((0, 2) if self.wide else 0, np.uint64)
+        keys = np.concatenate(out_keys) if out_keys else empty_keys
         taxa = np.concatenate(out_taxa) if out_taxa else np.zeros(0, np.int32)
         recs = (
             (np.concatenate(rec_keys), np.concatenate(rec_taxa))
@@ -707,8 +736,6 @@ class KeyValueIndex:
         KeyValueIndex.scala:102-113).
         """
         mp = params.minimizer_params.validate()
-        if mp.wide and spill_dir:
-            raise NotImplementedError("spill builds require m <= 31")
         lut = None
         if params.ordering != "xor":
             from .ops import ordering as ordering_ops
@@ -725,7 +752,9 @@ class KeyValueIndex:
                 lut = jnp.asarray(ordering_lut)
         elif ordering_lut is not None:
             raise ValueError('ordering_lut given but params.ordering == "xor"')
-        collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
+        collector = (
+            SpillCollector(spill_dir, m=params.m) if spill_dir else RecordCollector()
+        )
         # opt-in phase accounting (STPU_BUILD_TRACE=1): where does build
         # wall-clock go in a given environment? The report prints to stderr
         # and is attached to the returned index as _build_phases.
@@ -816,10 +845,12 @@ class KeyValueIndex:
             _os.environ.get("STPU_BUILD_DEVICE_BUDGET", 48 << 20)
         )
         host_leaves: List[Tuple[np.ndarray, np.ndarray]] = []
-        # ravel device [3, X] record arrays before d2h (TPU default): the
-        # 3-row sublane dim pads to 8 under (8,128) tiling and the padded
-        # layout transfers ~2.7x the logical bytes on the measured tunnel
-        # (r4_session7 build7); the 1-D relayout copy is HBM-cheap.
+        # ravel device [3, X] record arrays before d2h (TPU default): a 1-D
+        # array has no (8, 128) sublane padding for the transfer path to
+        # carry or relayout, and the device-side ravel copy is HBM-cheap.
+        # A/B through the full bench build (r4_session7 build7): flat1
+        # 2.2 s vs flat0 4.9 s — within the tunnel's large run-to-run
+        # variance, so treated as "never worse, sometimes much better".
         _flat_env = _os.environ.get("STPU_BUILD_FLAT_D2H")
         flat_d2h = (
             jax.default_backend() != "cpu" if _flat_env is None else _flat_env == "1"
@@ -1138,7 +1169,7 @@ class KeyValueIndex:
         ids = shard_ids if shard_ids is not None else list(range(n_shards))
         keys = np.concatenate(
             [storage.np_load(storage.join(location, f"keys.{i:05d}.npy")) for i in ids]
-        ) if ids else np.zeros(0, np.uint64)
+        ) if ids else np.zeros((0, 2) if params.m > 31 else 0, np.uint64)
         taxa = np.concatenate(
             [storage.np_load(storage.join(location, f"taxa.{i:05d}.npy")) for i in ids]
         ) if ids else np.zeros(0, np.int32)

@@ -158,8 +158,13 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
     local_rows = [
         d for d in range(n) if devs[d].process_index == ctx.process_index
     ]
+    wide = params.m > 31
+    # pad with the LARGEST key-space value: it never matches a real query
+    # (same convention as mesh.shard_index_by_range[_wide])
     sent = np.uint64(0xFFFFFFFFFFFFFFFF)
-    kh, kl, tx, rt = [], [], [], []
+    hi_pad = np.uint64((1 << (key_bits - 64)) - 1) if wide else sent
+    limbs = [[] for _ in range(4 if wide else 2)]
+    tx, rt = [], []
     local_keys, local_taxa = [], []  # host-side rows (probe-table building)
     rounds = 1
     for d in local_rows:
@@ -171,12 +176,27 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
             [storage.np_load(storage.join(location, f"taxa.{i:05d}.npy")) for i in ids]
         )
         pad = row_len - len(keys)
-        keys = np.concatenate([keys, np.full(pad, sent)])
+        if wide:
+            keys = np.concatenate(
+                [keys.reshape(-1, 2), np.stack(
+                    [np.full(pad, hi_pad), np.full(pad, sent)], axis=1
+                )]
+            )
+            router = lookup_ops.build_router_wide(keys, bits, key_bits)
+            for li, col in enumerate((
+                (keys[:, 0] >> np.uint64(32)).astype(np.uint32),
+                keys[:, 0].astype(np.uint32),
+                (keys[:, 1] >> np.uint64(32)).astype(np.uint32),
+                keys[:, 1].astype(np.uint32),
+            )):
+                limbs[li].append(col)
+        else:
+            keys = np.concatenate([keys, np.full(pad, sent)])
+            router = lookup_ops.build_router(keys, bits, key_bits)
+            limbs[0].append((keys >> np.uint64(32)).astype(np.uint32))
+            limbs[1].append(keys.astype(np.uint32))
         taxa = np.concatenate([taxa, np.zeros(pad, np.int32)]).astype(np.int32)
-        router = lookup_ops.build_router(keys, bits, key_bits)
         rounds = max(rounds, lookup_ops.router_rounds(router))
-        kh.append((keys >> np.uint64(32)).astype(np.uint32))
-        kl.append(keys.astype(np.uint32))
         tx.append(taxa)
         rt.append(router)
         local_keys.append(keys)
@@ -195,7 +215,7 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
             sh, local, global_shape=(n,) + local.shape[1:]
         )
 
-    out = (mk(kh), mk(kl), mk(tx), mk(rt), rounds, bits, params)
+    out = tuple(mk(l) for l in limbs) + (mk(tx), mk(rt), rounds, bits, params)
     if return_local:
         return out + ((local_keys, local_taxa, rt),)
     return out
@@ -391,11 +411,6 @@ class MultiHostRingClassifier(_Classifier):
         from ..index import KeyValueIndex
 
         local = KeyValueIndex.load_shards(location, [], taxonomy=None)
-        if local.wide:
-            raise NotImplementedError(
-                "multi-host classify does not support wide (m > 31) indexes "
-                "yet; use --devices/--layout ring on one host instead"
-            )
         kwargs.setdefault("probe", "routed")
         kwargs.setdefault("packed_transfer", False)
         super().__init__(local, **kwargs)
@@ -404,9 +419,11 @@ class MultiHostRingClassifier(_Classifier):
         self.n_global = mesh.devices.size
         self.local_devices = jax.local_device_count()
 
-        kh, kl, tx, rt, rounds, bits, params, local_rows = ring_index_for_host(
-            location, self.ctx, mesh, return_local=True
-        )
+        ring = ring_index_for_host(location, self.ctx, mesh, return_local=True)
+        if local.wide:
+            khh, khl, klh, kll, tx, rt, rounds, bits, params, local_rows = ring
+        else:
+            kh, kl, tx, rt, rounds, bits, params, local_rows = ring
         table = np.asarray(local.taxonomy.rpath_table())
         gtable = jax.make_array_from_process_local_data(
             NamedSharding(mesh, P()), table, global_shape=table.shape
@@ -418,12 +435,17 @@ class MultiHostRingClassifier(_Classifier):
         # STPU_MH_PROBE overrides (routed/tiled/hashed/hashed1).
         mh_probe = mh_probe or os.environ.get(
             "STPU_MH_PROBE",
-            "routed" if jax.default_backend() == "cpu" else "hashed1",
+            "routed" if (jax.default_backend() == "cpu" or local.wide)
+            else "hashed1",
         )
         if mh_probe not in ("routed", "tiled", "hashed", "hashed1"):
             raise ValueError(
                 f"multi-host ring supports routed/tiled/hashed/hashed1 "
                 f"probes, not {mh_probe!r}"
+            )
+        if local.wide and mh_probe != "routed":
+            raise ValueError(
+                "wide (m > 31) multi-host indexes support the routed probe"
             )
         if mh_probe in ("hashed", "hashed1") and not local.wide:
             lk, lt, _ = local_rows
@@ -452,6 +474,12 @@ class MultiHostRingClassifier(_Classifier):
                 lut=local.device_lut,
             )
             self._gargs = (gtables, rt, gtable)
+        elif local.wide:
+            self._ring_fn = pmesh.classify_ring_fn(
+                mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+                probe=("routed_wide",), key_bits=2 * params.m,
+            )
+            self._gargs = (khh, khl, klh, kll, tx, rt, gtable)
         else:
             self._ring_fn = pmesh.classify_ring_fn(
                 mesh, params.minimizer_params, self.max_taxa, rounds, bits,

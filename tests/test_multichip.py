@@ -917,3 +917,44 @@ def test_span_hits_mesh_matches_single_device(rng):
     for fn, args in runs:
         got = extract(*fn(codes, *args))
         assert got == want
+
+
+def test_multihost_wide_byte_identical(rng, tmp_path):
+    """Wide (m > 31) indexes on the multi-host ring: 4-limb key rows and the
+    routed_wide probe produce exactly the single-device results (the
+    reference's Spark shuffle covers all m <= 63 uniformly). Single-process
+    degenerate run; the limb assembly, wide routers, and lockstep glue all
+    execute."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.parallel import multihost
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=900)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=50, m=45, spaces=7), t)
+    loc = str(tmp_path / "sharded_wide")
+    idx.save_sharded(loc, n_shards=8)
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode
+
+    reads = []
+    for i in range(21):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        reads.append(g[s : s + 101])
+    codes, _ = encode.pack_batch(reads, 128)
+    packed = native.PackedReads(
+        codes, np.full(len(reads), 101, np.int32),
+        [f"r{i}" for i in range(len(reads))],
+    )
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    frags = [Fragment(f"r{i}", s) for i, s in enumerate(reads)]
+    want = Classifier(idx).classify(frags, cpar)
+    cls = multihost.MultiHostRingClassifier(loc)  # wide default: routed
+    cls.set_lockstep(len(reads), 16, 128)
+    got = cls.classify_packed(iter([packed]), cpar)
+    for conf in cpar.thresholds:
+        assert want[conf] == got[conf], conf
+    import pytest
+
+    with pytest.raises(ValueError):
+        multihost.MultiHostRingClassifier(loc, mh_probe="hashed1")

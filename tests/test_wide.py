@@ -190,3 +190,32 @@ def test_wide_tiled_probe_matches_routed(rng, k, m, s):
         for conf in cpar.thresholds:
             assert want[conf] == got[conf], (dense, conf)
             assert want[conf] == got_h1[conf], ("hashed1", dense, conf)
+
+
+def test_wide_spilled_build_matches_in_memory(rng, tmp_path):
+    """Out-of-core (range-spilled) builds work for wide (m > 31) keys too:
+    [N, 2] uint64 records partition on the top 64 bits of the 2m-bit
+    priority and reduce per range to the identical index (the reference's
+    Spark shuffle handles all m <= 63 uniformly, KeyValueIndex.scala:85-93).
+    m=32 exercises the shift-0 edge of the partition projection."""
+    import numpy as np
+
+    from test_taxonomy import random_taxonomy
+    from test_index import make_genomes
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=600)
+    genomes.append((genomes[0][0], genomes[1][1]))  # cross-taxon duplicates
+    for k, m in ((50, 45), (35, 32)):
+        params = IndexParams(k=k, m=m, spaces=7)
+        mem = KeyValueIndex.build(
+            genomes, params, t, keep_records=True, row_len=256
+        )
+        spill = KeyValueIndex.build(
+            genomes, params, t, keep_records=True, row_len=256,
+            spill_dir=str(tmp_path / f"spill{m}"),
+        )
+        assert np.array_equal(mem.keys, spill.keys)
+        assert np.array_equal(mem.taxa, spill.taxa)
+        assert np.array_equal(mem.record_keys, spill.record_keys)
+        assert np.array_equal(mem.record_taxa, spill.record_taxa)
