@@ -74,6 +74,17 @@ class MeshClassifier(Classifier):
                     np.asarray(index.device_router),
                     table,
                 )
+            elif ps[0] == "hashed1_wide":
+                # routerless: never build/upload the wide router
+                self._mesh_fn = pmesh.classify_replicated_fn(
+                    self.mesh, mp, self.max_taxa, 0, 0,
+                    probe=ps, key_bits=index.key_bits,
+                )
+                self._mesh_args = (
+                    index.device_hashed_rows[0],
+                    np.zeros(2, np.int32),  # routerless dummy
+                    table,
+                )
             elif ps[0] == "routed_wide":
                 self._mesh_fn = pmesh.classify_replicated_fn(
                     self.mesh, mp, self.max_taxa,
@@ -129,6 +140,21 @@ class MeshClassifier(Classifier):
                 self.n_devices,
                 index.key_bits,
             )
+            if self._probe_static[0] == "hashed1_wide":
+                # routerless per-shard single-gather tables; shard routers
+                # are never built
+                tables, tile, rb = pmesh.shard_hashed1_tables_wide(
+                    sk2, st, index.key_bits
+                )
+                self._mesh_fn = pmesh.classify_ring_fn(
+                    self.mesh, mp, self.max_taxa, 1, 0,
+                    probe=("hashed1_wide", tile, rb),
+                    key_bits=index.key_bits,
+                )
+                dummies = np.zeros((self.n_devices, 2), np.int32)
+                self._mesh_args = (tables, dummies, table)
+                self._commit_mesh_args(layout)
+                return
             routers, rounds, bits = pmesh.shard_routers_wide(sk2, index.key_bits)
             if self._probe_static[0] == "tiled_wide":
                 tables, tile = pmesh.shard_tiled_tables_wide(sk2, st, routers)
@@ -198,10 +224,13 @@ class MeshClassifier(Classifier):
                     routers,
                     table,
                 )
-        # commit the index/taxonomy args to the mesh ONCE: passing host
-        # numpy arrays to the jitted mesh fn would re-upload the whole
-        # table every batch (a 100+ MB h2d per dispatch on real chips).
-        # Replicated args use P(); the ring's sharded args use P('data').
+        self._commit_mesh_args(layout)
+
+    def _commit_mesh_args(self, layout: str):
+        """Commit the index/taxonomy args to the mesh ONCE: passing host
+        numpy arrays to the jitted mesh fn would re-upload the whole
+        table every batch (a 100+ MB h2d per dispatch on real chips).
+        Replicated args use P(); the ring's sharded args use P('data')."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -207,6 +207,16 @@ def classify_replicated_fn(
             return finish(wm, looked, rpath_table)
 
         in_specs = (P("data"), P(), P(), P(), P(), P(), P(), P())
+    elif probe[0] == "hashed1_wide":
+
+        def local_fn(codes, table, router, rpath_table):
+            wm = _window_scan(codes, mp, lut)
+            looked = lookup_ops.lookup_taxa_hashed_rows_wide(
+                table, wm.minimizer, probe[1], probe[2], key_bits
+            )
+            return finish(wm, looked, rpath_table)
+
+        in_specs = (P("data"), P(), P(), P())
     elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, table, router, rpath_table):
@@ -371,6 +381,35 @@ def shard_hashed1_tables(sharded_keys: np.ndarray, sharded_taxa: np.ndarray):
     return np.stack([b[0] for b in built]), tile, rb
 
 
+def shard_hashed1_tables_wide(
+    sharded_keys2: np.ndarray, sharded_taxa: np.ndarray, key_bits: int
+):
+    """shard_hashed1_tables for wide ([n, N/n, 2] u64) keys: per-shard
+    single-gather row-bucket tables (build_hashed_rows_wide) at UNIFORM
+    (row_bits, tile) stacking to [n, 2^row_bits, 5*tile]."""
+    hi_pad = np.uint64((1 << (key_bits - 64)) - 1)
+    lo_pad = np.uint64(0xFFFFFFFFFFFFFFFF)
+    reals = [
+        ~((k[:, 0] == hi_pad) & (k[:, 1] == lo_pad)) for k in sharded_keys2
+    ]
+    built = [
+        lookup_ops.build_hashed_rows_wide(k[r], t[r], key_bits)
+        for k, t, r in zip(sharded_keys2, sharded_taxa, reals)
+    ]
+    while True:
+        tile = max(b[1] for b in built)
+        rb = max(b[2] for b in built)
+        if all(b[1] == tile and b[2] == rb for b in built):
+            break
+        built = [
+            lookup_ops.build_hashed_rows_wide(
+                k[r], t[r], key_bits, tile=tile, row_bits=rb
+            )
+            for k, t, r in zip(sharded_keys2, sharded_taxa, reals)
+        ]
+    return np.stack([b[0] for b in built]), tile, rb
+
+
 def classify_ring_fn(
     mesh: Mesh,
     mp: MinimizerParams,
@@ -457,6 +496,21 @@ def classify_ring_fn(
             P("data"), P("data"), P("data"), P("data"), P("data"), P("data"),
             P("data"), P(),
         )
+    elif probe[0] == "hashed1_wide":
+
+        def local_fn(codes, tables, routers, rpath_table):
+            wm = _window_scan(codes, mp, lut)
+            table = tables[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_hashed_rows_wide(
+                    table, u128_mod.from_limbs(l3, l2, l1, l0),
+                    probe[1], probe[2], key_bits,
+                )
+
+            return ring_body(codes, probe_fn, wm, rpath_table)
+
+        in_specs = (P("data"), P("data"), P("data"), P())
     elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, tables, routers, rpath_table):

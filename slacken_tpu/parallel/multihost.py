@@ -261,7 +261,7 @@ def ring_tables_for_host(location: str, ctx: HostContext, mesh, keys_rows,
 
 
 def ring_hashed_tables_for_host(ctx: HostContext, mesh, keys_rows, taxa_rows,
-                                kind: str = "hashed"):
+                                kind: str = "hashed", key_bits: int = 62):
     """Per-shard HASHED probe tables for the multi-host ring (the fast
     routerless probes): kind="hashed" builds displacement-bounded two-row
     tables (ops/lookup.py build_hashed), kind="hashed1" the single-gather
@@ -277,15 +277,27 @@ def ring_hashed_tables_for_host(ctx: HostContext, mesh, keys_rows, taxa_rows,
     from ..ops import lookup as lookup_ops
 
     pad_key = np.uint64(0xFFFFFFFFFFFFFFFF)
-    reals = [k != pad_key for k in keys_rows]
-    if kind == "hashed1":
+    wide = key_bits > 62
+    if wide:
+        hi_pad = np.uint64((1 << (key_bits - 64)) - 1)
+        reals = [
+            ~((k[:, 0] == hi_pad) & (k[:, 1] == pad_key)) for k in keys_rows
+        ]
+    else:
+        reals = [k != pad_key for k in keys_rows]
+    if kind == "hashed1" and wide:
+        def build(k, t, **kw2):
+            return lookup_ops.build_hashed_rows_wide(k, t, key_bits, **kw2)
+
+        kw = lambda tile, bits: dict(tile=tile, row_bits=bits)
+    elif kind == "hashed1":
         build = lookup_ops.build_hashed_rows
         kw = lambda tile, bits: dict(tile=tile, row_bits=bits)
-    elif kind == "hashed":
+    elif kind == "hashed" and not wide:
         build = lookup_ops.build_hashed
         kw = lambda tile, bits: dict(tile=tile, bits=bits)
     else:
-        raise ValueError(f"unknown hashed kind {kind!r}")
+        raise ValueError(f"unknown hashed kind {kind!r} (wide={wide})")
     built = [
         build(k[r], t[r]) for k, t, r in zip(keys_rows, taxa_rows, reals)
     ]
@@ -435,17 +447,17 @@ class MultiHostRingClassifier(_Classifier):
         # STPU_MH_PROBE overrides (routed/tiled/hashed/hashed1).
         mh_probe = mh_probe or os.environ.get(
             "STPU_MH_PROBE",
-            "routed" if (jax.default_backend() == "cpu" or local.wide)
-            else "hashed1",
+            "routed" if jax.default_backend() == "cpu" else "hashed1",
         )
         if mh_probe not in ("routed", "tiled", "hashed", "hashed1"):
             raise ValueError(
                 f"multi-host ring supports routed/tiled/hashed/hashed1 "
                 f"probes, not {mh_probe!r}"
             )
-        if local.wide and mh_probe != "routed":
+        if local.wide and mh_probe not in ("routed", "hashed1"):
             raise ValueError(
-                "wide (m > 31) multi-host indexes support the routed probe"
+                "wide (m > 31) multi-host indexes support the routed and "
+                "hashed1 probes"
             )
         if mh_probe in ("hashed", "hashed1") and not local.wide:
             lk, lt, _ = local_rows
@@ -474,6 +486,21 @@ class MultiHostRingClassifier(_Classifier):
                 lut=local.device_lut,
             )
             self._gargs = (gtables, rt, gtable)
+        elif mh_probe == "hashed1" and local.wide:
+            lk, lt, _ = local_rows
+            gtables, tile, rb = ring_hashed_tables_for_host(
+                self.ctx, mesh, lk, lt, kind="hashed1", key_bits=2 * params.m
+            )
+            self._ring_fn = pmesh.classify_ring_fn(
+                mesh, params.minimizer_params, self.max_taxa, rounds, bits,
+                probe=("hashed1_wide", tile, rb), key_bits=2 * params.m,
+            )
+            dummies = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P("data")),
+                np.zeros((len(lk), 2), np.int32),
+                global_shape=(self.n_global, 2),
+            )
+            self._gargs = (gtables, dummies, gtable)
         elif local.wide:
             self._ring_fn = pmesh.classify_ring_fn(
                 mesh, params.minimizer_params, self.max_taxa, rounds, bits,

@@ -826,7 +826,7 @@ def test_mesh_classifier_wide_m_byte_identical(rng):
         want = Classifier(idx).classify(frags, cpar)
         assert sum(r.classified for r in want[0.0]) > 10
         for layout in ("replicated", "ring"):
-            for probe in ("routed", "tiled"):
+            for probe in ("routed", "tiled", "hashed1"):
                 got = MeshClassifier(idx, 8, layout, probe=probe).classify(
                     frags, cpar
                 )
@@ -949,12 +949,13 @@ def test_multihost_wide_byte_identical(rng, tmp_path):
     cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
     frags = [Fragment(f"r{i}", s) for i, s in enumerate(reads)]
     want = Classifier(idx).classify(frags, cpar)
-    cls = multihost.MultiHostRingClassifier(loc)  # wide default: routed
-    cls.set_lockstep(len(reads), 16, 128)
-    got = cls.classify_packed(iter([packed]), cpar)
-    for conf in cpar.thresholds:
-        assert want[conf] == got[conf], conf
+    for probe in (None, "hashed1"):  # None = CPU default (routed_wide ring)
+        cls = multihost.MultiHostRingClassifier(loc, mh_probe=probe)
+        cls.set_lockstep(len(reads), 16, 128)
+        got = cls.classify_packed(iter([packed]), cpar)
+        for conf in cpar.thresholds:
+            assert want[conf] == got[conf], (probe, conf)
     import pytest
 
     with pytest.raises(ValueError):
-        multihost.MultiHostRingClassifier(loc, mh_probe="hashed1")
+        multihost.MultiHostRingClassifier(loc, mh_probe="tiled")
