@@ -48,6 +48,116 @@ def synthetic_library(rng):
 RC_TUNNEL_DOWN = 3  # retryable: the supervisor waits out the recovery window
 
 
+def _load_reads():
+    """The bench workload: 10k real Illumina reads + 10k simulated from the
+    library (1% mutations), 4x replicated for steady-state measurement."""
+    from slacken_tpu import native
+    from slacken_tpu.inputs import packed_reads_from_file
+    from slacken_tpu.ops import encode as enc
+
+    packed = list(packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq"))
+    sim_rng = np.random.default_rng(7)
+    sim = []
+    for taxon, seq in synthetic_library(np.random.default_rng(20260816)):
+        codes_full = enc.encode_seq(seq)
+        starts = sim_rng.integers(0, len(codes_full) - 101, 3334)
+        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
+        mut = sim_rng.random(rows.shape) < 0.01
+        rows[mut] = sim_rng.integers(0, 4, mut.sum())
+        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
+        sim.append(
+            native.PackedReads(
+                rows,
+                np.full(len(rows), 101, np.int32),
+                [f"sim{taxon}_{j}" for j in range(len(rows))],
+            )
+        )
+    return (packed + sim) * 4
+
+
+CPU_RATE_CACHE = "/root/repo/.bench_cache/cpu_rate.json"
+
+
+def comparator():
+    """Forced-CPU measurement of the same classify workload — the honest
+    measured comparator for vs_cpu (VERDICT r4 #6: vs_baseline alone rests
+    on an estimated Kraken-2-core constant). Writes CPU_RATE_CACHE."""
+    _mark("cpu comparator start")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from slacken_tpu import utils as stpu_utils
+    from slacken_tpu.classify import Classifier, ClassifyParams
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from slacken_tpu.taxonomy import Taxonomy
+
+    stpu_utils.set_heartbeat(_mark)
+    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
+    cache = "/root/repo/.bench_cache/idx"
+    if os.path.exists(os.path.join(cache, "params.json")):
+        idx = KeyValueIndex.load(cache)
+    else:
+        idx = KeyValueIndex.build(
+            synthetic_library(np.random.default_rng(20260816)),
+            IndexParams(k=35, m=31, spaces=7), tax,
+            batch_rows=32, row_len=1 << 16,
+        )
+        idx.save(cache)
+    packed = _load_reads()
+    n_reads = sum(len(p) for p in packed)
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    import shutil
+    import tempfile
+
+    cls = Classifier(idx)
+    outdir = tempfile.mkdtemp(prefix="stpu_benchcpu_")
+    best = 0.0
+    try:
+        cls.classify_and_write_packed(packed, outdir + "/warm", cpar)
+        _mark("cpu warm done")
+        for trial in range(2):
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, outdir + f"/t{trial}", cpar)
+            rate = n_reads / (time.time() - t0)
+            best = max(best, rate)
+            _mark(f"cpu trial {trial} {rate:.0f} reads/s")
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(os.path.dirname(CPU_RATE_CACHE), exist_ok=True)
+    with open(CPU_RATE_CACHE, "w") as f:
+        json.dump({"cpu_reads_per_sec": round(best, 1), "time": time.time()}, f)
+    print(f"cpu comparator: {best:.0f} reads/s", file=sys.stderr)
+
+
+def _cpu_comparator_rate():
+    """Measured CPU rate: from a recent cache, else measured now in a
+    forced-CPU subprocess (it never touches the axon tunnel — the platform
+    is pinned in code, see memory: axon ignores JAX_PLATFORMS)."""
+    try:
+        with open(CPU_RATE_CACHE) as f:
+            d = json.load(f)
+        if time.time() - d.get("time", 0) < 48 * 3600:
+            return d["cpu_reads_per_sec"]
+    except (OSError, ValueError, KeyError):
+        pass
+    import subprocess
+
+    _mark("slow:cpu comparator subprocess")
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--comparator"],
+            timeout=float(os.environ.get("STPU_BENCH_CPU_CMP_TIMEOUT", 900)),
+            check=True,
+        )
+        with open(CPU_RATE_CACHE) as f:
+            return json.load(f)["cpu_reads_per_sec"]
+    except Exception as e:  # comparator is best-effort; never sink the bench
+        print(f"cpu comparator failed: {e}", file=sys.stderr)
+        return None
+
+
 def main(force_cpu: bool = False):
     _mark("start")
     import jax
@@ -84,6 +194,14 @@ def main(force_cpu: bool = False):
     _mark(f"device {dev}")
     print(f"device: {dev}", file=sys.stderr)
 
+    # liveness marks from inside the pipeline: the first dispatch per shape
+    # blocks in an XLA compile for minutes over the axon tunnel (BENCH_r04
+    # attempts 1-2 were killed mid-warm); "slow:" marks tell the supervisor
+    # to apply the slow allowance instead of the stall timeout
+    from slacken_tpu import utils as stpu_utils
+
+    stpu_utils.set_heartbeat(_mark)
+
     nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
     tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
 
@@ -111,33 +229,10 @@ def main(force_cpu: bool = False):
         idx.save(cache)
     _mark("index ready")
 
-    # real reads via the native packed fast path
-    from slacken_tpu.inputs import packed_reads_from_file
-
-    packed = list(packed_reads_from_file("/root/reference/testData/ERR599052_10k.fastq"))
-    # add an equal volume of reads simulated from the library so the
-    # resolve/report paths see realistic classified fractions, then replicate
-    # for a steady-state throughput measurement
-    from slacken_tpu import native
-    from slacken_tpu.ops import encode as enc
-
-    sim_rng = np.random.default_rng(7)
-    sim = []
-    for taxon, seq in synthetic_library(np.random.default_rng(20260816)):
-        codes_full = enc.encode_seq(seq)
-        starts = sim_rng.integers(0, len(codes_full) - 101, 3334)
-        rows = codes_full[starts[:, None] + np.arange(101)[None, :]].astype(np.uint8)
-        mut = sim_rng.random(rows.shape) < 0.01
-        rows[mut] = sim_rng.integers(0, 4, mut.sum())
-        rows = np.pad(rows, ((0, 0), (0, 27)), constant_values=4)
-        sim.append(
-            native.PackedReads(
-                rows,
-                np.full(len(rows), 101, np.int32),
-                [f"sim{taxon}_{j}" for j in range(len(rows))],
-            )
-        )
-    packed = (packed + sim) * 4
+    # real reads via the native packed fast path, plus an equal volume of
+    # reads simulated from the library so the resolve/report paths see
+    # realistic classified fractions, 4x replicated for steady state
+    packed = _load_reads()
     n_reads = sum(len(p) for p in packed)
     _mark(f"{n_reads} reads loaded")
     print(
@@ -160,7 +255,11 @@ def main(force_cpu: bool = False):
     outdir = tempfile.mkdtemp(prefix="stpu_bench_")
     best = 0.0
     try:
-        cls.classify_and_write_packed(packed[:1], outdir + "/warm", cpar)
+        # warm = one FULL pass: identical shapes AND pipeline depth to a
+        # trial, so trial 0 runs at steady state (BENCH_r04 trial 0 paid
+        # ~2 s of tail-shape compiles + pipeline fill that packed[:1]
+        # warming never exercised)
+        cls.classify_and_write_packed(packed, outdir + "/warm", cpar)
         _mark("warm")
         for trial in range(3):
             t0 = time.time()
@@ -215,6 +314,12 @@ def main(force_cpu: bool = False):
             file=sys.stderr,
         )
 
+    # measured comparator: this repo's own CPU backend on the same workload
+    # (vs_baseline rests on an estimated Kraken-2-core constant; vs_cpu is
+    # measured end to end — VERDICT r4 #6)
+    cpu_rate = None if force_cpu else _cpu_comparator_rate()
+    _mark("cpu comparator done")
+
     print(
         json.dumps(
             {
@@ -224,6 +329,8 @@ def main(force_cpu: bool = False):
                 "vs_baseline": round(best / BASELINE_READS_PER_SEC, 3),
                 "build_mbp_per_sec": round(build_bp / build_dt / 1e6, 2),
                 "build_genomes_per_sec": round(3 / build_dt, 2),
+                "cpu_reads_per_sec": cpu_rate,
+                "vs_cpu": round(best / cpu_rate, 3) if cpu_rate else None,
             }
         )
     )
@@ -231,11 +338,14 @@ def main(force_cpu: bool = False):
 
 def _run_attempt(args, env, stall_s, hard_s):
     """Start one inner attempt; kill it only on a genuine stall (no progress
-    mark for `stall_s`) or at the `hard_s` ceiling. Returns the exit code, or
-    None if the attempt was killed."""
+    mark for `stall_s` — or for the larger slow allowance while the last
+    mark says "slow:", i.e. the inner process is knowingly blocked in an XLA
+    compile / subprocess that takes minutes over the tunnel) or at the
+    `hard_s` ceiling. Returns the exit code, or None if killed."""
     import subprocess
     import tempfile
 
+    slow_s = float(os.environ.get("STPU_BENCH_TPU_SLOW", 1200))
     fd, progress = tempfile.mkstemp(prefix="stpu_bench_hb_")
     os.close(fd)
     env = dict(env, STPU_BENCH_PROGRESS=progress)
@@ -249,8 +359,16 @@ def _run_attempt(args, env, stall_s, hard_s):
                 pass
             now = time.time()
             last = max(os.path.getmtime(progress), t0)
-            if now - last > stall_s or now - t0 > hard_s:
-                why = "stalled" if now - last > stall_s else "hit hard ceiling"
+            allow = stall_s
+            try:
+                with open(progress, "rb") as f:
+                    tail = f.read()[-4096:].decode(errors="replace").splitlines()
+                if tail and "slow:" in tail[-1]:
+                    allow = max(stall_s, slow_s)
+            except OSError:
+                pass
+            if now - last > allow or now - t0 > hard_s:
+                why = "stalled" if now - last > allow else "hit hard ceiling"
                 print(
                     f"bench attempt {args} {why} after {now - t0:.0f}s; "
                     f"killing pid {child.pid}",
@@ -284,7 +402,7 @@ def _supervise():
 
     t_total = float(os.environ.get("STPU_BENCH_TPU_TOTAL", 5400))
     t_stall = float(os.environ.get("STPU_BENCH_TPU_STALL", 420))
-    t_hard = float(os.environ.get("STPU_BENCH_TPU_HARD", 1500))
+    t_hard = float(os.environ.get("STPU_BENCH_TPU_HARD", 2700))
     t_retry = float(os.environ.get("STPU_BENCH_RETRY_SLEEP", 150))
     t_cpu = float(os.environ.get("STPU_BENCH_CPU_TIMEOUT", 1800))
 
@@ -310,7 +428,9 @@ def _supervise():
 
 
 if __name__ == "__main__":
-    if "--inner" in sys.argv:
+    if "--comparator" in sys.argv:
+        comparator()
+    elif "--inner" in sys.argv:
         main(force_cpu="--cpu" in sys.argv)
     else:
         _supervise()

@@ -39,6 +39,7 @@ from .ops.resolve import INVALID_WINDOW, compact_hits, resolve_hits
 from .report import KrakenReport
 from .taxonomy import NONE, Taxonomy
 from .zio import ParallelGzipWriter
+from . import utils
 
 AMBIGUOUS_SPAN = -1  # package.scala:30
 MATE_PAIR_BORDER = -2  # package.scala:31
@@ -806,6 +807,10 @@ class Classifier:
         """Asynchronously dispatch one batch to the device; pair with
         _harvest. jax dispatch is non-blocking, so a second batch can be in
         flight while the host post-processes the previous one."""
+        # "slow:" phase — the first dispatch per shape blocks inside an XLA
+        # compile, which takes minutes over the axon tunnel; supervisors give
+        # slow phases the hard ceiling rather than the stall timeout
+        utils.heartbeat(f"slow:dispatch {codes.shape[0]}x{codes.shape[1]}")
         bucket = codes.shape[1]
         # pad the row count to a power of two (full batches arrive at the
         # fixed rows_target already) so only O(log) shapes ever compile
@@ -930,6 +935,7 @@ class Classifier:
     def _harvest(self, dispatched) -> _BatchResult:
         (window_taxa, ch, pack, codes, titles, splits, row_lens, devfin,
          wire_valid) = dispatched
+        utils.heartbeat("harvest")
         idx = self.index
         n = len(titles)
         k = idx.params.k

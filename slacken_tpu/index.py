@@ -37,6 +37,7 @@ from .ops import lookup as lookup_ops
 from .ops import u64
 from .ops.minimizers import DEFAULT_TOGGLE_MASK, MinimizerParams, space_mask_int, window_minimizers
 from .ops import encode
+from . import utils
 from . import native
 from .taxonomy import Taxonomy
 from . import storage
@@ -917,6 +918,7 @@ class KeyValueIndex:
             ~25% of its time doing exactly that when the batch count landed
             on the superbatch boundary)."""
             assert final
+            utils.heartbeat("slow:build reduce")
             if not chunks and len(reduced) == 1:
                 out, n = reduced[0]
                 reduced.clear()
@@ -942,6 +944,8 @@ class KeyValueIndex:
         def flush():
             if not buf_seqs:
                 return
+            # "slow:" — the first flush blocks in the scan-kernel compile
+            utils.heartbeat("slow:build flush")
             with _ph("pack_batch"):
                 codes, _ = encode.pack_batch(buf_seqs, row_len)
                 taxa_rows = np.zeros(batch_rows, np.int32)

@@ -311,6 +311,17 @@ def build_distributed(
     skew.
     """
     mp = params.minimizer_params.validate()
+    if mp.wide:
+        # the all_to_all shuffle exchanges 2-limb u64 keys and the spill
+        # partitioner here would receive [N, 2] keys it cannot searchsorted;
+        # fail loudly rather than mis-partition (ADVICE r4). Wide builds go
+        # through KeyValueIndex.build (single-host, spill-capable, device-
+        # resident merge tree).
+        raise NotImplementedError(
+            "build_distributed is narrow-only (m <= 31): its all_to_all "
+            "shuffle exchanges u64 keys. Use KeyValueIndex.build for wide "
+            "indexes."
+        )
     lut = None
     if params.ordering != "xor":
         import jax
@@ -338,7 +349,9 @@ def build_distributed(
     # host-side raw-record scan of the batch)
     cap = int(1.6 * 0.35 * npos / n)
 
-    collector = SpillCollector(spill_dir) if spill_dir else RecordCollector()
+    collector = (
+        SpillCollector(spill_dir, m=params.m) if spill_dir else RecordCollector()
+    )
     state = {"fn": None}
     buf_seqs, buf_taxa = [], []
 

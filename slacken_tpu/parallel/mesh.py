@@ -95,6 +95,18 @@ def shard_index_by_range_wide(
     and a genuine record with that key (if any) still wins the max."""
     pad = (-len(keys2)) % n
     hi_pad = np.uint64((1 << (key_bits - 64)) - 1)
+    # the sentinel is a LEGAL wide key (unlike the narrow 2^64-1 > 62-bit
+    # case); the hashed-table builds mask sentinel rows out, so a real
+    # record carrying it would be silently dropped there. keys2 is sorted,
+    # so the max value can only sit in the last row: refuse it loudly.
+    if len(keys2) and keys2[-1, 0] == hi_pad and keys2[-1, 1] == np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    ):
+        raise ValueError(
+            "index contains the maximum wide key (== the shard pad "
+            "sentinel); this 2^-128-probability key cannot be represented "
+            "in sharded layouts"
+        )
     pad_rows = np.empty((pad, 2), np.uint64)
     pad_rows[:, 0] = hi_pad
     pad_rows[:, 1] = np.uint64(0xFFFFFFFFFFFFFFFF)

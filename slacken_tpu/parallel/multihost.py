@@ -126,9 +126,16 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
     devices and contributes them to global jax Arrays via
     `jax.make_array_from_process_local_data`. Rows are sentinel-padded to a
     common length (the all-ones key never matches a query — same convention
-    as mesh.shard_index_by_range). Returns
-    (keys_hi, keys_lo, taxa, routers, rounds, bits, params) ready for
-    `mesh.classify_ring_fn`. This is the DCN analogue of Spark executors each
+    as mesh.shard_index_by_range; the wide sentinel is build-time-asserted
+    absent from the real keys). Returns, ready for `mesh.classify_ring_fn`:
+      narrow (m <= 31): (keys_hi, keys_lo, taxa, routers, rounds, bits,
+                         params) — two u32 limb arrays;
+      wide  (m > 31):   (l3, l2, l1, l0, taxa, routers, rounds, bits,
+                         params) — four u32 limb arrays, most-significant
+                         first (l3/l2 = key hi word, l1/l0 = low word).
+    With return_local=True a trailing (local_keys, local_taxa, routers)
+    tuple of host-side per-local-row lists is appended. This is the DCN
+    analogue of Spark executors each
     reading their partitions of the bucketed Parquet table
     (KeyValueIndex.scala:150-159)."""
     import json
@@ -177,8 +184,18 @@ def ring_index_for_host(location: str, ctx: HostContext, mesh, return_local=Fals
         )
         pad = row_len - len(keys)
         if wide:
+            keys = keys.reshape(-1, 2)
+            # the wide sentinel is a legal key value (cf.
+            # mesh.shard_index_by_range_wide): a real record carrying it
+            # would be masked out of the hashed ring tables — refuse loudly.
+            # Keys are sorted, so only the last row can hold the maximum.
+            if len(keys) and keys[-1, 0] == hi_pad and keys[-1, 1] == sent:
+                raise ValueError(
+                    "index contains the maximum wide key (== the shard pad "
+                    "sentinel); cannot be represented in ring layouts"
+                )
             keys = np.concatenate(
-                [keys.reshape(-1, 2), np.stack(
+                [keys, np.stack(
                     [np.full(pad, hi_pad), np.full(pad, sent)], axis=1
                 )]
             )

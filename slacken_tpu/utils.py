@@ -10,6 +10,28 @@ import time
 from typing import Dict, Optional
 
 
+_heartbeat_fn = None
+
+
+def set_heartbeat(fn) -> None:
+    """Install a liveness callback invoked at pipeline step boundaries
+    (dispatch/harvest/build batches). Used by bench.py so its supervisor's
+    stall detector can distinguish a slow-but-alive jit warm-up over the
+    axon tunnel from a dead tunnel (BENCH_r04: 2 of 3 attempts were killed
+    mid-compile). Pass None to uninstall."""
+    global _heartbeat_fn
+    _heartbeat_fn = fn
+
+
+def heartbeat(phase: str) -> None:
+    """Report liveness; no-op (one global load) unless a callback is set."""
+    if _heartbeat_fn is not None:
+        try:
+            _heartbeat_fn(phase)
+        except Exception:
+            pass
+
+
 class Timer:
     """Named task timer, printing Start/Finish lines like the reference."""
 
