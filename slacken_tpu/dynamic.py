@@ -139,9 +139,13 @@ class Dynamic:
 
     def _span_hits(self, fragments: Sequence[Fragment]):
         """Per-span (minimizer key, LCA taxon) pairs against the base index,
-        for spans whose taxon is at depth >= the reclassify rank."""
+        for spans whose taxon is at depth >= the reclassify rank.
+
+        Narrow (m <= 31) indexes return uint64[S] keys; wide indexes return
+        uint64[S, 2] (hi word, lo word) rows."""
         idx = self.base
         mp = idx.params.minimizer_params
+        wide = idx.wide
         depth_std = self.taxonomy.depth_std
         cls = Classifier(idx)
         out_keys: List[np.ndarray] = []
@@ -152,7 +156,7 @@ class Dynamic:
         use_mesh = self._use_mesh()
         if use_mesh:
             mesh_fn, mesh_args, mesh_n = self._mesh_span_setup()
-        fast = _jax.default_backend() != "cpu" and not idx.wide
+        fast = _jax.default_backend() != "cpu"
         for bucket, frags in _bucketize(fragments, cls):
             codes, _ = encode.pack_batch(
                 [_concat_pair(f) for f in frags], bucket
@@ -169,22 +173,35 @@ class Dynamic:
                         (b_fixed - codes.shape[0], bucket), encode.INVALID, np.uint8
                     )
                     codes = np.concatenate([codes, pad], axis=0)
-                hi, lo, starts, taxa = mesh_fn(codes, *mesh_args)
+                outs = mesh_fn(codes, *mesh_args)
+            elif wide:
+                if fast and lookup_ops.fits_hashed_rows(len(idx.keys)):
+                    table, tile, rb = idx.device_hashed_rows
+                    outs = _span_hits_kernel_hashed1_wide(
+                        codes, table, mp, tile, rb, idx.key_bits,
+                        idx.device_lut,
+                    )
+                else:
+                    outs = _span_hits_kernel_wide(
+                        codes, idx.device_keys, idx.device_taxa,
+                        idx.device_router, mp, idx.router_rounds,
+                        idx.router_bits, idx.key_bits, idx.device_lut,
+                    )
             elif fast:
                 if lookup_ops.fits_hashed_rows(len(idx.keys)):
                     table, tile, rb = idx.device_hashed_rows
-                    hi, lo, starts, taxa = _span_hits_kernel_hashed1(
+                    outs = _span_hits_kernel_hashed1(
                         codes, table, mp, tile, rb, idx.key_bits,
                         idx.device_lut,
                     )
                 else:
                     table, tile = idx.device_tiled
-                    hi, lo, starts, taxa = _span_hits_kernel_tiled(
+                    outs = _span_hits_kernel_tiled(
                         codes, table, idx.device_router, mp, tile,
                         idx.router_bits, idx.key_bits, idx.device_lut,
                     )
             else:
-                hi, lo, starts, taxa = _span_hits_kernel(
+                outs = _span_hits_kernel(
                     codes,
                     idx.device_keys.hi,
                     idx.device_keys.lo,
@@ -196,17 +213,32 @@ class Dynamic:
                     idx.key_bits,
                     idx.device_lut,
                 )
-            hi, lo = np.asarray(hi), np.asarray(lo)
-            starts = np.asarray(starts)
-            taxa = np.asarray(taxa)
+            starts = np.asarray(outs[-2])
+            taxa = np.asarray(outs[-1])
             rows, cols = np.nonzero(starts)
-            keys = (hi[rows, cols].astype(np.uint64) << np.uint64(32)) | lo[rows, cols]
+            if wide:
+                l3, l2, l1, l0 = (np.asarray(x) for x in outs[:4])
+                khi = (
+                    l3[rows, cols].astype(np.uint64) << np.uint64(32)
+                ) | l2[rows, cols]
+                klo = (
+                    l1[rows, cols].astype(np.uint64) << np.uint64(32)
+                ) | l0[rows, cols]
+                keys = np.stack([khi, klo], axis=1)
+            else:
+                hi, lo = np.asarray(outs[0]), np.asarray(outs[1])
+                keys = (
+                    hi[rows, cols].astype(np.uint64) << np.uint64(32)
+                ) | lo[rows, cols]
             t = taxa[rows, cols]
             keep = (t > 0) & (depth_std[np.clip(t, 0, len(depth_std) - 1)] >= self.rank_depth)
             out_keys.append(keys[keep])
             out_taxa.append(t[keep])
         if not out_keys:
-            return np.zeros(0, np.uint64), np.zeros(0, np.int32)
+            return (
+                np.zeros((0, 2) if wide else 0, np.uint64),
+                np.zeros(0, np.int32),
+            )
         return np.concatenate(out_keys), np.concatenate(out_taxa)
 
     def _mesh_span_setup(self):
@@ -218,10 +250,6 @@ class Dynamic:
         from .parallel import mesh as pmesh
 
         idx = self.base
-        if idx.wide:
-            raise NotImplementedError(
-                "classify2 minimizer-count criteria on a mesh require m <= 31"
-            )
         mp = idx.params.minimizer_params
         mesh_ = pmesh.make_mesh(self.devices)
         n = mesh_.devices.size
@@ -229,6 +257,8 @@ class Dynamic:
         probe = self.probe
         if probe is None:
             probe = "routed" if jax.default_backend() == "cpu" else "hashed1"
+        if idx.wide:
+            return self._mesh_span_setup_wide(idx, mp, mesh_, n, layout, probe)
 
         # device tables are passed as-is: jax.device_put reshards committed
         # arrays without the d2h round-trip an np.asarray would force (the
@@ -314,6 +344,96 @@ class Dynamic:
         )
         return fn, args, n
 
+    def _mesh_span_setup_wide(self, idx, mp, mesh_, n, layout, probe):
+        """_mesh_span_setup for wide (m > 31) indexes: the span-hit kernels
+        carry 4-limb minimizers, mirroring MeshClassifier's wide probe
+        packaging (reference classify2 has no m restriction,
+        Slacken.scala:242-260)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import mesh as pmesh
+
+        # map the narrow probe names onto their wide variants (same rule as
+        # Classifier's auto probe: hashed has no wide layout)
+        probe = {
+            "routed": "routed_wide", "tiled": "tiled_wide",
+            "hashed1": "hashed1_wide", "routed_wide": "routed_wide",
+            "tiled_wide": "tiled_wide", "hashed1_wide": "hashed1_wide",
+        }.get(probe)
+        if probe is None:
+            raise ValueError(
+                "wide classify2 mesh probes: routed, tiled or hashed1"
+            )
+        kb = idx.key_bits
+        if layout == "replicated":
+            if probe == "hashed1_wide":
+                table, tile, rb = idx.device_hashed_rows
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, 0, 0, probe=("hashed1_wide", tile, rb),
+                    key_bits=kb, lut=idx.device_lut,
+                )
+                args = (table, np.zeros(2, np.int32))
+            elif probe == "tiled_wide":
+                table, tile = idx.device_tiled
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    probe=("tiled_wide", tile), key_bits=kb,
+                    lut=idx.device_lut,
+                )
+                args = (table, idx.device_router)
+            else:
+                fn = pmesh.span_hits_replicated_fn(
+                    mesh_, mp, idx.router_rounds, idx.router_bits,
+                    probe=("routed_wide",), key_bits=kb, lut=idx.device_lut,
+                )
+                k2 = np.ascontiguousarray(idx.keys, np.uint64)
+                args = (
+                    (k2[:, 0] >> np.uint64(32)).astype(np.uint32),
+                    k2[:, 0].astype(np.uint32),
+                    (k2[:, 1] >> np.uint64(32)).astype(np.uint32),
+                    k2[:, 1].astype(np.uint32),
+                    np.asarray(idx.taxa, np.int32),
+                    np.asarray(idx.device_router),
+                )
+            specs = [P()] * len(args)
+        else:
+            sk2, st = pmesh.shard_index_by_range_wide(
+                np.ascontiguousarray(idx.keys, np.uint64),
+                np.asarray(idx.taxa, np.int32), n, kb,
+            )
+            routers, rounds, bits = pmesh.shard_routers_wide(sk2, kb)
+            if probe == "hashed1_wide":
+                tables, tile, rb = pmesh.shard_hashed1_tables_wide(sk2, st, kb)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, 1, 0, probe=("hashed1_wide", tile, rb),
+                    key_bits=kb, lut=idx.device_lut,
+                )
+                args = (tables, np.zeros((n, 2), np.int32))
+            elif probe == "tiled_wide":
+                tables, tile = pmesh.shard_tiled_tables_wide(sk2, st, routers)
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, probe=("tiled_wide", tile),
+                    key_bits=kb, lut=idx.device_lut,
+                )
+                args = (tables, routers)
+            else:
+                fn = pmesh.span_hits_ring_fn(
+                    mesh_, mp, rounds, bits, probe=("routed_wide",),
+                    key_bits=kb, lut=idx.device_lut,
+                )
+                args = (
+                    (sk2[:, :, 0] >> np.uint64(32)).astype(np.uint32),
+                    sk2[:, :, 0].astype(np.uint32),
+                    (sk2[:, :, 1] >> np.uint64(32)).astype(np.uint32),
+                    sk2[:, :, 1].astype(np.uint32),
+                    st, routers,
+                )
+            specs = [P("data")] * len(args)
+        args = tuple(
+            jax.device_put(a, NamedSharding(mesh_, s)) for a, s in zip(args, specs)
+        )
+        return fn, args, n
+
     def total_minimizers_per_taxon(self, fragments) -> Dict[int, int]:
         _, taxa = self._span_hits(fragments)
         t, c = np.unique(taxa, return_counts=True)
@@ -321,8 +441,12 @@ class Dynamic:
 
     def distinct_minimizers_per_taxon(self, fragments) -> Dict[int, int]:
         keys, taxa = self._span_hits(fragments)
-        pairs = np.unique(np.stack([keys, taxa.astype(np.uint64)], axis=1), axis=0)
-        t, c = np.unique(pairs[:, 1].astype(np.int64), return_counts=True)
+        if keys.ndim == 2:  # wide: [S, 2] u64 key rows
+            cols = np.concatenate([keys, taxa[:, None].astype(np.uint64)], axis=1)
+        else:
+            cols = np.stack([keys, taxa.astype(np.uint64)], axis=1)
+        pairs = np.unique(cols, axis=0)
+        t, c = np.unique(pairs[:, -1].astype(np.int64), return_counts=True)
         return dict(zip(t.tolist(), c.tolist()))
 
     def classified_reads_per_taxon(self, fragments, confidence: float) -> Dict[int, int]:
@@ -454,7 +578,9 @@ class Dynamic:
         if self.base.record_keys is not None:
             # fast path: filter + re-reduce the base index's full records
             dynamic = self.base.build_restricted(taxon_set)
-        elif self._use_mesh():
+        elif self._use_mesh() and not self.base.wide:
+            # (wide falls through to the single-host build below:
+            # build_distributed's all_to_all shuffle is narrow-only)
             from .parallel.classifier import build_distributed
 
             dynamic = build_distributed(
@@ -567,6 +693,32 @@ def _span_hits_kernel_hashed1(
         table, wm.minimizer, tile, row_bits, key_bits
     )
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
+
+
+def _span_hits_kernel_wide(
+    codes, keys, key_taxa, router, mp, rounds, bits, key_bits, lut=None
+):
+    """_span_hits_kernel for wide (m > 31) indexes: 4-limb minimizers
+    probed against the routed [N, 2]-u64 key array. Returns the four
+    minimizer limb arrays (l3..l0, most significant first), span starts and
+    looked-up taxa."""
+    wm = window_minimizers(codes, mp, lut)
+    looked = lookup_ops.lookup_taxa_routed_wide(
+        keys, key_taxa, router, wm.minimizer, rounds, bits, key_bits
+    )
+    return wm.minimizer.limbs + (wm.span_start & wm.valid, looked)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _span_hits_kernel_hashed1_wide(
+    codes, table, mp, tile, row_bits, key_bits, lut=None
+):
+    """_span_hits_kernel_wide with the single-gather row-bucket probe."""
+    wm = window_minimizers(codes, mp, lut)
+    looked = lookup_ops.lookup_taxa_hashed_rows_wide(
+        table, wm.minimizer, tile, row_bits, key_bits
+    )
+    return wm.minimizer.limbs + (wm.span_start & wm.valid, looked)
 
 
 def _concat_pair(f: Fragment):

@@ -603,12 +603,55 @@ def span_hits_replicated_fn(
       ("routed",):            fn(codes, keys_hi, keys_lo, key_taxa, router)
       ("tiled", tile, ...):   fn(codes, table, router)
       ("hashed", tile, hbits, ...): fn(codes, table, router(dummy))
+    Wide (m > 31) probes return FOUR minimizer limb arrays (l3..l0, most
+    significant first) instead of (hi, lo):
+      ("routed_wide",):       fn(codes, k3, k2, k1, k0, key_taxa, router)
+      ("tiled_wide", tile):   fn(codes, table, router)
+      ("hashed1_wide", tile, row_bits): fn(codes, table, router(dummy))
     """
 
     def finish(wm, looked):
         return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
-    if probe[0] in ("tiled", "hashed", "hashed1"):
+    def finish_wide(wm, looked):
+        return wm.minimizer.limbs + (wm.span_start & wm.valid, looked)
+
+    n_out = 4
+    if probe[0] == "routed_wide":
+        n_out = 6
+
+        def local_fn(codes, k3, k2, k1, k0, key_taxa, router):
+            wm = _window_scan(codes, mp, lut)
+            keys = u128_mod.U128(u64.U64(k3, k2), u64.U64(k1, k0))
+            looked = lookup_ops.lookup_taxa_routed_wide(
+                keys, key_taxa, router, wm.minimizer, rounds, bits, key_bits
+            )
+            return finish_wide(wm, looked)
+
+        in_specs = (P("data"),) + (P(),) * 6
+    elif probe[0] == "tiled_wide":
+        n_out = 6
+
+        def local_fn(codes, table, router):
+            wm = _window_scan(codes, mp, lut)
+            looked = lookup_ops.lookup_taxa_tiled_wide(
+                table, router, wm.minimizer, probe[1], bits, key_bits
+            )
+            return finish_wide(wm, looked)
+
+        in_specs = (P("data"), P(), P())
+    elif probe[0] == "hashed1_wide":
+        n_out = 6
+
+        def local_fn(codes, table, router):
+            wm = _window_scan(codes, mp, lut)
+            looked = lookup_ops.lookup_taxa_hashed_rows_wide(
+                table, wm.minimizer, probe[1], probe[2], key_bits
+            )
+            return finish_wide(wm, looked)
+
+        in_specs = (P("data"), P(), P())
+    elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, table, router):
             wm = _window_scan(codes, mp, lut)
@@ -643,7 +686,7 @@ def span_hits_replicated_fn(
         local_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P("data"),) * 4,
+        out_specs=(P("data"),) * n_out,
         check_vma=False,
     )
     return jax.jit(shard)
@@ -660,13 +703,72 @@ def span_hits_ring_fn(
 ):
     """span_hits_replicated_fn for the ring layout: queries rotate the
     range-sharded index via ring_lookup (the same collective schedule as
-    classify_ring_fn). probe layouts mirror classify_ring_fn."""
+    classify_ring_fn). probe layouts mirror classify_ring_fn; wide probes
+    (routed_wide/tiled_wide/hashed1_wide) return four minimizer limb arrays
+    l3..l0 instead of (hi, lo)."""
     n = mesh.devices.size
 
     def finish(wm, looked):
         return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
-    if probe[0] in ("tiled", "hashed", "hashed1"):
+    def finish_wide(wm, looked):
+        return wm.minimizer.limbs + (wm.span_start & wm.valid, looked)
+
+    n_out = 4
+    if probe[0] == "routed_wide":
+        n_out = 6
+
+        def local_fn(codes, k3, k2, k1, k0, key_taxa, routers):
+            wm = _window_scan(codes, mp, lut)
+            keys = u128_mod.U128(
+                u64.U64(k3[0], k2[0]), u64.U64(k1[0], k0[0])
+            )
+            kt = key_taxa[0]
+            router = routers[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_routed_wide(
+                    keys, kt, router, u128_mod.from_limbs(l3, l2, l1, l0),
+                    rounds, bits, key_bits,
+                )
+
+            return finish_wide(wm, ring_lookup(codes, probe_fn, wm, n))
+
+        in_specs = (P("data"),) * 7
+    elif probe[0] == "tiled_wide":
+        n_out = 6
+
+        def local_fn(codes, tables, routers):
+            wm = _window_scan(codes, mp, lut)
+            table = tables[0]
+            router = routers[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_tiled_wide(
+                    table, router, u128_mod.from_limbs(l3, l2, l1, l0),
+                    probe[1], bits, key_bits,
+                )
+
+            return finish_wide(wm, ring_lookup(codes, probe_fn, wm, n))
+
+        in_specs = (P("data"), P("data"), P("data"))
+    elif probe[0] == "hashed1_wide":
+        n_out = 6
+
+        def local_fn(codes, tables, routers):
+            wm = _window_scan(codes, mp, lut)
+            table = tables[0]
+
+            def probe_fn(l3, l2, l1, l0):
+                return lookup_ops.lookup_taxa_hashed_rows_wide(
+                    table, u128_mod.from_limbs(l3, l2, l1, l0),
+                    probe[1], probe[2], key_bits,
+                )
+
+            return finish_wide(wm, ring_lookup(codes, probe_fn, wm, n))
+
+        in_specs = (P("data"), P("data"), P("data"))
+    elif probe[0] in ("tiled", "hashed", "hashed1"):
 
         def local_fn(codes, tables, routers):
             wm = _window_scan(codes, mp, lut)
@@ -720,7 +822,7 @@ def span_hits_ring_fn(
         local_fn,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(P("data"),) * 4,
+        out_specs=(P("data"),) * n_out,
         check_vma=False,
     )
     return jax.jit(shard)
