@@ -193,3 +193,35 @@ def test_mapping_comparison_multi_dirs(tmp_path):
         cols = line.split("\t")
         # perfect classification: tp = total, ppv = sensitivity = 1.0
         assert cols[-3] == "1.0" and cols[-2] == "1.0"
+
+
+def test_accuracy_experiment_two_step_beats_one_step():
+    """The reference's headline claim (README.md:300-330, All_metrics.tsv):
+    2-step dynamic classification must match or beat the 1-step full-index
+    pass on read sensitivity, and the gold-set index bounds both. Small
+    reproduction of scripts/accuracy_corpus.py (which writes the checked-in
+    metrics/All_metrics_synth.tsv at full scale)."""
+    from slacken_tpu.analysis.experiment import run_experiment
+
+    rows = run_experiment(
+        n_genera=6, genome_len=120_000, n_present=3, n_reads=2000,
+        thresholds=(0.05,), detect_count=20,
+    )
+    by = {(r["library"], r["rank"]): r for r in rows}
+    assert len(rows) == 3 * 2  # 3 modes x 2 ranks
+    for rank in ("Genus", "Species"):
+        one = by[("1step", rank)]["per_read"]
+        two = by[("2step", rank)]["per_read"]
+        gold = by[("gold", rank)]["per_read"]
+        assert two.sensitivity >= one.sensitivity, rank
+        assert gold.sensitivity >= two.sensitivity - 1e-9, rank
+        # taxon precision must not regress either
+        assert (
+            by[("2step", rank)]["per_taxon"].precision
+            >= by[("1step", rank)]["per_taxon"].precision
+        ), rank
+    # the sibling-species confusion must actually bite at species rank:
+    # the 2-step advantage is real, not vacuous
+    assert by[("2step", "Species")]["per_read"].sensitivity > (
+        by[("1step", "Species")]["per_read"].sensitivity + 0.2
+    )
