@@ -103,10 +103,11 @@ def _build_parser():
     )
     b.add_argument(
         "--ordering",
-        choices=["xor", "lexicographic", "frequency"],
+        choices=["xor", "lexicographic", "signature", "frequency"],
         default="xor",
         help="Minimizer ordering (default xor = Kraken 2-compatible RandomXOR; "
-        "frequency samples the library and prefers rare minimizers)",
+        "frequency samples the library and prefers rare minimizers; "
+        "signature = KMC2/3 signature ordering)",
     )
     b.add_argument(
         "--devices",

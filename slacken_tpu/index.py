@@ -54,8 +54,8 @@ class IndexParams:
     canonical: bool = True
     buckets: int = 200  # shard count hint for distributed layouts
     #: minimizer ordering: "xor" (RandomXOR, the Slacken default) or an
-    #: explicit rank-table ordering "lexicographic" / "frequency"
-    #: (MinimizerCLIConf.scala:81-95; ops.ordering). Non-xor orderings
+    #: explicit rank-table ordering "lexicographic" / "signature" /
+    #: "frequency" (MinimizerCLIConf.scala:81-95; ops.ordering). Non-xor orderings
     #: store ranks as keys and persist their LUT beside the index.
     ordering: str = "xor"
 
@@ -745,6 +745,8 @@ class KeyValueIndex:
                 raise NotImplementedError("explicit orderings require m <= 31")
             if params.ordering == "lexicographic":
                 ordering_lut = ordering_ops.lexicographic_lut(params.m)
+            elif params.ordering == "signature":
+                ordering_lut = ordering_ops.signature_lut(params.m)
             elif ordering_lut is None:
                 raise ValueError(
                     f"ordering {params.ordering!r} requires an explicit rank LUT"

@@ -198,7 +198,8 @@ def priorities_at_starts(codes: jnp.ndarray, params: MinimizerParams, lut=None):
             masked = u64.band(
                 masked, u64.from_int(space_mask_int(m, params.spaces), mm.hi.shape)
             )
-        # m <= 12 => the (masked) m-mer fits in lo; rank is a uint32
+        # m <= MAX_LUT_M (15) => the (masked) m-mer's 2m <= 30 bits fit in
+        # lo; rank is a uint32
         prio = U64(jnp.zeros_like(mm.hi), jnp.asarray(lut)[masked.lo])
         valid1 = jnp.asarray(codes) < 4
         return prio, sliding_all(valid1, m)

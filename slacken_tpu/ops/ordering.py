@@ -15,13 +15,24 @@ orderings are bounded to small m: we require m <= MAX_LUT_M so the table
   * given          — explicit motif list in priority order (reference Given)
   * frequency      — rarest-first by sampled counts, ties lexicographic
                      (reference Frequency: orderings/package semantics)
-
-The Signature ordering belongs to the Discount k-mer counter lineage and is
-not reachable from Slacken's CLI; it is intentionally not provided.
+  * signature      — KMC2/3 signature ordering (reference Signature,
+                     package.scala:50 — declared in the ADT but, like
+                     MinimizerFraction, never implemented anywhere in the
+                     reference; semantics here follow the public KMC2
+                     definition, see signature_lut)
 
 Spacing composes the same way as the reference's SpacedSeed wrapper
 (MinimizerPriorities.scala:274-321): the m-mer is masked first, then ranked,
 so the table only needs ranks for masked motifs (unmasked entries are unused).
+
+HBM/RAM arithmetic for the dense uint32[4^m] table (MAX_LUT_M = 15, the
+reference MinTable's own bound, MinimizerPriorities.scala:181-271):
+m=12 -> 67 MB, m=13 -> 268 MB, m=14 -> 1 GiB, m=15 -> 4 GiB. A v5e chip has
+16 GB HBM, so even m=15 is device-resident next to a production probe table,
+and the per-position cost is unchanged (one rank gather regardless of m).
+The real cost is table CONSTRUCTION on the host (frequency at m=15 argsorts
+4^15 counts: ~16 GB transient RAM, minutes), which a production build pays
+once; the reference pays the same 4^m materialization in MinTable.byPriority.
 """
 
 from __future__ import annotations
@@ -34,9 +45,10 @@ import numpy as np
 
 from .minimizers import MinimizerParams, space_mask_int
 
-#: largest m for which a dense rank table is allowed (4^12 = 16.7M entries,
-#: 67 MB as uint32 — comfortably HBM-resident)
-MAX_LUT_M = 12
+#: largest m for a dense rank table — matches the reference MinTable's bound
+#: (MinimizerPriorities.scala:181-271); see the module docstring for the
+#: 4^m size arithmetic
+MAX_LUT_M = 15
 
 
 def _check_m(m: int) -> int:
@@ -66,6 +78,37 @@ def given_lut(motifs: np.ndarray, m: int) -> np.ndarray:
     lut[motifs] = np.arange(motifs.size, dtype=np.uint32)
     absent = np.flatnonzero(lut == np.iinfo(np.uint32).max)
     lut[absent] = np.arange(motifs.size, motifs.size + absent.size, dtype=np.uint32)
+    return lut
+
+
+def signature_lut(m: int) -> np.ndarray:
+    """KMC2/3 signature ordering (reference Signature, package.scala:50).
+
+    The reference declares this ordering in its ADT but implements it
+    nowhere (no MinimizerPriorities subclass consumes it) — so, as with
+    MinimizerFraction, the semantics here are taken from the public KMC 2
+    definition (Deorowicz et al. 2015, "KMC 2: fast and resource-frugal
+    k-mer counting", the 'signature' m-mer filter): an m-mer is a signature
+    CANDIDATE iff it does not start with AAA, does not start with ACA, and
+    contains AA nowhere except possibly at its very start. Candidates rank
+    before non-candidates; within each class the order is lexicographic.
+    """
+    n = _check_m(m)
+    vals = np.arange(n, dtype=np.uint32)  # 2m <= 30 bits
+    allowed = np.ones(n, bool)
+    if m >= 3:
+        top3 = vals >> np.uint32(2 * (m - 3))
+        allowed &= (top3 != 0b000000) & (top3 != 0b000100)  # AAA, ACA
+    # AA starting at any interior position 1..m-2 (position 0 is permitted)
+    for i in range(1, m - 1):
+        pair = (vals >> np.uint32(2 * (m - 2 - i))) & np.uint32(0xF)
+        allowed &= pair != 0
+    n_allowed = int(allowed.sum())
+    lut = np.where(
+        allowed,
+        np.cumsum(allowed, dtype=np.int64) - 1,
+        np.cumsum(~allowed, dtype=np.int64) - 1 + n_allowed,
+    ).astype(np.uint32)
     return lut
 
 
@@ -112,7 +155,9 @@ def sample_mmer_counts(
     """
     m = params.m
     n = _check_m(m)
-    counts = np.zeros(n, np.int64)
+    # int32 above m=13 keeps the counts array <= 4 GiB at m=15 (sampled
+    # occurrence counts are nowhere near 2^31)
+    counts = np.zeros(n, np.int64 if m <= 13 else np.int32)
     buf: list = []
 
     def flush():

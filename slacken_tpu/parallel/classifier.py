@@ -331,6 +331,8 @@ def build_distributed(
 
         if params.ordering == "lexicographic":
             ordering_lut = ordering_ops.lexicographic_lut(params.m)
+        elif params.ordering == "signature":
+            ordering_lut = ordering_ops.signature_lut(params.m)
         elif ordering_lut is None:
             raise ValueError(
                 f"ordering {params.ordering!r} requires an explicit rank LUT"

@@ -171,3 +171,94 @@ def test_ordering_index_end_to_end(rng, tmp_path):
         KeyValueIndex.build(genomes, IndexParams(k=21, m=9), t, ordering_lut=lut)
     with pytest.raises(ValueError):
         KeyValueIndex.build(genomes, p_freq, t)
+
+
+def test_signature_lut_semantics():
+    """KMC2 signature rules at small m, checked against a direct string
+    predicate: candidates (no AAA/ACA start, no interior AA) rank before
+    non-candidates, lexicographic within each class."""
+    m = 5
+    lut = ordering.signature_lut(m)
+    n = 1 << (2 * m)
+    bases = "ACGT"
+
+    def mmer_str(v):
+        return "".join(bases[(v >> (2 * (m - 1 - i))) & 3] for i in range(m))
+
+    def is_candidate(s):
+        if s.startswith("AAA") or s.startswith("ACA"):
+            return False
+        return "AA" not in s[1:]  # AA allowed only at the very start
+
+    cand = [v for v in range(n) if is_candidate(mmer_str(v))]
+    non = [v for v in range(n) if not is_candidate(mmer_str(v))]
+    # permutation property
+    assert sorted(lut.tolist()) == list(range(n))
+    # candidates first, each class lexicographic
+    assert lut[cand].tolist() == list(range(len(cand)))
+    assert lut[non].tolist() == list(range(len(cand), n))
+    # spot checks: AAAAA and ACAAA are non-candidates; CCCCC is rank of
+    # first C-block candidate below it
+    assert int(lut[0]) >= len(cand)
+
+
+def test_signature_ordering_window_min_vs_oracle(rng):
+    """Device windows with the signature LUT == the naive per-window min
+    rank oracle."""
+    mp = MinimizerParams(k=19, m=7, spaces=2)
+    lut = ordering.signature_lut(7)
+    codes = codes_of(rng, 400, 0.02)
+    wm = window_minimizers(codes[None, :], mp, lut)
+    got = np.asarray(wm.minimizer.lo)[0]
+    valid = np.asarray(wm.valid)[0]
+    want = naive_window_min_rank(codes, mp, lut)
+    for i, w in enumerate(want):
+        if w is None:
+            assert not valid[i]
+        else:
+            assert valid[i] and int(got[i]) == w, i
+
+
+def test_signature_index_build_and_classify(rng, tmp_path):
+    """End-to-end: build + save/load + classify with ordering="signature"
+    must round-trip and classify library reads (registry parity with the
+    reference ADT, package.scala:35-56)."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+    from slacken_tpu.index import IndexParams, KeyValueIndex
+    from test_index import make_genomes
+    from test_taxonomy import random_taxonomy
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=700)
+    params = IndexParams(k=25, m=11, spaces=0, ordering="signature")
+    idx = KeyValueIndex.build(genomes, params, t)
+    assert idx.ordering_lut is not None
+    loc = str(tmp_path / "sigidx")
+    idx.save(loc)
+    idx2 = KeyValueIndex.load(loc)
+    assert np.array_equal(idx2.ordering_lut, idx.ordering_lut)
+    frags = []
+    for i in range(10):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        frags.append(Fragment(f"r{i}", g[s : s + 101]))
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    want = Classifier(idx).classify(frags, cpar)
+    got = Classifier(idx2).classify(frags, cpar)
+    assert want[0.0] == got[0.0]
+    assert sum(r.classified for r in want[0.0]) > 5
+
+
+def test_lut_m13_envelope():
+    """MAX_LUT_M matches the reference MinTable bound (m <= 15,
+    MinimizerPriorities.scala:181-271); a 268 MB m=13 table builds and the
+    guard still rejects m=16."""
+    import pytest
+
+    lut = ordering.lexicographic_lut(13)
+    assert lut.shape == (1 << 26,) and lut.dtype == np.uint32
+    assert int(lut[12345]) == 12345
+    del lut
+    with pytest.raises(ValueError):
+        ordering.lexicographic_lut(16)
+    assert ordering.MAX_LUT_M == 15
