@@ -2300,6 +2300,176 @@ def exp_build7():
     return out
 
 
+@guard("build_dr")
+def exp_build_dr():
+    """Round-5 device-resident build->serve (VERDICT r4 #3): the finished
+    records STAY on device and the hashed1 serve table builds there too, so
+    the 31 MB final d2h (95% of the warm tunnel build) leaves the build
+    path entirely. Measures: (a) warm device-resident build Mbp/s, (b) the
+    on-device serve-table construction, (c) the deferred materialization
+    d2h (what save() would pay), (d) the host-materializing build for A/B,
+    (e) classify correctness straight from the device-resident index."""
+    import importlib.util as _ilu
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+
+    spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    out = {}
+
+    def fresh_build():
+        return KeyValueIndex.build(
+            bench.synthetic_library(np.random.default_rng(20260816)),
+            IndexParams(k=35, m=31, spaces=7), tax,
+            batch_rows=32, row_len=1 << 16,
+        )
+
+    os.environ["STPU_DEVICE_RESIDENT"] = "1"
+    os.environ["STPU_BUILD_DEVICE"] = "1"  # explicit so CPU shakeouts match
+    try:
+        fresh_build()  # warm compiles
+        t0 = time.time()
+        idx = fresh_build()
+        dt = time.time() - t0
+        out["dr_warm_s"] = round(dt, 2)
+        out["dr_warm_mbp_s"] = round(8.0 / dt, 2)
+        out["dr_records"] = idx.num_records
+        # serve-table construction on device
+        t0 = time.time()
+        table, tile, rb = idx.device_hashed_rows
+        jax.block_until_ready(table)
+        out["serve_table_s"] = round(time.time() - t0, 2)
+        out["serve_table_MB"] = round(table.nbytes / 1e6, 1)
+        # classify a small batch straight from the device-resident index
+        cls = Classifier(idx, probe="hashed1")
+        packed, n_reads = _e2e_reads()
+        import shutil
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="stpu_dr_")
+        try:
+            cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+            cls.classify_and_write_packed(packed, loc + "/w", cpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/t", cpar)
+            out["dr_classify_reads_s"] = round(n_reads / (time.time() - t0))
+            rep = open(loc + "/t_c0.0/all_kreport.txt").read().splitlines()
+            uncl = next(
+                (int(l.split("\t")[1]) for l in rep if l.endswith("unclassified")),
+                0,
+            )
+            out["dr_classified"] = n_reads - uncl
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+        assert idx._keys is None, "serve path must not materialize host keys"
+        # deferred materialization (what save() pays)
+        t0 = time.time()
+        k = idx.keys
+        out["materialize_d2h_s"] = round(time.time() - t0, 2)
+        out["materialize_records"] = len(k)
+    finally:
+        os.environ["STPU_DEVICE_RESIDENT"] = "0"
+    # host-materializing A/B
+    fresh_build()
+    t0 = time.time()
+    idx_h = fresh_build()
+    dt = time.time() - t0
+    out["host_warm_s"] = round(dt, 2)
+    out["host_warm_mbp_s"] = round(8.0 / dt, 2)
+    out["identical"] = bool(np.array_equal(idx_h.keys, k))
+    os.environ.pop("STPU_DEVICE_RESIDENT", None)
+    os.environ.pop("STPU_BUILD_DEVICE", None)
+    return out
+
+
+@guard("kernel6")
+def exp_kernel6():
+    """Round-5 roofline push (VERDICT r4 #7): dense vs SPAN-COMPACTED
+    hashed1 probing. Dense probes every window position (~94/row at the
+    bench shape) and sits at the per-row gather wall; span compaction
+    probes one query per super-mer (~51/row incl. pad) for 1.8x fewer
+    gathers, at the cost of the compact+scatter machinery that the r2-era
+    measurement (tiled probe, 280 M independent gathers/s) said wasn't
+    worth it. hashed1 changed the economics: the probe is now the wall."""
+    ensure_index()
+    mp = IDX.params.minimizer_params
+    table_tax = jnp.asarray(IDX.taxonomy.rpath_table())
+    router = IDX.device_router
+    out = {}
+    codes_h = np.asarray(CODES_RES)
+
+    from slacken_tpu.classify import _classify_kernel_tiled
+
+    tab, tile, rb = IDX.device_hashed_rows
+    out["tile"], out["row_bits"] = tile, rb
+    for reps, label in ((2, "B16384"), (8, "B65536")):
+        cd = jax.device_put(np.concatenate([codes_h] * reps))
+        jax.block_until_ready(cd)
+        B = cd.shape[0]
+        for dense in (True, False):
+            name = f"{label}_{'dense' if dense else 'span'}"
+            try:
+                def step(i, c, tab=tab, tile=tile, rb=rb, dense=dense, cd=cd):
+                    cc = cd.at[0, 0].set((c & 3).astype(jnp.uint8))
+                    wt, nd, ch, res, hp = _classify_kernel_tiled(
+                        cc, tab, router, table_tax, mp, 32, 0,
+                        ("hashed1", tile, rb, dense),
+                    )
+                    return res.max_taxon.sum()
+
+                per = timeit_loop(step, jnp.int32(0), R=4)
+                out[f"{name}_reads_s"] = round(B / per)
+            except Exception as e:  # noqa: BLE001
+                out[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        del cd
+    return out
+
+
+@guard("e2e11")
+def exp_e2e11():
+    """e2e reports-mode A/B of dense vs span-compacted hashed1 through the
+    production pipeline (follows kernel6; the e2e number is what bench.py
+    captures)."""
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    import shutil
+    import tempfile
+
+    out = {"n_reads": n_reads}
+    cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+    for dense_env, label in (("1", "dense"), ("0", "span")):
+        os.environ["STPU_TILED_DENSE"] = dense_env
+        try:
+            cls = Classifier(IDX, probe="hashed1")
+            loc = tempfile.mkdtemp(prefix="stpu_e2e11_")
+            try:
+                cls.classify_and_write_packed(packed, loc + "/w", cpar)
+                best = 0.0
+                for t in range(3):
+                    t0 = time.time()
+                    cls.classify_and_write_packed(packed, loc + f"/t{t}", cpar)
+                    best = max(best, n_reads / (time.time() - t0))
+                out[f"{label}_reads_s"] = round(best)
+                rep = open(loc + "/t2_c0.0/all_kreport.txt").read().splitlines()
+                uncl = next(
+                    (int(l.split("\t")[1]) for l in rep
+                     if l.endswith("unclassified")), 0,
+                )
+                out[f"{label}_classified"] = n_reads - uncl
+            finally:
+                shutil.rmtree(loc, ignore_errors=True)
+        finally:
+            os.environ.pop("STPU_TILED_DENSE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -2342,6 +2512,9 @@ if __name__ == "__main__":
         "bench_warm": exp_bench_warm,
         "build6": exp_build6,
         "build7": exp_build7,
+        "build_dr": exp_build_dr,
+        "kernel6": exp_kernel6,
+        "e2e11": exp_e2e11,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

@@ -621,7 +621,7 @@ class Classifier:
             else:
                 default = (
                     "hashed1"
-                    if lookup_ops.fits_hashed_rows(len(index.keys))
+                    if lookup_ops.fits_hashed_rows(index.num_records)
                     else "tiled"
                 )
             probe = os.environ.get("STPU_PROBE", default)
@@ -699,7 +699,7 @@ class Classifier:
                 target_batch_bp = 1 << 20
             elif self._probe_static[0] in ("hashed1", "hashed1_wide"):
                 target_batch_bp = 1 << 22
-            elif 12 * len(index.keys) > (1 << 29):
+            elif 12 * index.num_records > (1 << 29):
                 target_batch_bp = 1 << 20
             else:
                 target_batch_bp = 1 << 21

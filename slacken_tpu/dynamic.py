@@ -175,7 +175,7 @@ class Dynamic:
                     codes = np.concatenate([codes, pad], axis=0)
                 outs = mesh_fn(codes, *mesh_args)
             elif wide:
-                if fast and lookup_ops.fits_hashed_rows(len(idx.keys)):
+                if fast and lookup_ops.fits_hashed_rows(idx.num_records):
                     table, tile, rb = idx.device_hashed_rows
                     outs = _span_hits_kernel_hashed1_wide(
                         codes, table, mp, tile, rb, idx.key_bits,
@@ -188,7 +188,7 @@ class Dynamic:
                         idx.router_bits, idx.key_bits, idx.device_lut,
                     )
             elif fast:
-                if lookup_ops.fits_hashed_rows(len(idx.keys)):
+                if lookup_ops.fits_hashed_rows(idx.num_records):
                     table, tile, rb = idx.device_hashed_rows
                     outs = _span_hits_kernel_hashed1(
                         codes, table, mp, tile, rb, idx.key_bits,

@@ -507,14 +507,21 @@ class KeyValueIndex:
 
     def __init__(
         self,
-        keys: np.ndarray,
-        taxa: np.ndarray,
+        keys: Optional[np.ndarray],
+        taxa: Optional[np.ndarray],
         params: IndexParams,
         taxonomy: Taxonomy,
         location: Optional[str] = None,
     ):
-        self.keys = np.asarray(keys, np.uint64)
-        self.taxa = np.asarray(taxa, np.int32)
+        #: device-resident record bundle ([3, cap] u32 hi/lo/taxon device
+        #: array, n valid) — set by from_device_records; host keys/taxa then
+        #: materialize lazily on first access (save(), routed probes), while
+        #: the production hashed1 serve path never round-trips through the
+        #: host at all (device_hashed_rows builds on device)
+        self._device_records = None
+        self._num_records: Optional[int] = None
+        self._keys = None if keys is None else np.asarray(keys, np.uint64)
+        self._taxa = None if taxa is None else np.asarray(taxa, np.int32)
         self.params = params
         self.taxonomy = taxonomy
         self.location = location
@@ -535,6 +542,59 @@ class KeyValueIndex:
         self.record_taxa: Optional[np.ndarray] = None
 
     # -- device residency ---------------------------------------------------
+
+    @classmethod
+    def from_device_records(
+        cls, red, n: int, params: IndexParams, taxonomy: Taxonomy
+    ) -> "KeyValueIndex":
+        """Index over a device-resident [3, cap] u32 (hi, lo, taxon) record
+        array with `n` valid sorted entries — the build->serve fast path:
+        the hashed1 probe table is built on device (build_hashed_rows_device)
+        and host keys/taxa materialize only if a host consumer (save, routed
+        probe, sharding) asks. Narrow (m <= 31) indexes only."""
+        if params.m > 31:
+            raise ValueError("device-resident records are narrow-only (m <= 31)")
+        idx = cls(None, None, params, taxonomy)
+        idx._device_records = red
+        idx._num_records = int(n)
+        return idx
+
+    @property
+    def num_records(self) -> int:
+        """Record count, known without materializing host keys."""
+        if self._num_records is not None:
+            return self._num_records
+        return len(self.keys)
+
+    def _materialize(self):
+        red = self._device_records
+        n = self._num_records
+        out = np.asarray(jnp.ravel(red[:, :n])).reshape(3, n)
+        self._keys = (
+            out[0].astype(np.uint64) << np.uint64(32)
+        ) | out[1]
+        self._taxa = out[2].view(np.int32).copy()
+
+    @property
+    def keys(self) -> np.ndarray:
+        if self._keys is None and self._device_records is not None:
+            self._materialize()
+        return self._keys
+
+    @keys.setter
+    def keys(self, value):
+        self._keys = None if value is None else np.asarray(value, np.uint64)
+        self._num_records = None  # recompute from the new array
+
+    @property
+    def taxa(self) -> np.ndarray:
+        if self._taxa is None and self._device_records is not None:
+            self._materialize()
+        return self._taxa
+
+    @taxa.setter
+    def taxa(self, value):
+        self._taxa = None if value is None else np.asarray(value, np.int32)
 
     @property
     def wide(self) -> bool:
@@ -654,6 +714,15 @@ class KeyValueIndex:
         Wide (m > 31) indexes get the [2^row_bits, 5*tile] raw-limb table
         for lookup_taxa_hashed_rows_wide."""
         if getattr(self, "_device_hashed_rows", None) is None:
+            if self._device_records is not None and not self.wide:
+                # build->serve fast path: table built ON device from the
+                # device-resident records; no host round-trip anywhere
+                red, n = self._device_records, self._num_records
+                table, tile, rbits = lookup_ops.build_hashed_rows_device(
+                    red[0, :n], red[1, :n], red[2, :n].view(jnp.int32)
+                )
+                self._device_hashed_rows = (table, tile, rbits)
+                return self._device_hashed_rows
             if self.wide:
                 table, tile, rbits = lookup_ops.build_hashed_rows_wide(
                     self.keys, self.taxa, self.key_bits
@@ -1031,6 +1100,25 @@ class KeyValueIndex:
                 taxa = np.zeros(0, np.int32)
             else:
                 red, n = reduce_chunks(final=True)
+                # device-resident build->serve (default off-CPU): the
+                # finished sorted records STAY on device — the hashed1 serve
+                # table builds there too, and host keys materialize lazily
+                # only for save()/routed/sharding consumers. The final d2h
+                # was 95%+ of the warm tunnel build (docs/PERF.md Build);
+                # production build->classify never needed it.
+                _dr_env = _os.environ.get("STPU_DEVICE_RESIDENT")
+                device_resident = (
+                    jax.default_backend() != "cpu"
+                    if _dr_env is None
+                    else _dr_env == "1"
+                )
+                if device_resident:
+                    jax.block_until_ready(red)  # build is DONE (honest timing)
+                    idx = cls.from_device_records(red, n, params, taxonomy)
+                    if lut is not None:
+                        idx.ordering_lut = np.asarray(lut)
+                    _attach_trace(idx)
+                    return idx
                 with _ph("final_d2h"):
                     out = _fetch_records(red)  # ONE transfer: the finished index
                 with _ph("final_unpack"):

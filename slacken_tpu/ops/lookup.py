@@ -669,6 +669,73 @@ def build_hashed_rows(
     return table, tile, row_bits
 
 
+@jax.jit
+def _sort_scrambled_device(kh, kl, tx):
+    """Scramble u64 keys (xorshift64) and sort (key, taxon) by scrambled
+    value — the device half of build_hashed_rows' preprocessing."""
+    sq = _xorshift64_u64(U64(kh, kl))
+    return jax.lax.sort((sq.hi, sq.lo, tx), num_keys=2)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _max_row_count_device(sh, row_bits: int):
+    """Fullest-row occupancy at a candidate row_bits (scalar, for the
+    auto-growth loop)."""
+    rows = (sh >> jnp.uint32(32 - row_bits)).astype(jnp.int32)
+    return jnp.zeros(1 << row_bits, jnp.int32).at[rows].add(1).max()
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _scatter_rows_device(sh, sl, stx, tile: int, row_bits: int):
+    """Scatter sorted scrambled records into the [2^row_bits, 3*tile]
+    column-block table (bit-identical layout to build_hashed_rows)."""
+    n = sh.shape[0]
+    rows = (sh >> jnp.uint32(32 - row_bits)).astype(jnp.int32)
+    starts = jnp.searchsorted(
+        rows, jnp.arange(1 << row_bits, dtype=jnp.int32), side="left"
+    )
+    cols = jnp.arange(n, dtype=jnp.int32) - starts[rows]
+    table = jnp.full(((1 << row_bits), 3 * tile), 0xFFFFFFFF, jnp.uint32)
+    table = table.at[rows, cols].set(sh)
+    table = table.at[rows, tile + cols].set(sl)
+    table = table.at[rows, 2 * tile + cols].set(stx)
+    return table
+
+
+def build_hashed_rows_device(kh, kl, taxa, tile: int = 128, row_bits=None):
+    """build_hashed_rows entirely ON DEVICE, from u32 limb arrays of the
+    (unique) keys — the build->serve path that never round-trips records
+    through the host (the final d2h was 95%+ of the tunnel build wall,
+    docs/PERF.md). Returns (device table, tile, row_bits), bit-identical to
+    the host builder's output for the same geometry; the auto-growth policy
+    (row_bits then tile, max_bits = start+8 capped at 28) matches exactly.
+    Only the per-retry occupancy scalar crosses the link."""
+    n = int(kh.shape[0])
+    sh, sl, stx = _sort_scrambled_device(
+        jnp.asarray(kh), jnp.asarray(kl), jnp.asarray(taxa).view(jnp.uint32)
+    )
+    auto = row_bits is None
+    if auto:
+        row_bits = max(1, int(np.ceil(np.log2(max(n, 2) / tile))))
+    max_bits = min(28, row_bits + 8)
+    if n:
+        while True:
+            maxc = int(_max_row_count_device(sh, row_bits))
+            if maxc <= tile:
+                break
+            if auto and row_bits < max_bits:
+                row_bits += 1
+            elif tile < 1 << 12:
+                tile *= 2
+            else:
+                raise ValueError(
+                    f"hashed-rows layout did not converge (n={n}); "
+                    "use the hashed/tiled probe"
+                )
+    table = _scatter_rows_device(sh, sl, stx, tile, row_bits)
+    return table, tile, row_bits
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def lookup_taxa_hashed_rows(
     table: jnp.ndarray, q: U64, tile: int, row_bits: int, key_bits: int = 62

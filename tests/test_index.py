@@ -384,3 +384,53 @@ def test_build_flat_d2h_identical(rng, monkeypatch):
     flat = KeyValueIndex.build(genomes, params, t, row_len=256)
     assert np.array_equal(base.keys, flat.keys)
     assert np.array_equal(base.taxa, flat.taxa)
+
+
+def test_device_hashed_rows_builder_matches_host(rng):
+    """build_hashed_rows_device (the build->serve path's on-device table
+    construction) must be bit-identical to the host builder, including the
+    auto row_bits/tile growth policy."""
+    from slacken_tpu.ops import lookup
+
+    for n in (0, 7, 1000, 50000):
+        keys = np.unique(rng.integers(1, 1 << 62, max(n, 1) * 2).astype(np.uint64))[:n]
+        taxa = rng.integers(1, 99999, len(keys)).astype(np.int32)
+        ht, htile, hrb = lookup.build_hashed_rows(keys, taxa)
+        kh = (keys >> np.uint64(32)).astype(np.uint32)
+        kl = keys.astype(np.uint32)
+        dt, dtile, drb = lookup.build_hashed_rows_device(kh, kl, taxa)
+        assert (htile, hrb) == (dtile, drb), n
+        assert np.array_equal(np.asarray(dt), ht), n
+
+
+def test_device_resident_build_serves_without_host_roundtrip(rng, monkeypatch):
+    """STPU_DEVICE_RESIDENT builds keep the finished records ON device: the
+    hashed1 probe serves straight from them (no host keys materialized),
+    lazy materialization equals the host-path build exactly, and save()
+    still works (it materializes on demand)."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=600)
+    params = IndexParams(k=35, m=31, spaces=7)
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "1")
+    monkeypatch.setenv("STPU_DEVICE_RESIDENT", "1")
+    idx_dr = KeyValueIndex.build(genomes, params, t, row_len=256)
+    assert idx_dr._device_records is not None and idx_dr._keys is None
+    monkeypatch.setenv("STPU_DEVICE_RESIDENT", "0")
+    idx_host = KeyValueIndex.build(genomes, params, t, row_len=256)
+    assert idx_dr.num_records == len(idx_host.keys)
+
+    frags = []
+    for i in range(12):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 101))
+        frags.append(Fragment(f"r{i}", g[s : s + 101]))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    got = Classifier(idx_dr, probe="hashed1").classify(frags, cpar)
+    assert idx_dr._keys is None  # classification never touched host keys
+    want = Classifier(idx_host, probe="hashed1").classify(frags, cpar)
+    for c in cpar.thresholds:
+        assert got[c] == want[c]
+    assert np.array_equal(idx_dr.keys, idx_host.keys)  # lazy == host path
+    assert np.array_equal(idx_dr.taxa, idx_host.taxa)
