@@ -2526,5 +2526,45 @@ if __name__ == "__main__":
             record(name, ok=False, error=f"unknown experiment {name!r}")
             continue
         fn()
+    # STPU_HOLD: keep the (single-client) tunnel alive and poll a command
+    # file for follow-up experiments — a second session would otherwise pay
+    # the 20-60 min tunnel recovery window. Append experiment names (one
+    # per line) to the file; "quit" ends the session. Lines may set one-shot
+    # env as NAME@K=V,K=V.
+    hold = os.environ.get("STPU_HOLD")
+    if hold:
+        seen = 0
+        print(f"[hold] polling {hold} for experiment names...", file=sys.stderr)
+        while True:
+            time.sleep(10)
+            try:
+                lines = [
+                    l.strip() for l in open(hold).read().splitlines() if l.strip()
+                ]
+            except OSError:
+                continue
+            for line in lines[seen:]:
+                seen += 1
+                if line == "quit":
+                    record("done", ok=True)
+                    print(json.dumps(results, indent=2, default=str))
+                    sys.exit(0)
+                name, _, envspec = line.partition("@")
+                saved = {}
+                if envspec:
+                    for kv in envspec.split(","):
+                        k, _, v = kv.partition("=")
+                        saved[k] = os.environ.get(k)
+                        os.environ[k] = v
+                fn = steps.get(name)
+                if fn is None:
+                    record(name, ok=False, error=f"unknown experiment {name!r}")
+                else:
+                    fn()
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
     record("done", ok=True)
     print(json.dumps(results, indent=2, default=str))
