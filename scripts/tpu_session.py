@@ -2389,6 +2389,83 @@ def exp_build_dr():
     return out
 
 
+@guard("build_dr2")
+def exp_build_dr2():
+    """Device-resident build after the raw-chunk change (per-batch
+    sort/scatter removed — _scan_batch_records_kernel): batch_rows sweep,
+    warm serve-table timing, classify sanity."""
+    import importlib.util as _ilu
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+
+    spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    out = {}
+    os.environ["STPU_DEVICE_RESIDENT"] = "1"
+    os.environ["STPU_BUILD_DEVICE"] = "1"
+    try:
+        for br in (32, 64, 128):
+            def fb(br=br):
+                return KeyValueIndex.build(
+                    bench.synthetic_library(np.random.default_rng(20260816)),
+                    IndexParams(k=35, m=31, spaces=7), tax,
+                    batch_rows=br, row_len=1 << 16,
+                )
+
+            try:
+                fb()
+                t0 = time.time()
+                idx = fb()
+                dt = time.time() - t0
+                out[f"br{br}_s"] = round(dt, 2)
+                out[f"br{br}_mbp_s"] = round(8.0 / dt, 2)
+                out[f"br{br}_records"] = idx.num_records
+            except Exception as e:  # noqa: BLE001
+                out[f"br{br}_error"] = f"{type(e).__name__}: {e}"[:200]
+        # serve table: cold (compile) then warm (re-build on a fresh index)
+        t0 = time.time()
+        tab1, tile, rb = idx.device_hashed_rows
+        jax.block_until_ready(tab1)
+        out["serve_cold_s"] = round(time.time() - t0, 2)
+        idx2 = fb()
+        t0 = time.time()
+        tab2, _, _ = idx2.device_hashed_rows
+        jax.block_until_ready(tab2)
+        out["serve_warm_s"] = round(time.time() - t0, 2)
+        # sanity: classify from the device-resident index
+        cls = Classifier(idx2, probe="hashed1")
+        packed, n_reads = _e2e_reads()
+        import shutil
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="stpu_dr2_")
+        try:
+            cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+            cls.classify_and_write_packed(packed, loc + "/w", cpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/t", cpar)
+            out["classify_reads_s"] = round(n_reads / (time.time() - t0))
+            rep = open(loc + "/t_c0.0/all_kreport.txt").read().splitlines()
+            uncl = next(
+                (int(l.split("\t")[1]) for l in rep
+                 if l.endswith("unclassified")), 0,
+            )
+            out["classified"] = n_reads - uncl
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    finally:
+        os.environ.pop("STPU_DEVICE_RESIDENT", None)
+        os.environ.pop("STPU_BUILD_DEVICE", None)
+    return out
+
+
 @guard("kernel6")
 def exp_kernel6():
     """Round-5 roofline push (VERDICT r4 #7): dense vs SPAN-COMPACTED
@@ -2513,6 +2590,7 @@ if __name__ == "__main__":
         "build6": exp_build6,
         "build7": exp_build7,
         "build_dr": exp_build_dr,
+        "build_dr2": exp_build_dr2,
         "kernel6": exp_kernel6,
         "e2e11": exp_e2e11,
     }

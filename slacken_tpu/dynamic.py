@@ -578,9 +578,7 @@ class Dynamic:
         if self.base.record_keys is not None:
             # fast path: filter + re-reduce the base index's full records
             dynamic = self.base.build_restricted(taxon_set)
-        elif self._use_mesh() and not self.base.wide:
-            # (wide falls through to the single-host build below:
-            # build_distributed's all_to_all shuffle is narrow-only)
+        elif self._use_mesh():
             from .parallel.classifier import build_distributed
 
             dynamic = build_distributed(

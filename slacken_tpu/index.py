@@ -167,6 +167,37 @@ def _build_batch_kernel(codes, taxa_rows, params: MinimizerParams, cap: int, lut
     return jnp.concatenate([out, tail], axis=1)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _scan_batch_records_kernel(codes, taxa_rows, params: MinimizerParams, lut=None):
+    """Raw span records for the device-resident merge tree: scan + flatten +
+    sentinel-mask, NO per-batch sort/dedup ([3, B*L] u32 khi/klo/taxon).
+
+    The merge tree's reduce (lax.sort) is data-oblivious, and chunk arrays
+    are fixed-cap either way, so the per-batch sort+scatter of
+    _build_batch_kernel buys the device-resident path nothing — it existed
+    to count-slice the per-batch d2h transfer. Dropping it halves the
+    device work of the bench build (r5_session: the warm 8 Mbp build was
+    sort-bound, docs/PERF.md Build)."""
+    wm = window_minimizers(codes, params, lut)
+    b, l = codes.shape
+    n = b * l
+    hi = wm.minimizer.hi.reshape(n)
+    lo = wm.minimizer.lo.reshape(n)
+    start = wm.span_start.reshape(n)
+    taxon = jnp.broadcast_to(
+        jnp.asarray(taxa_rows, jnp.int32)[:, None], (b, l)
+    ).reshape(n)
+    sent = jnp.uint32(0xFFFFFFFF)
+    return jnp.stack(
+        [
+            jnp.where(start, hi, sent),
+            jnp.where(start, lo, sent),
+            jnp.where(start, taxon, 0).astype(jnp.uint32),
+        ],
+        axis=0,
+    )
+
+
 @jax.jit
 def _reduce_chunks_kernel(hi, lo, tax, rpath_table):
     """Device-global build reduction: sort (key, taxon) entries, drop
@@ -1034,8 +1065,12 @@ class KeyValueIndex:
                 return
             if device_reduce:
                 with _ph("kernel_dispatch"):
-                    out = _build_batch_kernel(codes, taxa_rows, mp, cap_dr, lut)
-                    chunks.append(out[:, :cap_dr])
+                    # raw records, no per-batch sort (see
+                    # _scan_batch_records_kernel: the reduce's sort is
+                    # data-oblivious, so pre-sorting was pure overhead)
+                    chunks.append(
+                        _scan_batch_records_kernel(codes, taxa_rows, mp, lut)
+                    )
                 if sum(c.shape[1] for c in chunks) >= superbatch:
                     reduce_raw()
                 return

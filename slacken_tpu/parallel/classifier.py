@@ -27,8 +27,11 @@ from ..index import (
     RecordCollector,
     SpillCollector,
     dedup_pairs,
+    dedup_pairs_wide,
     reduce_records,
+    reduce_records_wide,
     spans_to_records,
+    spans_to_records_wide,
 )
 from ..ops import encode
 from ..taxonomy import Taxonomy
@@ -304,24 +307,17 @@ def build_distributed(
 
     Mirrors KeyValueIndex.build's outer loop (fragment batching, overlap
     splitting, taxon filtering) but each batch is scanned, range-partitioned,
-    exchanged and pair-deduplicated ON the mesh (mesh.build_shuffle_fn); the
+    exchanged and pair-deduplicated ON the mesh (mesh.build_shuffle_fn,
+    or build_shuffle_fn_wide carrying four u32 key limbs for m > 31); the
     host merges the per-device distinct streams and runs the global
     cross-taxon LCA reduction. Range boundaries are sampled from the first
     batch (Spark RangePartitioner-style) to balance the canonical-min key
-    skew.
+    skew. Covers the reference's full m <= 63 envelope
+    (KeyValueIndex.scala:85-93 has no m limit).
     """
     mp = params.minimizer_params.validate()
-    if mp.wide:
-        # the all_to_all shuffle exchanges 2-limb u64 keys and the spill
-        # partitioner here would receive [N, 2] keys it cannot searchsorted;
-        # fail loudly rather than mis-partition (ADVICE r4). Wide builds go
-        # through KeyValueIndex.build (single-host, spill-capable, device-
-        # resident merge tree).
-        raise NotImplementedError(
-            "build_distributed is narrow-only (m <= 31): its all_to_all "
-            "shuffle exchanges u64 keys. Use KeyValueIndex.build for wide "
-            "indexes."
-        )
+    if mp.wide and params.ordering != "xor":
+        raise NotImplementedError("wide explicit orderings are unsupported")
     lut = None
     if params.ordering != "xor":
         import jax
@@ -368,6 +364,35 @@ def build_distributed(
                 (batch_rows - codes.shape[0], row_len), encode.INVALID, np.uint8
             )
             codes = np.concatenate([codes, pad], axis=0)
+        if mp.wide:
+            if state["fn"] is None:
+                bnd = pmesh.sample_shuffle_boundaries_wide(codes, mp, n)
+                state["fn"] = pmesh.build_shuffle_fn_wide(
+                    mesh_, mp, cap, boundaries=bnd
+                )
+            l3, l2, l1, l0, tax, counts, ovf = state["fn"](codes, taxa_rows)
+            if bool(np.asarray(ovf).any()):
+                k2, t = spans_to_records_wide(codes, taxa_rows, mp)
+                collector.add(k2, t)
+            else:
+                l3, l2, l1, l0, tax, counts = (
+                    np.asarray(x) for x in (l3, l2, l1, l0, tax, counts)
+                )
+                for r in range(n):
+                    c = int(counts[r])
+                    keys_r = np.stack(
+                        [
+                            (l3[r, :c].astype(np.uint64) << np.uint64(32))
+                            | l2[r, :c],
+                            (l1[r, :c].astype(np.uint64) << np.uint64(32))
+                            | l0[r, :c],
+                        ],
+                        axis=1,
+                    )
+                    collector.add(keys_r, tax[r, :c])
+            buf_seqs.clear()
+            buf_taxa.clear()
+            return
         if state["fn"] is None:
             bnd = pmesh.sample_shuffle_boundaries(codes, mp, n, lut)
             state["fn"] = pmesh.build_shuffle_fn(
@@ -411,8 +436,14 @@ def build_distributed(
         return idx
 
     pair_keys, pair_taxa = collector.concat()
-    pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
-    keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+    if mp.wide:
+        if pair_keys.ndim == 1:  # empty library: concat() default shape
+            pair_keys = pair_keys.reshape(0, 2)
+        pair_keys, pair_taxa = dedup_pairs_wide(pair_keys, pair_taxa)
+        keys, taxa = reduce_records_wide(pair_keys, pair_taxa, taxonomy)
+    else:
+        pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+        keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
     idx = KeyValueIndex(keys, taxa, params, taxonomy)
     if keep_records:
         idx.record_keys = pair_keys

@@ -985,3 +985,158 @@ def build_shuffle_fn(
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def sample_shuffle_boundaries_wide(codes_sample, mp: MinimizerParams, n: int):
+    """sample_shuffle_boundaries for wide (m > 31) minimizers: n-quantiles
+    of the sample's [S, 2] u64 span keys. Returns uint64[n-1, 2]."""
+    import jax.numpy as jnp
+
+    wm = window_minimizers(jnp.asarray(codes_sample), mp)
+    start = np.asarray(wm.span_start)
+    l3, l2, l1, l0 = (np.asarray(x)[start].astype(np.uint64) for x in wm.minimizer.limbs)
+    hi64 = (l3 << np.uint64(32)) | l2
+    lo64 = (l1 << np.uint64(32)) | l0
+    order = np.lexsort((lo64, hi64))
+    keys2 = np.stack([hi64[order], lo64[order]], axis=1)
+    kb = 2 * mp.m
+    if len(keys2) == 0:
+        step = ((1 << kb) // n)
+        vals = np.arange(1, n, dtype=np.uint64) * np.uint64(step >> 64 or 1)
+        out = np.zeros((n - 1, 2), np.uint64)
+        if kb > 64:
+            out[:, 0] = (np.arange(1, n, dtype=np.uint64) * np.uint64((1 << (kb - 64)) // n))
+        else:
+            out[:, 1] = vals
+        return out
+    pos = (np.arange(1, n) * len(keys2)) // n
+    return keys2[pos]
+
+
+def build_shuffle_fn_wide(
+    mesh: Mesh, mp: MinimizerParams, cap_per_dest: int, boundaries=None
+):
+    """build_shuffle_fn for wide (m > 31) minimizers: the all_to_all range
+    exchange carries FOUR u32 key limbs per record (most significant first),
+    the local sorts key on all four, and the pair dedup compares them all.
+
+    fn(codes[B, L] sharded, taxa_rows[B] sharded) ->
+        (l3[n, cap], l2, l1, l0, taxon[n, cap], counts[n], overflow[n]).
+
+    `boundaries` is uint64[n-1, 2] from sample_shuffle_boundaries_wide;
+    without it, destinations come from the top bits of the 2m-bit priority.
+    """
+    n = mesh.devices.size
+    range_bits = max(1, (n - 1).bit_length())
+    kb = 2 * mp.m
+    if boundaries is not None:
+        b = np.asarray(boundaries, np.uint64)
+        assert b.shape == (n - 1, 2), b.shape
+        b_limbs = [
+            jnp.asarray((b[:, 0] >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(b[:, 0].astype(np.uint32)),
+            jnp.asarray((b[:, 1] >> np.uint64(32)).astype(np.uint32)),
+            jnp.asarray(b[:, 1].astype(np.uint32)),
+        ]
+
+    def local_fn(codes, taxa_rows):
+        wm = window_minimizers(codes, mp)
+        b_, l_ = codes.shape
+        m_ = b_ * l_
+        l3, l2, l1, l0 = (x.reshape(m_) for x in wm.minimizer.limbs)
+        start = wm.span_start.reshape(m_)
+        taxon = jnp.broadcast_to(
+            jnp.asarray(taxa_rows, jnp.int32)[:, None], (b_, l_)
+        ).reshape(m_)
+
+        if boundaries is not None:
+            key = u128_mod.from_limbs(
+                l3[None, :], l2[None, :], l1[None, :], l0[None, :]
+            )
+            bnd = u128_mod.from_limbs(*(x[:, None] for x in b_limbs))
+            dest = jnp.sum(u128_mod.leu(bnd, key), axis=0).astype(jnp.int32)
+        else:
+            # top bits of the 2m-bit priority; for m > 31 they live in the
+            # hi64 word, which holds kb-64 significant bits (2..62). When
+            # kb-64 < range_bits (tiny m just over 31 on a big mesh) the
+            # clamp leaves high devices idle — use sampled boundaries there.
+            top = kb - 64
+            dest = u64.shr(
+                u64.U64(l3, l2), max(top - range_bits, 0)
+            ).lo.astype(jnp.int32)
+            dest = jnp.minimum(dest, n - 1)
+        sent = jnp.uint32(0xFFFFFFFF)
+        kl3 = jnp.where(start, l3, sent)
+        kl2 = jnp.where(start, l2, sent)
+        kl1 = jnp.where(start, l1, sent)
+        kl0 = jnp.where(start, l0, sent)
+        kdest = jnp.where(start, dest, n)
+        ktax = jnp.where(start, taxon, 0)
+
+        sdest, s3, s2, s1, s0, stax = jax.lax.sort(
+            (kdest, kl3, kl2, kl1, kl0, ktax), num_keys=5
+        )
+        idx = jnp.arange(m_, dtype=jnp.int32)
+        first_of_dest = jnp.searchsorted(sdest, jnp.arange(n + 1, dtype=jnp.int32))
+        offset_in_dest = idx - first_of_dest[jnp.minimum(sdest, n)]
+        sizes = first_of_dest[1:] - first_of_dest[:-1]
+        overflow = jnp.any(sizes > cap_per_dest)
+
+        out_idx = jnp.where(
+            (sdest < n) & (offset_in_dest < cap_per_dest),
+            sdest * cap_per_dest + offset_in_dest,
+            n * cap_per_dest,
+        )
+
+        def scatter(vals, fill):
+            return jnp.full(n * cap_per_dest, fill).at[out_idx].set(
+                vals, mode="drop"
+            )
+
+        bufs = [scatter(v, sent) for v in (s3, s2, s1, s0)]
+        buf_tax = jnp.zeros(n * cap_per_dest, jnp.int32).at[out_idx].set(
+            stax, mode="drop"
+        )
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x.reshape(n, cap_per_dest), "data", split_axis=0,
+                concat_axis=0, tiled=False,
+            ).reshape(n * cap_per_dest)
+
+        r3, r2, r1, r0 = (a2a(x) for x in bufs)
+        rtax = a2a(buf_tax)
+
+        t3, t2, t1, t0, ttax = jax.lax.sort((r3, r2, r1, r0, rtax), num_keys=5)
+        valid = (t3 != sent) | (t2 != sent) | (t1 != sent) | (t0 != sent)
+
+        def prev(x, fill):
+            return jnp.concatenate([jnp.full((1,), fill, x.dtype), x[:-1]])
+
+        new = valid & (
+            (t3 != prev(t3, sent)) | (t2 != prev(t2, sent))
+            | (t1 != prev(t1, sent)) | (t0 != prev(t0, sent))
+            | (ttax != prev(ttax, jnp.int32(-1)))
+        )
+        pos = jnp.cumsum(new) - 1
+        count = jnp.sum(new)
+        o_idx = jnp.where(new, pos, n * cap_per_dest)
+        outs = [
+            jnp.full(n * cap_per_dest, sent).at[o_idx].set(v, mode="drop")
+            for v in (t3, t2, t1, t0)
+        ]
+        out_tax = jnp.zeros(n * cap_per_dest, jnp.int32).at[o_idx].set(
+            ttax, mode="drop"
+        )
+        return tuple(x[None, :] for x in outs) + (
+            out_tax[None, :], count[None], overflow[None],
+        )
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"),) * 7,
+        check_vma=False,
+    )
+    return jax.jit(shard)

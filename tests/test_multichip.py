@@ -1002,3 +1002,21 @@ def test_multihost_wide_byte_identical(rng, tmp_path):
 
     with pytest.raises(ValueError):
         multihost.MultiHostRingClassifier(loc, mh_probe="tiled")
+
+
+def test_build_shuffle_wide_matches_single_host(rng):
+    """Wide (m > 31) distributed builds: the 4-limb all_to_all shuffle
+    (mesh.build_shuffle_fn_wide) must produce byte-identical indexes to the
+    single-host build at m=32 (shift-edge), m=33 and m=45 — the reference's
+    Spark shuffle covers all m uniformly (KeyValueIndex.scala:85-93)."""
+    from slacken_tpu.parallel.classifier import build_distributed
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=5, length=900)
+    for k, m, sp in ((40, 32, 0), (45, 33, 5), (51, 45, 7)):
+        params = IndexParams(k=k, m=m, spaces=sp)
+        want = KeyValueIndex.build(genomes, params, t)
+        assert want.wide and len(want.keys)
+        got = build_distributed(genomes, params, t, n_devices=8)
+        assert np.array_equal(got.keys, want.keys), m
+        assert np.array_equal(got.taxa, want.taxa), m
