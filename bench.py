@@ -76,6 +76,45 @@ def _load_reads():
 
 
 CPU_RATE_CACHE = "/root/repo/.bench_cache/cpu_rate.json"
+INDEX_CACHE = "/root/repo/.bench_cache/idx"
+
+
+def _bench_taxonomy():
+    from slacken_tpu.taxonomy import Taxonomy
+
+    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
+    return Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
+
+
+def _bench_index_params():
+    from slacken_tpu.index import IndexParams
+
+    return IndexParams(k=35, m=31, spaces=7)
+
+
+def _fresh_build(tax):
+    """The bench's index build, shared verbatim by the classify-index cache,
+    the build benchmark, and the CPU comparator — so every number measures
+    the SAME workload."""
+    from slacken_tpu.index import KeyValueIndex
+
+    return KeyValueIndex.build(
+        synthetic_library(np.random.default_rng(20260816)),
+        _bench_index_params(),
+        tax,
+        batch_rows=32,
+        row_len=1 << 16,
+    )
+
+
+def _load_or_build_index(tax):
+    from slacken_tpu.index import KeyValueIndex
+
+    if os.path.exists(os.path.join(INDEX_CACHE, "params.json")):
+        return KeyValueIndex.load(INDEX_CACHE), True
+    idx = _fresh_build(tax)
+    idx.save(INDEX_CACHE)
+    return idx, False
 
 
 def comparator():
@@ -89,22 +128,10 @@ def comparator():
 
     from slacken_tpu import utils as stpu_utils
     from slacken_tpu.classify import Classifier, ClassifyParams
-    from slacken_tpu.index import IndexParams, KeyValueIndex
-    from slacken_tpu.taxonomy import Taxonomy
 
     stpu_utils.set_heartbeat(_mark)
-    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
-    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
-    cache = "/root/repo/.bench_cache/idx"
-    if os.path.exists(os.path.join(cache, "params.json")):
-        idx = KeyValueIndex.load(cache)
-    else:
-        idx = KeyValueIndex.build(
-            synthetic_library(np.random.default_rng(20260816)),
-            IndexParams(k=35, m=31, spaces=7), tax,
-            batch_rows=32, row_len=1 << 16,
-        )
-        idx.save(cache)
+    tax = _bench_taxonomy()
+    idx, _ = _load_or_build_index(tax)
     packed = _load_reads()
     n_reads = sum(len(p) for p in packed)
     cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
@@ -166,8 +193,6 @@ def main(force_cpu: bool = False):
         jax.config.update("jax_platforms", "cpu")
 
     from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
-    from slacken_tpu.index import IndexParams, KeyValueIndex
-    from slacken_tpu.taxonomy import Taxonomy
 
     # persistent compile cache: TPU only (XLA:CPU AOT cache entries can load
     # across machine-feature mismatches and silently corrupt results)
@@ -202,31 +227,13 @@ def main(force_cpu: bool = False):
 
     stpu_utils.set_heartbeat(_mark)
 
-    nodes = [(1, 1, "root"), (455631, 1, "species"), (526997, 1, "species"), (9606, 1, "species")]
-    tax = Taxonomy.from_nodes_and_names(nodes, [(t, f"taxon{t}") for t, _, _ in nodes])
-
-    cache = "/root/repo/.bench_cache/idx"
-    rng = np.random.default_rng(20260816)
-    t0 = time.time()
-    if os.path.exists(os.path.join(cache, "params.json")):
-        idx = KeyValueIndex.load(cache)
-        print(f"index loaded from cache: {len(idx.keys)} records", file=sys.stderr)
-    else:
-        idx = KeyValueIndex.build(
-            synthetic_library(rng),
-            IndexParams(k=35, m=31, spaces=7),
-            tax,
-            batch_rows=32,
-            row_len=1 << 16,
-        )
-        build_s = time.time() - t0
-        total_bp = 8_000_000
-        print(
-            f"index: {len(idx.keys)} records, built in {build_s:.1f}s "
-            f"({total_bp / build_s / 1e6:.1f} Mbp/s)",
-            file=sys.stderr,
-        )
-        idx.save(cache)
+    tax = _bench_taxonomy()
+    idx, cached = _load_or_build_index(tax)
+    print(
+        f"index {'loaded from cache' if cached else 'built'}: "
+        f"{idx.num_records} records",
+        file=sys.stderr,
+    )
     _mark("index ready")
 
     # real reads via the native packed fast path, plus an equal volume of
@@ -288,29 +295,19 @@ def main(force_cpu: bool = False):
     # inside the timed run — ~2-3 s of one-time cost that a production
     # multi-hour build would never see per batch (r4_session6 build6 trace).
     build_bp = 8_000_000
-    KeyValueIndex.build(
-        synthetic_library(np.random.default_rng(20260816)),
-        IndexParams(k=35, m=31, spaces=7), tax,
-        batch_rows=32, row_len=1 << 16,
-    )
+    _fresh_build(tax)
     _mark("build warm done")
     t0 = time.time()
-    bidx = KeyValueIndex.build(
-        synthetic_library(np.random.default_rng(20260816)),
-        IndexParams(k=35, m=31, spaces=7),
-        tax,
-        batch_rows=32,
-        row_len=1 << 16,
-    )
+    bidx = _fresh_build(tax)
     build_dt = time.time() - t0
     print(
-        f"build: {len(bidx.keys)} records from {build_bp / 1e6:.0f} Mbp in "
+        f"build: {bidx.num_records} records from {build_bp / 1e6:.0f} Mbp in "
         f"{build_dt:.1f}s = {build_bp / build_dt / 1e6:.2f} Mbp/s",
         file=sys.stderr,
     )
-    if len(bidx.keys) != len(idx.keys):
+    if bidx.num_records != idx.num_records:
         print(
-            f"WARNING: fresh build records {len(bidx.keys)} != cached {len(idx.keys)}",
+            f"WARNING: fresh build records {bidx.num_records} != cached {idx.num_records}",
             file=sys.stderr,
         )
 

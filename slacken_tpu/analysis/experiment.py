@@ -32,8 +32,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-GENUS_DEPTH = 6
-SPECIES_DEPTH = 8
+from .mapping_comparison import GENUS_DEPTH, SPECIES_DEPTH
 
 _LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
 

@@ -693,6 +693,7 @@ def _span_hits_kernel_hashed1(
     return wm.minimizer.hi, wm.minimizer.lo, wm.span_start & wm.valid, looked
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _span_hits_kernel_wide(
     codes, keys, key_taxa, router, mp, rounds, bits, key_bits, lut=None
 ):

@@ -612,8 +612,20 @@ class KeyValueIndex:
             self._materialize()
         return self._keys
 
+    def _detach_device_records(self):
+        """Assigning keys/taxa invalidates the device-resident record view:
+        materialize the not-yet-overwritten column first (so the other
+        array is not lost), then drop the device records and any serve
+        table built from them (they would silently serve STALE data)."""
+        if self._device_records is not None:
+            self._materialize()
+            self._device_records = None
+            self._num_records = None
+        self._device_hashed_rows = None
+
     @keys.setter
     def keys(self, value):
+        self._detach_device_records()
         self._keys = None if value is None else np.asarray(value, np.uint64)
         self._num_records = None  # recompute from the new array
 
@@ -625,6 +637,7 @@ class KeyValueIndex:
 
     @taxa.setter
     def taxa(self, value):
+        self._detach_device_records()
         self._taxa = None if value is None else np.asarray(value, np.int32)
 
     @property

@@ -1001,13 +1001,14 @@ def sample_shuffle_boundaries_wide(codes_sample, mp: MinimizerParams, n: int):
     keys2 = np.stack([hi64[order], lo64[order]], axis=1)
     kb = 2 * mp.m
     if len(keys2) == 0:
-        step = ((1 << kb) // n)
-        vals = np.arange(1, n, dtype=np.uint64) * np.uint64(step >> 64 or 1)
+        # spanless sample: fall back to uniform 2m-bit-keyspace quantiles
+        # (exact 128-bit arithmetic in Python ints — the uint64 shortcuts
+        # here previously produced degenerate all-to-one-device boundaries)
         out = np.zeros((n - 1, 2), np.uint64)
-        if kb > 64:
-            out[:, 0] = (np.arange(1, n, dtype=np.uint64) * np.uint64((1 << (kb - 64)) // n))
-        else:
-            out[:, 1] = vals
+        for i in range(1, n):
+            v = (i << kb) // n
+            out[i - 1, 0] = v >> 64
+            out[i - 1, 1] = v & ((1 << 64) - 1)
         return out
     pos = (np.arange(1, n) * len(keys2)) // n
     return keys2[pos]
