@@ -198,6 +198,70 @@ def _scan_batch_records_kernel(codes, taxa_rows, params: MinimizerParams, lut=No
     )
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _scan_batch_records_kernel_wide(codes, taxa_rows, params: MinimizerParams):
+    """_scan_batch_records_kernel for wide (m > 31) minimizers: [5, B*L]
+    u32 raw records (l3, l2, l1, l0 most-significant-first, taxon),
+    sentinel-masked at non-span positions."""
+    wm = window_minimizers(codes, params)
+    b, l = codes.shape
+    n = b * l
+    l3, l2, l1, l0 = (x.reshape(n) for x in wm.minimizer.limbs)
+    start = wm.span_start.reshape(n)
+    taxon = jnp.broadcast_to(
+        jnp.asarray(taxa_rows, jnp.int32)[:, None], (b, l)
+    ).reshape(n)
+    sent = jnp.uint32(0xFFFFFFFF)
+    return jnp.stack(
+        [
+            jnp.where(start, l3, sent),
+            jnp.where(start, l2, sent),
+            jnp.where(start, l1, sent),
+            jnp.where(start, l0, sent),
+            jnp.where(start, taxon, 0).astype(jnp.uint32),
+        ],
+        axis=0,
+    )
+
+
+@jax.jit
+def _reduce_chunks_kernel_wide(l3, l2, l1, l0, tax, rpath_table):
+    """_reduce_chunks_kernel for wide keys: sort on the four u32 limbs (+
+    taxon for determinism), segment-LCA runs of equal keys. Sentinel
+    convention: l3 = all-ones marks padding (real wide keys have
+    hi64 < 2^62, so l3 < 2^30). Returns ([5, M] u32, n_runs)."""
+    from .ops import lca as lca_ops
+
+    sent = jnp.uint32(0xFFFFFFFF)
+    m = l3.shape[0]
+    s3, s2, s1, s0, stax = jax.lax.sort(
+        (l3, l2, l1, l0, jnp.asarray(tax, jnp.int32)), num_keys=5
+    )
+    valid = s3 < jnp.uint32(0x40000000)
+
+    def prev(x):
+        return jnp.concatenate([sent[None], x[:-1]])
+
+    key_new = valid & (
+        (s3 != prev(s3)) | (s2 != prev(s2)) | (s1 != prev(s1)) | (s0 != prev(s0))
+    )
+    run_id = jnp.cumsum(key_new.astype(jnp.int32)) - 1
+    n_runs = jnp.maximum(run_id[-1] + 1, 0)
+    safe_tax = jnp.where(valid, stax, 0)
+    red = lca_ops.segment_lca_table(
+        jnp.maximum(run_id, 0), safe_tax, rpath_table
+    )
+    out_idx = jnp.where(key_new, run_id, m)
+    outs = [
+        jnp.full(m, sent).at[out_idx].set(x, mode="drop")
+        for x in (s3, s2, s1, s0)
+    ]
+    out_tax = jnp.zeros(m, jnp.int32).at[out_idx].set(
+        red[jnp.maximum(run_id, 0)], mode="drop"
+    )
+    return jnp.stack(outs + [out_tax.astype(jnp.uint32)], axis=0), n_runs
+
+
 @jax.jit
 def _reduce_chunks_kernel(hi, lo, tax, rpath_table):
     """Device-global build reduction: sort (key, taxon) entries, drop
@@ -578,13 +642,12 @@ class KeyValueIndex:
     def from_device_records(
         cls, red, n: int, params: IndexParams, taxonomy: Taxonomy
     ) -> "KeyValueIndex":
-        """Index over a device-resident [3, cap] u32 (hi, lo, taxon) record
-        array with `n` valid sorted entries — the build->serve fast path:
-        the hashed1 probe table is built on device (build_hashed_rows_device)
-        and host keys/taxa materialize only if a host consumer (save, routed
-        probe, sharding) asks. Narrow (m <= 31) indexes only."""
-        if params.m > 31:
-            raise ValueError("device-resident records are narrow-only (m <= 31)")
+        """Index over a device-resident u32 record array with `n` valid
+        sorted entries — [3, cap] (hi, lo, taxon) for m <= 31, [5, cap]
+        (l3, l2, l1, l0, taxon) for wide keys. The build->serve fast path:
+        the hashed1 probe table is built on device
+        (build_hashed_rows_device[_wide]) and host keys/taxa materialize
+        only if a host consumer (save, routed probe, sharding) asks."""
         idx = cls(None, None, params, taxonomy)
         idx._device_records = red
         idx._num_records = int(n)
@@ -600,7 +663,14 @@ class KeyValueIndex:
     def _materialize(self):
         red = self._device_records
         n = self._num_records
-        out = np.asarray(jnp.ravel(red[:, :n])).reshape(3, n)
+        rows = red.shape[0]
+        out = np.asarray(jnp.ravel(red[:, :n])).reshape(rows, n)
+        if rows == 5:  # wide: (l3, l2, l1, l0, taxon) -> [n, 2] u64 keys
+            hi64 = (out[0].astype(np.uint64) << np.uint64(32)) | out[1]
+            lo64 = (out[2].astype(np.uint64) << np.uint64(32)) | out[3]
+            self._keys = np.stack([hi64, lo64], axis=1)
+            self._taxa = out[4].view(np.int32).copy()
+            return
         self._keys = (
             out[0].astype(np.uint64) << np.uint64(32)
         ) | out[1]
@@ -758,13 +828,19 @@ class KeyValueIndex:
         Wide (m > 31) indexes get the [2^row_bits, 5*tile] raw-limb table
         for lookup_taxa_hashed_rows_wide."""
         if getattr(self, "_device_hashed_rows", None) is None:
-            if self._device_records is not None and not self.wide:
+            if self._device_records is not None:
                 # build->serve fast path: table built ON device from the
                 # device-resident records; no host round-trip anywhere
                 red, n = self._device_records, self._num_records
-                table, tile, rbits = lookup_ops.build_hashed_rows_device(
-                    red[0, :n], red[1, :n], red[2, :n].view(jnp.int32)
-                )
+                if self.wide:
+                    table, tile, rbits = lookup_ops.build_hashed_rows_wide_device(
+                        red[0, :n], red[1, :n], red[2, :n], red[3, :n],
+                        red[4, :n].view(jnp.int32),
+                    )
+                else:
+                    table, tile, rbits = lookup_ops.build_hashed_rows_device(
+                        red[0, :n], red[1, :n], red[2, :n].view(jnp.int32)
+                    )
                 self._device_hashed_rows = (table, tile, rbits)
                 return self._device_hashed_rows
             if self.wide:
@@ -926,7 +1002,6 @@ class KeyValueIndex:
         env_dr = _os.environ.get("STPU_BUILD_DEVICE")
         device_reduce = (
             (jax.default_backend() != "cpu" if env_dr is None else env_dr == "1")
-            and not mp.wide
             and not spill_dir
             and not keep_records
         )
@@ -981,6 +1056,18 @@ class KeyValueIndex:
         def _spill_leaf(leaf, count):
             with _ph("leaf_d2h"):
                 out = _fetch_records(leaf)
+            if mp.wide:
+                hi64 = (
+                    out[0, :count].astype(np.uint64) << np.uint64(32)
+                ) | out[1, :count]
+                lo64 = (
+                    out[2, :count].astype(np.uint64) << np.uint64(32)
+                ) | out[3, :count]
+                host_leaves.append(
+                    (np.stack([hi64, lo64], axis=1),
+                     out[4, :count].view(np.int32).copy())
+                )
+                return
             keys = (out[0, :count].astype(np.uint64) << np.uint64(32)) | out[1, :count]
             host_leaves.append((keys, out[2, :count].view(np.int32).copy()))
 
@@ -994,10 +1081,19 @@ class KeyValueIndex:
             with _ph("device_reduce"):
                 if table_dev is None:
                     table_dev = jnp.asarray(taxonomy.rpath_table())
-                hi = jnp.concatenate([c[0] for c in parts])
-                lo = jnp.concatenate([c[1] for c in parts])
-                tx = jnp.concatenate([c[2] for c in parts]).view(jnp.int32)
-                red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
+                if mp.wide:
+                    limbs = [
+                        jnp.concatenate([c[i] for c in parts]) for i in range(4)
+                    ]
+                    tx = jnp.concatenate([c[4] for c in parts]).view(jnp.int32)
+                    red, n_runs = _reduce_chunks_kernel_wide(
+                        *limbs, tx, table_dev
+                    )
+                else:
+                    hi = jnp.concatenate([c[0] for c in parts])
+                    lo = jnp.concatenate([c[1] for c in parts])
+                    tx = jnp.concatenate([c[2] for c in parts]).view(jnp.int32)
+                    red, n_runs = _reduce_chunks_kernel(hi, lo, tx, table_dev)
                 n = int(np.asarray(n_runs))
                 return red[:, : _bucket(n)], n
 
@@ -1072,7 +1168,7 @@ class KeyValueIndex:
                     codes = np.concatenate([codes, pad], axis=0)
                 buf_seqs.clear()
                 buf_taxa.clear()
-            if mp.wide:
+            if mp.wide and not device_reduce:
                 k2, t2 = spans_to_records_wide(codes, taxa_rows, mp)
                 collector.add(k2, t2)
                 return
@@ -1082,7 +1178,9 @@ class KeyValueIndex:
                     # _scan_batch_records_kernel: the reduce's sort is
                     # data-oblivious, so pre-sorting was pure overhead)
                     chunks.append(
-                        _scan_batch_records_kernel(codes, taxa_rows, mp, lut)
+                        _scan_batch_records_kernel_wide(codes, taxa_rows, mp)
+                        if mp.wide
+                        else _scan_batch_records_kernel(codes, taxa_rows, mp, lut)
                     )
                 if sum(c.shape[1] for c in chunks) >= superbatch:
                     reduce_raw()
@@ -1133,18 +1231,38 @@ class KeyValueIndex:
                 if chunks or reduced:
                     red, n = reduce_chunks(final=True)
                     out = np.asarray(red)
-                    k_tail = (
-                        out[0, :n].astype(np.uint64) << np.uint64(32)
-                    ) | out[1, :n]
-                    host_leaves.append((k_tail, out[2, :n].view(np.int32).copy()))
+                    if mp.wide:
+                        hi64 = (
+                            out[0, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[1, :n]
+                        lo64 = (
+                            out[2, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[3, :n]
+                        host_leaves.append(
+                            (np.stack([hi64, lo64], axis=1),
+                             out[4, :n].view(np.int32).copy())
+                        )
+                    else:
+                        k_tail = (
+                            out[0, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[1, :n]
+                        host_leaves.append(
+                            (k_tail, out[2, :n].view(np.int32).copy())
+                        )
                 with _ph("host_leaf_merge"):
                     pair_keys = np.concatenate([k for k, _ in host_leaves])
                     pair_taxa = np.concatenate([t for _, t in host_leaves])
                     host_leaves.clear()
-                    pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
-                    keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
+                    if mp.wide:
+                        pair_keys, pair_taxa = dedup_pairs_wide(pair_keys, pair_taxa)
+                        keys, taxa = reduce_records_wide(
+                            pair_keys, pair_taxa, taxonomy
+                        )
+                    else:
+                        pair_keys, pair_taxa = dedup_pairs(pair_keys, pair_taxa)
+                        keys, taxa = reduce_records(pair_keys, pair_taxa, taxonomy)
             elif not chunks and not reduced:
-                keys = np.zeros(0, np.uint64)
+                keys = np.zeros((0, 2) if mp.wide else 0, np.uint64)
                 taxa = np.zeros(0, np.int32)
             else:
                 red, n = reduce_chunks(final=True)
@@ -1170,10 +1288,20 @@ class KeyValueIndex:
                 with _ph("final_d2h"):
                     out = _fetch_records(red)  # ONE transfer: the finished index
                 with _ph("final_unpack"):
-                    keys = (
-                        out[0, :n].astype(np.uint64) << np.uint64(32)
-                    ) | out[1, :n]
-                    taxa = out[2, :n].view(np.int32).copy()
+                    if mp.wide:
+                        hi64 = (
+                            out[0, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[1, :n]
+                        lo64 = (
+                            out[2, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[3, :n]
+                        keys = np.stack([hi64, lo64], axis=1)
+                        taxa = out[4, :n].view(np.int32).copy()
+                    else:
+                        keys = (
+                            out[0, :n].astype(np.uint64) << np.uint64(32)
+                        ) | out[1, :n]
+                        taxa = out[2, :n].view(np.int32).copy()
             idx = cls(keys, taxa, params, taxonomy)
             if lut is not None:
                 idx.ordering_lut = np.asarray(lut)

@@ -828,6 +828,65 @@ def build_hashed_rows_wide(
     return table, tile, row_bits
 
 
+@jax.jit
+def _sort_wide_by_hash_device(l3, l2, l1, l0, tx):
+    """Row-hash wide records and stable-sort by the hash (device half of
+    build_hashed_rows_wide's preprocessing; stability matches the host's
+    LSD radix sort on equal hashes)."""
+    h = _wide_row_hash_u64(U64(l3, l2), U64(l1, l0))
+    return jax.lax.sort((h.hi, h.lo, l3, l2, l1, l0, tx), num_keys=2)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _scatter_rows_device_wide(hh, s3, s2, s1, s0, stx, tile: int, row_bits: int):
+    """Scatter hash-sorted wide records into the [2^row_bits, 5*tile]
+    lane-block table (bit-identical layout to build_hashed_rows_wide)."""
+    n = hh.shape[0]
+    rows = (hh >> jnp.uint32(32 - row_bits)).astype(jnp.int32)
+    starts = jnp.searchsorted(
+        rows, jnp.arange(1 << row_bits, dtype=jnp.int32), side="left"
+    )
+    cols = jnp.arange(n, dtype=jnp.int32) - starts[rows]
+    table = jnp.full(((1 << row_bits), 5 * tile), 0xFFFFFFFF, jnp.uint32)
+    for i, lane in enumerate((s3, s2, s1, s0, stx)):
+        table = table.at[rows, i * tile + cols].set(lane)
+    return table
+
+
+def build_hashed_rows_wide_device(l3, l2, l1, l0, taxa, tile: int = 128,
+                                  row_bits=None):
+    """build_hashed_rows_wide entirely ON DEVICE from the four u32 key limb
+    arrays (most significant first) — the wide build->serve path. Same
+    auto-growth policy as the host builder; bit-identical tables for the
+    same input order. Only the per-retry occupancy scalar crosses the
+    link."""
+    n = int(l3.shape[0])
+    hh, _, s3, s2, s1, s0, stx = _sort_wide_by_hash_device(
+        jnp.asarray(l3), jnp.asarray(l2), jnp.asarray(l1), jnp.asarray(l0),
+        jnp.asarray(taxa).view(jnp.uint32),
+    )
+    auto = row_bits is None
+    if auto:
+        row_bits = max(1, int(np.ceil(np.log2(max(n, 2) / tile))))
+    max_bits = min(28, row_bits + 8)
+    if n:
+        while True:
+            maxc = int(_max_row_count_device(hh, row_bits))
+            if maxc <= tile:
+                break
+            if auto and row_bits < max_bits:
+                row_bits += 1
+            elif tile < 1 << 12:
+                tile *= 2
+            else:
+                raise ValueError(
+                    f"wide hashed-rows layout did not converge (n={n}); "
+                    "use the tiled probe"
+                )
+    table = _scatter_rows_device_wide(hh, s3, s2, s1, s0, stx, tile, row_bits)
+    return table, tile, row_bits
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def lookup_taxa_hashed_rows_wide(
     table: jnp.ndarray, q: U128, tile: int, row_bits: int, key_bits: int = 126

@@ -349,6 +349,35 @@ def test_device_reduce_build_matches_host(rng, monkeypatch):
     assert np.array_equal(host.taxa, spilled.taxa)
 
 
+def test_wide_device_reduce_build_matches_host(rng, monkeypatch):
+    """Wide (m > 31) device-resident build reduction: the [5, M] raw-limb
+    scan kernel + 4-limb sort/segment-LCA reduce must be bit-identical to
+    the host span path, including hierarchical superbatch reduction and the
+    HBM-budget leaf-spill variant (Slacken has no m restriction on builds,
+    KeyValueIndex.scala:85-139)."""
+    t = random_taxonomy(rng, 30)
+    lut = np.frombuffer(b"ACGT", np.uint8)
+    lib = []
+    for tx in (5, 7, 9, 11, 5, 7):
+        seq = lut[rng.integers(0, 4, 20000)].tobytes().decode()
+        lib.append((tx, seq))
+    lib.append((9, lib[0][1][:6000]))  # duplicate keys under another taxon
+    params = IndexParams(k=45, m=33, spaces=7)
+
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "0")
+    host = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "1")
+    monkeypatch.setenv("STPU_BUILD_SUPERBATCH", str(8 * 4096 * 2))
+    dev = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    assert np.array_equal(host.keys, dev.keys)
+    assert np.array_equal(host.taxa, dev.taxa)
+
+    monkeypatch.setenv("STPU_BUILD_DEVICE_BUDGET", "20000")
+    spilled = KeyValueIndex.build(iter(lib), params, t, batch_rows=8, row_len=4096)
+    assert np.array_equal(host.keys, spilled.keys)
+    assert np.array_equal(host.taxa, spilled.taxa)
+
+
 def test_build_trace_phases(rng, monkeypatch):
     """STPU_BUILD_TRACE=1 attaches a PhaseTimers accounting to the index on
     both the host path and the device-reduce path, without changing the
@@ -401,6 +430,61 @@ def test_device_hashed_rows_builder_matches_host(rng):
         dt, dtile, drb = lookup.build_hashed_rows_device(kh, kl, taxa)
         assert (htile, hrb) == (dtile, drb), n
         assert np.array_equal(np.asarray(dt), ht), n
+
+
+def test_wide_device_hashed_rows_builder_matches_host(rng):
+    """build_hashed_rows_wide_device (wide build->serve on-device table
+    construction) must be bit-identical to the host builder, including the
+    auto row_bits/tile growth policy."""
+    from slacken_tpu.ops import lookup
+
+    for n in (0, 7, 1000, 50000):
+        hi = rng.integers(1, 1 << 62, max(n, 1) * 2).astype(np.uint64)
+        lo = rng.integers(0, 1 << 63, max(n, 1) * 2).astype(np.uint64)
+        keys2 = np.stack([hi, lo], axis=1)
+        keys2 = np.unique(keys2, axis=0)[:n]
+        taxa = rng.integers(1, 99999, len(keys2)).astype(np.int32)
+        ht, htile, hrb = lookup.build_hashed_rows_wide(keys2, taxa)
+        l3 = (keys2[:, 0] >> np.uint64(32)).astype(np.uint32)
+        l2 = keys2[:, 0].astype(np.uint32)
+        l1 = (keys2[:, 1] >> np.uint64(32)).astype(np.uint32)
+        l0 = keys2[:, 1].astype(np.uint32)
+        dt, dtile, drb = lookup.build_hashed_rows_wide_device(l3, l2, l1, l0, taxa)
+        assert (htile, hrb) == (dtile, drb), n
+        assert np.array_equal(np.asarray(dt), ht), n
+
+
+def test_wide_device_resident_build_serves_without_host_roundtrip(rng, monkeypatch):
+    """Wide STPU_DEVICE_RESIDENT builds: [5, cap] raw-limb records stay on
+    device, the hashed1_wide probe serves straight from them, and lazy
+    materialization yields the host-path [N, 2] keys exactly."""
+    from slacken_tpu.classify import Classifier, ClassifyParams, Fragment
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=600)
+    params = IndexParams(k=45, m=33, spaces=7)
+    monkeypatch.setenv("STPU_BUILD_DEVICE", "1")
+    monkeypatch.setenv("STPU_DEVICE_RESIDENT", "1")
+    idx_dr = KeyValueIndex.build(genomes, params, t, row_len=256)
+    assert idx_dr._device_records is not None and idx_dr._keys is None
+    assert idx_dr._device_records.shape[0] == 5
+    monkeypatch.setenv("STPU_DEVICE_RESIDENT", "0")
+    idx_host = KeyValueIndex.build(genomes, params, t, row_len=256)
+    assert idx_dr.num_records == len(idx_host.keys)
+
+    frags = []
+    for i in range(12):
+        _, g = genomes[int(rng.integers(len(genomes)))]
+        s = int(rng.integers(0, len(g) - 121))
+        frags.append(Fragment(f"r{i}", g[s : s + 121]))
+    cpar = ClassifyParams(thresholds=[0.0, 0.1], per_read_output=True)
+    got = Classifier(idx_dr, probe="hashed1").classify(frags, cpar)
+    assert idx_dr._keys is None  # classification never touched host keys
+    want = Classifier(idx_host, probe="hashed1").classify(frags, cpar)
+    for c in cpar.thresholds:
+        assert got[c] == want[c]
+    assert np.array_equal(idx_dr.keys, idx_host.keys)  # lazy == host path
+    assert np.array_equal(idx_dr.taxa, idx_host.taxa)
 
 
 def test_device_resident_build_serves_without_host_roundtrip(rng, monkeypatch):
