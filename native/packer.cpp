@@ -410,6 +410,86 @@ int64_t stpu_output_lines_runs(
     return 0;
 }
 
+// Full Kraken output lines from DENSE window taxa ([B, L] i32 + codes),
+// the accelerator detailed-mode default (the hit-runs device reduction is
+// measured slower than the dense transfer on TPU — see classify.py). Same
+// private-slot + ends[] contract as stpu_output_lines_runs. Two passes per
+// row: a cheap k-mer count pass for the length column (which precedes the
+// details in the Kraken line), then the emit_mate detail walk.
+int64_t stpu_output_lines_dense(
+    const uint8_t* codes, const int32_t* wt, const int64_t* splits,
+    const int64_t* row_lens, const char* titles, const int64_t* toffs,
+    const int64_t* rtax, const uint8_t* classified, int64_t n_rows,
+    int64_t row_stride, int64_t k, int64_t cap_row, char* out,
+    int64_t* ends) {
+#pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < n_rows; r++) {
+        HitWriter w(out + r * cap_row);
+        const uint8_t* c = codes + r * row_stride;
+        const int32_t* t = wt + r * row_stride;
+        const bool paired = splits[r] >= 0;
+        w.put_ch(classified[r] ? 'C' : 'U');
+        w.put_ch('\t');
+        for (int64_t i = toffs[r]; i < toffs[r + 1]; i++) w.put_ch(titles[i]);
+        w.put_ch('\t');
+        w.put_int(rtax[r]);
+        w.put_ch('\t');
+        auto count_kmers = [&](int64_t a, int64_t b) {
+            int64_t total = 0, i = a;
+            while (i < b) {
+                bool valid = c[i] < 4;
+                int64_t j = i;
+                while (j < b && (c[j] < 4) == valid) j++;
+                if (j - i >= k) total += j - i - k + 1;
+                i = j;
+            }
+            return total;
+        };
+        const int64_t end1 = paired ? splits[r] : row_lens[r];
+        w.put_int(count_kmers(0, end1) + (k - 1));
+        if (paired) {
+            w.put_ch('|');
+            w.put_int(count_kmers(splits[r] + 1, row_lens[r]) + (k - 1));
+        }
+        w.put_ch('\t');
+        int64_t last_taxon = 0, last_count = 0;
+        bool have_last = false;
+        if (!paired) {
+            emit_mate(c, t, 0, row_lens[r], k, w, last_taxon, last_count, have_last);
+        } else {
+            emit_mate(c, t, 0, splits[r], k, w, last_taxon, last_count, have_last);
+            if (have_last) {
+                if (w.p[-1] != '\t') w.put_ch(' ');
+                if (last_taxon == -1) w.put_ch('A'); else w.put_int(last_taxon);
+                w.put_ch(':'); w.put_int(last_count); have_last = false;
+            }
+            if (w.p[-1] != '\t') w.put_ch(' ');
+            w.put_str("|:|");
+            emit_mate(c, t, splits[r] + 1, row_lens[r], k, w, last_taxon,
+                      last_count, have_last);
+        }
+        w.put_ch('\n');
+        ends[r] = w.p - out;
+    }
+    return 0;
+}
+
+// Gather selected rows' private slots into one contiguous buffer (the
+// streaming writer's final assembly — replaces a per-row Python slice
+// join). Returns total bytes written to dst.
+int64_t stpu_gather_rows(const char* src, const int64_t* starts,
+                         const int64_t* ends, const int64_t* idx,
+                         int64_t n_idx, char* dst) {
+    int64_t off = 0;
+    for (int64_t i = 0; i < n_idx; i++) {
+        const int64_t r = idx[i];
+        const int64_t len = ends[r] - starts[r];
+        memcpy(dst + off, src + starts[r], static_cast<size_t>(len));
+        off += len;
+    }
+    return off;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

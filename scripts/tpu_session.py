@@ -2547,6 +2547,122 @@ def exp_e2e11():
     return out
 
 
+@guard("e2e12")
+def exp_e2e12():
+    """Detailed-mode e2e with the native full-line dense formatter
+    (stpu_output_lines_dense + stpu_gather_rows + bytes writer, zero
+    per-read Python — r5_session3). Dense previously measured 55.3k
+    reads/s at 71% of the 77.6k link ceiling with host formatting the
+    gap suspect; the formatter now measures 1.5M rows/s on this host,
+    so any remaining gap is link + finalize bundles."""
+    import shutil
+    import tempfile
+
+    ensure_index()
+    packed, n_reads = _e2e_reads()
+    out = {"n_reads": n_reads}
+    dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
+    for label, hr in (("detailed_dense_native", "0"), ("detailed_hitruns", "1")):
+        os.environ["STPU_HIT_RUNS"] = hr
+        cls = Classifier(IDX, probe="hashed1", packed_transfer=True)
+        loc = tempfile.mkdtemp(prefix="stpu_e2e12_")
+        try:
+            cls.classify_and_write_packed(packed[:1], loc + "/warm", dpar)
+            best = 0.0
+            for t in range(3):
+                t0 = time.time()
+                cls.classify_and_write_packed(packed, loc + f"/t{t}", dpar)
+                best = max(best, n_reads / (time.time() - t0))
+            out[f"{label}_reads_s"] = round(best)
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+    os.environ.pop("STPU_HIT_RUNS", None)
+    return out
+
+
+@guard("build_wide_dr")
+def exp_build_wide_dr():
+    """Wide (m=33) device-resident build->serve (r5: _scan_batch_records_
+    kernel_wide + _reduce_chunks_kernel_wide + build_hashed_rows_wide_
+    device): warm wide build Mbp/s with records + serve table staying on
+    device, vs the host-materializing wide build; classify sanity through
+    hashed1_wide straight from the device-resident index."""
+    import importlib.util as _ilu
+
+    from slacken_tpu.index import IndexParams
+    from slacken_tpu.taxonomy import Taxonomy
+
+    spec = _ilu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    nodes = [(1, 1, "root"), (455631, 1, "species"),
+             (526997, 1, "species"), (9606, 1, "species")]
+    tax = Taxonomy.from_nodes_and_names(
+        nodes, [(t, f"taxon{t}") for t, _, _ in nodes]
+    )
+    out = {}
+
+    def fresh_build():
+        return KeyValueIndex.build(
+            bench.synthetic_library(np.random.default_rng(20260816)),
+            IndexParams(k=45, m=33, spaces=7), tax,
+            batch_rows=32, row_len=1 << 16,
+        )
+
+    os.environ["STPU_DEVICE_RESIDENT"] = "1"
+    os.environ["STPU_BUILD_DEVICE"] = "1"
+    try:
+        fresh_build()  # warm compiles
+        t0 = time.time()
+        idx = fresh_build()
+        dt = time.time() - t0
+        out["wide_dr_warm_s"] = round(dt, 2)
+        out["wide_dr_warm_mbp_s"] = round(8.0 / dt, 2)
+        out["wide_dr_records"] = idx.num_records
+        t0 = time.time()
+        table, tile, rb = idx.device_hashed_rows
+        jax.block_until_ready(table)
+        out["serve_table_s"] = round(time.time() - t0, 2)
+        out["serve_table_MB"] = round(table.nbytes / 1e6, 1)
+        cls = Classifier(idx, probe="hashed1")
+        packed, n_reads = _e2e_reads()
+        import shutil
+        import tempfile
+
+        loc = tempfile.mkdtemp(prefix="stpu_wdr_")
+        try:
+            cpar = ClassifyParams(thresholds=[0.0], per_read_output=False)
+            cls.classify_and_write_packed(packed, loc + "/w", cpar)
+            t0 = time.time()
+            cls.classify_and_write_packed(packed, loc + "/t", cpar)
+            out["wide_dr_classify_reads_s"] = round(n_reads / (time.time() - t0))
+            rep = open(loc + "/t_c0.0/all_kreport.txt").read().splitlines()
+            uncl = next(
+                (int(l.split("\t")[1]) for l in rep if l.endswith("unclassified")),
+                0,
+            )
+            out["wide_dr_classified"] = n_reads - uncl
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+        assert idx._keys is None, "serve path must not materialize host keys"
+        t0 = time.time()
+        k = idx.keys
+        out["materialize_d2h_s"] = round(time.time() - t0, 2)
+        out["materialize_records"] = len(k)
+    finally:
+        os.environ["STPU_DEVICE_RESIDENT"] = "0"
+    fresh_build()
+    t0 = time.time()
+    idx_h = fresh_build()
+    dt = time.time() - t0
+    out["wide_host_warm_s"] = round(dt, 2)
+    out["wide_host_warm_mbp_s"] = round(8.0 / dt, 2)
+    out["identical"] = bool(np.array_equal(idx_h.keys, k))
+    os.environ.pop("STPU_DEVICE_RESIDENT", None)
+    os.environ.pop("STPU_BUILD_DEVICE", None)
+    return out
+
+
 if __name__ == "__main__":
     steps = {
         "transfer": exp_transfer,
@@ -2593,6 +2709,8 @@ if __name__ == "__main__":
         "build_dr2": exp_build_dr2,
         "kernel6": exp_kernel6,
         "e2e11": exp_e2e11,
+        "e2e12": exp_e2e12,
+        "build_wide_dr": exp_build_wide_dr,
     }
     # argv order is honored so risky experiments can be sequenced LAST
     # (roofline killed the tunnel in sessions 2 and 3); unknown names are

@@ -721,13 +721,14 @@ class Classifier:
         #: reduce each read to its FINAL ordered hit runs on device
         #: (ops.hitruns) so detailed mode transfers ~90 B/read instead of
         #: the dense [B, L] window-taxa array, and the host formats O(runs)
-        #: per row. Platform-measured default: ON for CPU (2.7x faster
-        #: detailed e2e) but OFF for accelerators — on the v5e the hit-runs
-        #: reduction's cumsum/one-hot chain costs more device time than the
-        #: dense transfer saves (16.6k vs 40.8k reads/s detailed e2e,
-        #: r3_session2 e2e4). STPU_HIT_RUNS=1/0 overrides.
-        hr_default = "1" if jax.default_backend() == "cpu" else "0"
-        self._hit_runs = os.environ.get("STPU_HIT_RUNS", hr_default) == "1"
+        #: per row. Measured default: OFF everywhere — on the v5e the
+        #: hit-runs reduction's cumsum/one-hot chain costs more device time
+        #: than the dense transfer saves (16.6k vs 40.8k reads/s detailed
+        #: e2e, r3_session2 e2e4), and on CPU the native dense full-line
+        #: formatter (stpu_output_lines_dense) reversed the old 2.7x
+        #: runs advantage (57.7k vs 34.9k reads/s detailed e2e,
+        #: r5_session3). STPU_HIT_RUNS=1/0 overrides.
+        self._hit_runs = os.environ.get("STPU_HIT_RUNS", "0") == "1"
         #: dictionary-compressed window-taxa transfer for detailed mode
         #: (_window_codes_kernel): halves d2h bytes for the dominant L=128,
         #: T=32 shape. MEASURED-AND-REJECTED as a default on the v5e
@@ -1200,30 +1201,7 @@ class Classifier:
             if pairs is not None:
                 batch._hit_pairs_cache = pairs
                 return pairs
-        if batch.window_codes is not None:
-            L = batch.window_taxa.shape[1]
-            wt_host, fallback = _decode_window_codes(
-                np.asarray(batch.window_codes)[:n], L
-            )
-            # rows that overflowed max_taxa can hold taxa absent from the
-            # dictionary whose rank code aliases another entry: refetch
-            # every overflow row densely (see _window_codes_kernel)
-            fallback = np.union1d(fallback, np.flatnonzero(batch.overflow[:n]))
-            if len(fallback):
-                wt_host[fallback] = np.asarray(batch.window_taxa[fallback])
-        elif batch.window_rle is not None:
-            L = batch.window_taxa.shape[1]
-            dense, overflow_rows = rle_ops.decode_rows(
-                np.asarray(batch.window_rle), L, rle_ops.DEFAULT_RUNS_PER_ROW
-            )
-            if len(overflow_rows):
-                # rare rows with more runs than the cap: refetch densely
-                dense[overflow_rows] = np.asarray(
-                    batch.window_taxa[overflow_rows]
-                )
-            wt_host = dense[:n]
-        else:
-            wt_host = np.asarray(batch.window_taxa)[:n]
+        wt_host = self._dense_window_taxa(batch, n)
         from . import native
 
         splits = np.array([-1 if s is None else s for s in batch.mate_split], np.int64)
@@ -1238,6 +1216,34 @@ class Classifier:
                 pairs.append((details, length_string))
         batch._hit_pairs_cache = pairs
         return pairs
+
+    def _dense_window_taxa(self, batch: _BatchResult, n: int) -> np.ndarray:
+        """Host [n, L] window taxa for detailed output, decoding whichever
+        compact d2h transfer the batch carries (dict codes / RLE / dense)."""
+        if batch.window_codes is not None:
+            L = batch.window_taxa.shape[1]
+            wt_host, fallback = _decode_window_codes(
+                np.asarray(batch.window_codes)[:n], L
+            )
+            # rows that overflowed max_taxa can hold taxa absent from the
+            # dictionary whose rank code aliases another entry: refetch
+            # every overflow row densely (see _window_codes_kernel)
+            fallback = np.union1d(fallback, np.flatnonzero(batch.overflow[:n]))
+            if len(fallback):
+                wt_host[fallback] = np.asarray(batch.window_taxa[fallback])
+            return wt_host
+        if batch.window_rle is not None:
+            L = batch.window_taxa.shape[1]
+            dense, overflow_rows = rle_ops.decode_rows(
+                np.asarray(batch.window_rle), L, rle_ops.DEFAULT_RUNS_PER_ROW
+            )
+            if len(overflow_rows):
+                # rare rows with more runs than the cap: refetch densely
+                dense[overflow_rows] = np.asarray(
+                    batch.window_taxa[overflow_rows]
+                )
+            return dense[:n]
+        return np.asarray(batch.window_taxa)[:n]
 
     def _pairs_from_runs(self, batch: _BatchResult, n: int, k: int):
         """(details, length) pairs from the device hit-runs bundle; rows
@@ -1357,7 +1363,33 @@ class Classifier:
                             b"".join(tb), toffs,
                             max((len(s) for s in tb), default=0),
                         )
-                pairs = None if fast is not None else self._hit_pairs(batch)
+                fast_dense = None
+                if fast is None:
+                    from . import native
+
+                    if native.available():
+                        # dense window taxa (the accelerator default
+                        # transfer): full lines format in C++ too — no
+                        # per-read Python on any detailed path
+                        tb = [s.encode("utf-8") for s in batch.titles]
+                        toffs = np.zeros(n + 1, np.int64)
+                        np.cumsum([len(s) for s in tb], out=toffs[1:])
+                        fast_dense = (
+                            np.ascontiguousarray(batch.codes[:n], np.uint8),
+                            self._dense_window_taxa(batch, n),
+                            np.array(
+                                [-1 if s is None else s for s in batch.mate_split],
+                                np.int64,
+                            ),
+                            np.asarray(batch.row_lens, np.int64),
+                            b"".join(tb), toffs,
+                            max((len(s) for s in tb), default=0),
+                        )
+                pairs = (
+                    None
+                    if fast is not None or fast_dense is not None
+                    else self._hit_pairs(batch)
+                )
                 if sre is not None:
                     samples = []
                     for title in batch.titles:
@@ -1392,17 +1424,25 @@ class Classifier:
                             v_, c_, nr_, tt_, sp_, blob_, toffs_, rtax,
                             classified.astype(np.uint8), k, maxt_,
                         )
+                    elif fast_dense is not None:
+                        from . import native
+
+                        cd_, wt_, sp_, rl_, blob_, toffs_, maxt_ = fast_dense
+                        emitted = native.output_lines_dense(
+                            cd_, wt_, sp_, rl_, blob_, toffs_, rtax,
+                            classified.astype(np.uint8), k, maxt_,
+                        )
                     titles = batch.titles
                     for sample, idxs in groups:
                         if len(idxs) == 0:
                             continue
                         if emitted is not None:
+                            from . import native
+
                             raw, starts, ends = emitted
-                            mv = memoryview(raw)
-                            data = b"".join(
-                                mv[starts[i] : ends[i]] for i in idxs.tolist()
+                            writer_for(t, sample).write_bytes(
+                                native.gather_rows(raw, starts, ends, idxs)
                             )
-                            writer_for(t, sample).write(data.decode("utf-8"))
                         else:
                             if pairs is None:
                                 pairs = self._hit_pairs(batch)

@@ -87,6 +87,15 @@ def _load():
         p_u8, i64, i64, i64, i64, ctypes.c_char_p, p_i64,
     ]
     lib.stpu_output_lines_runs.restype = i64
+    lib.stpu_output_lines_dense.argtypes = [
+        p_u8, p_i32, p_i64, p_i64, ctypes.c_char_p, p_i64, p_i64,
+        p_u8, i64, i64, i64, i64, ctypes.c_char_p, p_i64,
+    ]
+    lib.stpu_output_lines_dense.restype = i64
+    lib.stpu_gather_rows.argtypes = [
+        ctypes.c_char_p, p_i64, p_i64, p_i64, i64, ctypes.c_char_p,
+    ]
+    lib.stpu_gather_rows.restype = i64
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.stpu_radix_sort_kv.argtypes = [p_u64, p_i32, i64, p_u64, p_i32, ctypes.c_int]
     _lib = lib
@@ -288,7 +297,7 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
     splits_arr = np.asarray(splits, np.int64)
     lens_arr = np.asarray(row_lens, np.int64)
     cap_row = l * 14 + 64
-    out = ctypes.create_string_buffer(b * cap_row)
+    out = _emit_buffer(b * cap_row)
     offsets = np.empty(b + 1, np.int64)
     lib.stpu_hit_lines(
         _as_ptr(codes, ctypes.c_uint8),
@@ -303,10 +312,10 @@ def hit_lines(codes, window_taxa, splits, row_lens, k):
     )
     # each row writes into its private slot [r*cap_row, offsets[r]) so the
     # C++ loop parallelises row-wise; offsets[r] is the row's END
-    raw = out.raw
+    mv = memoryview(out)
     result = []
     for r in range(b):
-        row = raw[r * cap_row : offsets[r] - 1].decode("ascii")  # strip \n
+        row = str(mv[r * cap_row : offsets[r] - 1], "ascii")  # strip \n
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result
@@ -326,7 +335,7 @@ def hit_lines_runs(values, counts, nruns, totals, splits, k):
     totals_arr = np.ascontiguousarray(totals, np.int64)
     splits_arr = np.ascontiguousarray(splits, np.int64)
     cap_row = cap * 24 + 64
-    out = ctypes.create_string_buffer(b * cap_row)
+    out = _emit_buffer(b * cap_row)
     offsets = np.empty(b + 1, np.int64)
     lib.stpu_hit_lines_runs(
         _as_ptr(values, ctypes.c_int32),
@@ -341,20 +350,36 @@ def hit_lines_runs(values, counts, nruns, totals, splits, k):
         out,
         _as_ptr(offsets, ctypes.c_int64),
     )
-    raw = out.raw
+    mv = memoryview(out)
     result = []
     for r in range(b):
-        row = raw[r * cap_row : offsets[r] - 1].decode("ascii")
+        row = str(mv[r * cap_row : offsets[r] - 1], "ascii")
         details, _, length = row.rpartition("\t")
         result.append((details, length))
     return result
 
 
+#: reused private-slot emit buffer for the output_lines_* formatters — a
+#: fresh multi-MB allocation per batch costs more in page faults than the
+#: C++ emit loop itself; the buffer is consumed (gathered/joined) by the
+#: caller before the next call overwrites it
+_emit_buf = None
+
+
+def _emit_buffer(size: int):
+    global _emit_buf
+    if _emit_buf is None or len(_emit_buf) < size:
+        _emit_buf = ctypes.create_string_buffer(max(size, 1 << 20))
+    return _emit_buf
+
+
 def output_lines_runs(values, counts, nruns, totals, splits, titles_blob,
                       title_offs, rtax, classified, k, max_title):
     """Full per-read Kraken output lines from device hit runs. Returns
-    (raw bytes, starts [B] int64, ends [B] int64) or None (no native lib);
-    row r's line is raw[starts[r]:ends[r]] including the trailing newline."""
+    (buf, starts [B] int64, ends [B] int64) or None (no native lib); row
+    r's line is buf[starts[r]:ends[r]] including the trailing newline.
+    `buf` is the SHARED emit buffer — consume before the next formatter
+    call (gather_rows or a memoryview join)."""
     lib = _load()
     if lib is None:
         return None
@@ -362,7 +387,7 @@ def output_lines_runs(values, counts, nruns, totals, splits, titles_blob,
     counts = np.ascontiguousarray(counts, np.int32)
     b, cap = values.shape
     cap_row = cap * 24 + int(max_title) + 80
-    out = ctypes.create_string_buffer(b * cap_row)
+    out = _emit_buffer(b * cap_row)
     ends = np.empty(b, np.int64)
     lib.stpu_output_lines_runs(
         _as_ptr(values, ctypes.c_int32),
@@ -382,7 +407,70 @@ def output_lines_runs(values, counts, nruns, totals, splits, titles_blob,
         _as_ptr(ends, ctypes.c_int64),
     )
     starts = np.arange(b, dtype=np.int64) * cap_row
-    return out.raw, starts, ends
+    return out, starts, ends
+
+
+def output_lines_dense(codes, window_taxa, splits, row_lens, titles_blob,
+                       title_offs, rtax, classified, k, max_title):
+    """Full per-read Kraken output lines from DENSE window taxa (the
+    accelerator detailed-mode default transfer) — no per-read Python.
+    Returns (buf, starts [B] int64, ends [B] int64) or None (no native
+    lib); row r's line is buf[starts[r]:ends[r]] incl. newline. `buf` is
+    the SHARED emit buffer — consume before the next formatter call."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    wt = np.ascontiguousarray(window_taxa, np.int32)
+    b, l = codes.shape
+    cap_row = l * 14 + int(max_title) + 80
+    out = _emit_buffer(b * cap_row)
+    ends = np.empty(b, np.int64)
+    lib.stpu_output_lines_dense(
+        _as_ptr(codes, ctypes.c_uint8),
+        _as_ptr(wt, ctypes.c_int32),
+        _as_ptr(np.ascontiguousarray(splits, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(row_lens, np.int64), ctypes.c_int64),
+        titles_blob,
+        _as_ptr(np.ascontiguousarray(title_offs, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(rtax, np.int64), ctypes.c_int64),
+        _as_ptr(np.ascontiguousarray(classified, np.uint8), ctypes.c_uint8),
+        b,
+        l,
+        k,
+        cap_row,
+        out,
+        _as_ptr(ends, ctypes.c_int64),
+    )
+    starts = np.arange(b, dtype=np.int64) * cap_row
+    return out, starts, ends
+
+
+def gather_rows(buf, starts, ends, idxs) -> bytearray:
+    """Concatenate rows `idxs` of an output_lines_* emit buffer into one
+    contiguous bytearray (C memcpy loop; no per-row Python)."""
+    lib = _load()
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    total = int((ends[idxs] - starts[idxs]).sum())
+    dst = bytearray(total)
+    if total == 0:
+        return dst
+    if lib is None:  # pure-Python fallback (tests stub the formatters)
+        mv = memoryview(buf)
+        return bytearray(b"").join(
+            [mv[starts[i] : ends[i]] for i in idxs.tolist()]
+        )
+    lib.stpu_gather_rows(
+        buf,
+        _as_ptr(starts, ctypes.c_int64),
+        _as_ptr(ends, ctypes.c_int64),
+        _as_ptr(idxs, ctypes.c_int64),
+        len(idxs),
+        (ctypes.c_char * total).from_buffer(dst),
+    )
+    return dst
 
 
 def radix_sort_kv(keys: np.ndarray, vals: np.ndarray, with_vals: bool = False):

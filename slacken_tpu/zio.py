@@ -82,12 +82,22 @@ class ParallelGzipWriter:
         if self._buffered >= self._block:
             self._flush_block()
 
+    def write_bytes(self, data):
+        """Buffer pre-encoded ASCII/UTF-8 bytes (native line formatters emit
+        bytes; this skips a decode+encode round-trip through str)."""
+        self._buf.append(data)
+        self._buffered += len(data)
+        if self._buffered >= self._block:
+            self._flush_block()
+
     def _flush_block(self):
         if self._err:
             raise self._err[0]
         if not self._buf:
             return
-        data = "".join(self._buf).encode()
+        data = b"".join(
+            x.encode() if isinstance(x, str) else bytes(x) for x in self._buf
+        )
         self._buf = []
         self._buffered = 0
         self._q.put(_pool().submit(_gzip_member, data, self._level))

@@ -611,6 +611,73 @@ def test_device_finalize_matches_host(rng, monkeypatch):
             assert legacy[conf] == dev[conf], (mhg, max_taxa, conf)
 
 
+def test_streaming_detailed_dense_native_identical(rng, monkeypatch, tmp_path):
+    """The streaming detailed writer must produce byte-identical per-read
+    files through all three line-emission paths: native dense full lines
+    (stpu_output_lines_dense — the accelerator default transfer), native
+    hit-runs full lines, and the per-read Python fallback. Single + paired
+    reads, N-heavy rows, classified and unclassified lines."""
+    import gzip
+
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode
+
+    t, parents, genomes, idx, idx_map = setup(rng)
+
+    def pack(reads):
+        codes = np.stack(
+            [
+                np.pad(
+                    encode.encode_seq(s), (0, 128 - len(s)), constant_values=4
+                )
+                for _, s in reads
+            ]
+        )
+        return native.PackedReads(
+            codes,
+            np.array([len(s) for _, s in reads], np.int32),
+            [h for h, _ in reads],
+        )
+
+    reads1, reads2 = [], []
+    for i in range(40):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.4:
+            chars = list(seq)
+            for p in rng.integers(0, len(seq), int(rng.integers(1, 15))):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        reads1.append((f"r{i}", seq))
+        _, s2 = sample_read(rng, genomes)
+        reads2.append((f"p{i}", s2))
+    cpar = ClassifyParams(
+        thresholds=[0.0, 0.1], per_read_output=True, with_unclassified=True
+    )
+
+    def run(tag):
+        out = str(tmp_path / tag)
+        packed = [pack(reads1), native.pack_pairs(pack(reads1), pack(reads2))]
+        Classifier(idx).classify_and_write_packed(iter(packed), out, cpar)
+        data = {}
+        for th in ("_c0.0", "_c0.1"):
+            p = out + th + "/sample=all/part-00000.txt.gz"
+            with gzip.open(p, "rt") as f:
+                data[th] = f.read()
+        assert data["_c0.0"].count("\n") == 80
+        return data
+
+    monkeypatch.setenv("STPU_HIT_RUNS", "0")
+    dense = run("dense")
+    monkeypatch.setenv("STPU_HIT_RUNS", "1")
+    runs = run("runs")
+    monkeypatch.setenv("STPU_HIT_RUNS", "0")
+    monkeypatch.setattr(native, "output_lines_dense", lambda *a, **k: None)
+    monkeypatch.setattr(native, "output_lines_runs", lambda *a, **k: None)
+    fallback = run("fallback")
+    assert dense == fallback
+    assert runs == fallback
+
+
 def test_hit_runs_output_identical(rng, monkeypatch):
     """Detailed output must be byte-identical with the device hit-runs
     reduction on vs the dense window-taxa path, including paired reads and

@@ -121,6 +121,53 @@ def test_hit_lines_matches_python(rng):
         assert got[i] == (details, length), f"row {i}: {got[i]} != {(details, length)}"
 
 
+def test_output_lines_dense_and_gather(rng):
+    """stpu_output_lines_dense must emit exactly the Python-composed full
+    Kraken lines (header + hits_to_strings), and stpu_gather_rows must
+    concatenate arbitrary row subsets in order."""
+    from slacken_tpu.classify import _row_hit_parts, hits_to_strings
+
+    k = 35
+    B, L = 40, 160
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    wt = rng.integers(0, 5, (B, L)).astype(np.int32)
+    wt[wt == 4] = 100
+    splits = np.full(B, -1, np.int64)
+    row_lens = np.full(B, L, np.int64)
+    for i in range(B):
+        if i % 3 == 0:
+            splits[i] = 70
+            codes[i, 70] = 4
+        if i % 4 == 0:
+            codes[i, 20:90] = 4
+        wt[i, 10:30] = wt[i, 10]
+    titles = [f"read {i}|x" for i in range(B)]
+    tb = [t.encode() for t in titles]
+    toffs = np.zeros(B + 1, np.int64)
+    np.cumsum([len(t) for t in tb], out=toffs[1:])
+    rtax = rng.integers(0, 1 << 20, B).astype(np.int64)
+    rtax[::7] = 0
+    classified = (rtax > 0).astype(np.uint8)
+    got = native.output_lines_dense(
+        codes, wt, splits, row_lens, b"".join(tb), toffs, rtax, classified,
+        k, max(len(t) for t in tb),
+    )
+    assert got is not None
+    buf, starts, ends = got
+    mv = memoryview(buf)
+    want_lines = []
+    for i in range(B):
+        split = None if splits[i] < 0 else int(splits[i])
+        parts = _row_hit_parts(codes[i], wt[i], split, int(row_lens[i]), k)
+        details, length = hits_to_strings(parts, k)
+        cu = "C" if classified[i] else "U"
+        want_lines.append(f"{cu}\t{titles[i]}\t{rtax[i]}\t{length}\t{details}\n")
+        assert bytes(mv[starts[i] : ends[i]]).decode() == want_lines[i], i
+    for idxs in (np.arange(B), np.array([5, 0, 17]), np.array([], np.int64)):
+        data = native.gather_rows(buf, starts, ends, idxs)
+        assert bytes(data).decode() == "".join(want_lines[i] for i in idxs)
+
+
 def test_packed_pairs_match_fragment_path(rng, tmp_path):
     """Paired packed fast path must classify identically to the Fragment
     path."""
