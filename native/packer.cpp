@@ -278,12 +278,8 @@ int64_t stpu_hit_lines(const uint8_t* codes, const int32_t* wt, int64_t n_rows,
             len1 = emit_mate(c, t, 0, row_lens[r], k, w, last_taxon, last_count, have_last);
         } else {
             len1 = emit_mate(c, t, 0, splits[r], k, w, last_taxon, last_count, have_last);
-            // mate border: flush pending run, then emit |:|
-            if (have_last) {
-                if (w.p != w.start) w.put_ch(' ');
-                if (last_taxon == -1) w.put_ch('A'); else w.put_int(last_taxon);
-                w.put_ch(':'); w.put_int(last_count); have_last = false;
-            }
+            // emit_mate flushed its pending run (runs never merge across
+            // the mate border); emit |:|
             if (w.p != w.start) w.put_ch(' ');
             w.put_str("|:|");
             len2 = emit_mate(c, t, splits[r] + 1, row_lens[r], k, w, last_taxon, last_count, have_last);
@@ -457,12 +453,10 @@ int64_t stpu_output_lines_dense(
         if (!paired) {
             emit_mate(c, t, 0, row_lens[r], k, w, last_taxon, last_count, have_last);
         } else {
+            // emit_mate flushes its pending run before returning, so the
+            // first mate's hits are complete here; runs never merge
+            // across the |:| border
             emit_mate(c, t, 0, splits[r], k, w, last_taxon, last_count, have_last);
-            if (have_last) {
-                if (w.p[-1] != '\t') w.put_ch(' ');
-                if (last_taxon == -1) w.put_ch('A'); else w.put_int(last_taxon);
-                w.put_ch(':'); w.put_int(last_count); have_last = false;
-            }
             if (w.p[-1] != '\t') w.put_ch(' ');
             w.put_str("|:|");
             emit_mate(c, t, splits[r] + 1, row_lens[r], k, w, last_taxon,

@@ -2562,21 +2562,29 @@ def exp_e2e12():
     packed, n_reads = _e2e_reads()
     out = {"n_reads": n_reads}
     dpar = ClassifyParams(thresholds=[0.0], per_read_output=True)
-    for label, hr in (("detailed_dense_native", "0"), ("detailed_hitruns", "1")):
-        os.environ["STPU_HIT_RUNS"] = hr
-        cls = Classifier(IDX, probe="hashed1", packed_transfer=True)
-        loc = tempfile.mkdtemp(prefix="stpu_e2e12_")
-        try:
-            cls.classify_and_write_packed(packed[:1], loc + "/warm", dpar)
-            best = 0.0
-            for t in range(3):
-                t0 = time.time()
-                cls.classify_and_write_packed(packed, loc + f"/t{t}", dpar)
-                best = max(best, n_reads / (time.time() - t0))
-            out[f"{label}_reads_s"] = round(best)
-        finally:
-            shutil.rmtree(loc, ignore_errors=True)
-    os.environ.pop("STPU_HIT_RUNS", None)
+    saved_hr = os.environ.get("STPU_HIT_RUNS")
+    try:
+        for label, hr in (
+            ("detailed_dense_native", "0"), ("detailed_hitruns", "1")
+        ):
+            os.environ["STPU_HIT_RUNS"] = hr
+            cls = Classifier(IDX, probe="hashed1", packed_transfer=True)
+            loc = tempfile.mkdtemp(prefix="stpu_e2e12_")
+            try:
+                cls.classify_and_write_packed(packed[:1], loc + "/warm", dpar)
+                best = 0.0
+                for t in range(3):
+                    t0 = time.time()
+                    cls.classify_and_write_packed(packed, loc + f"/t{t}", dpar)
+                    best = max(best, n_reads / (time.time() - t0))
+                out[f"{label}_reads_s"] = round(best)
+            finally:
+                shutil.rmtree(loc, ignore_errors=True)
+    finally:
+        if saved_hr is None:
+            os.environ.pop("STPU_HIT_RUNS", None)
+        else:
+            os.environ["STPU_HIT_RUNS"] = saved_hr
     return out
 
 
@@ -2616,9 +2624,13 @@ def exp_build_wide_dr():
             batch_rows=32, row_len=1 << 16,
         )
 
-    os.environ["STPU_DEVICE_RESIDENT"] = "1"
+    saved = {
+        k_: os.environ.get(k_)
+        for k_ in ("STPU_DEVICE_RESIDENT", "STPU_BUILD_DEVICE")
+    }
     os.environ["STPU_BUILD_DEVICE"] = "1"
     try:
+        os.environ["STPU_DEVICE_RESIDENT"] = "1"
         fresh_build()  # warm compiles
         t0 = time.time()
         idx = fresh_build()
@@ -2656,17 +2668,20 @@ def exp_build_wide_dr():
         k = idx.keys
         out["materialize_d2h_s"] = round(time.time() - t0, 2)
         out["materialize_records"] = len(k)
-    finally:
         os.environ["STPU_DEVICE_RESIDENT"] = "0"
-    fresh_build()
-    t0 = time.time()
-    idx_h = fresh_build()
-    dt = time.time() - t0
-    out["wide_host_warm_s"] = round(dt, 2)
-    out["wide_host_warm_mbp_s"] = round(mbp / dt, 2)
-    out["identical"] = bool(np.array_equal(idx_h.keys, k))
-    os.environ.pop("STPU_DEVICE_RESIDENT", None)
-    os.environ.pop("STPU_BUILD_DEVICE", None)
+        fresh_build()
+        t0 = time.time()
+        idx_h = fresh_build()
+        dt = time.time() - t0
+        out["wide_host_warm_s"] = round(dt, 2)
+        out["wide_host_warm_mbp_s"] = round(mbp / dt, 2)
+        out["identical"] = bool(np.array_equal(idx_h.keys, k))
+    finally:
+        for k_, v in saved.items():
+            if v is None:
+                os.environ.pop(k_, None)
+            else:
+                os.environ[k_] = v
     return out
 
 

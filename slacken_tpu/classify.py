@@ -727,8 +727,18 @@ class Classifier:
         #: e2e, r3_session2 e2e4), and on CPU the native dense full-line
         #: formatter (stpu_output_lines_dense) reversed the old 2.7x
         #: runs advantage (57.7k vs 34.9k reads/s detailed e2e,
-        #: r5_session3). STPU_HIT_RUNS=1/0 overrides.
-        self._hit_runs = os.environ.get("STPU_HIT_RUNS", "0") == "1"
+        #: r5_session3). Exception: a no-compiler CPU host (no native
+        #: formatter) keeps the old runs default — there the O(runs)
+        #: Python formatting still beats the dense per-window walk.
+        #: STPU_HIT_RUNS=1/0 overrides.
+        from . import native as _native
+
+        hr_default = (
+            "1"
+            if jax.default_backend() == "cpu" and not _native.available()
+            else "0"
+        )
+        self._hit_runs = os.environ.get("STPU_HIT_RUNS", hr_default) == "1"
         #: dictionary-compressed window-taxa transfer for detailed mode
         #: (_window_codes_kernel): halves d2h bytes for the dominant L=128,
         #: T=32 shape. MEASURED-AND-REJECTED as a default on the v5e
@@ -1343,6 +1353,17 @@ class Classifier:
                 # fully-native line emission from device hit runs (no
                 # per-read Python); falls back to the pairs + f-string path
                 # when runs are unavailable or a row overflowed the cap
+                from . import native
+
+                tb = [s.encode("utf-8") for s in batch.titles]
+                toffs = np.zeros(n + 1, np.int64)
+                np.cumsum([len(s) for s in tb], out=toffs[1:])
+                blob = b"".join(tb)
+                max_title = max((len(s) for s in tb), default=0)
+                splits_arr = np.array(
+                    [-1 if s is None else s for s in batch.mate_split],
+                    np.int64,
+                )
                 fast = None
                 if batch.hit_runs is not None:
                     cap = hitruns_ops.DEFAULT_RUNS_PER_ROW
@@ -1351,40 +1372,23 @@ class Classifier:
                         bundle, cap
                     )
                     if len(ovf) == 0:
-                        tb = [s.encode("utf-8") for s in batch.titles]
-                        toffs = np.zeros(n + 1, np.int64)
-                        np.cumsum([len(s) for s in tb], out=toffs[1:])
-                        fast = (
-                            values, rcounts, nruns, totals,
-                            np.array(
-                                [-1 if s is None else s for s in batch.mate_split],
-                                np.int64,
-                            ),
-                            b"".join(tb), toffs,
-                            max((len(s) for s in tb), default=0),
-                        )
+                        fast = (values, rcounts, nruns, totals, splits_arr,
+                                blob, toffs, max_title)
                 fast_dense = None
-                if fast is None:
-                    from . import native
-
-                    if native.available():
-                        # dense window taxa (the accelerator default
-                        # transfer): full lines format in C++ too — no
-                        # per-read Python on any detailed path
-                        tb = [s.encode("utf-8") for s in batch.titles]
-                        toffs = np.zeros(n + 1, np.int64)
-                        np.cumsum([len(s) for s in tb], out=toffs[1:])
-                        fast_dense = (
-                            np.ascontiguousarray(batch.codes[:n], np.uint8),
-                            self._dense_window_taxa(batch, n),
-                            np.array(
-                                [-1 if s is None else s for s in batch.mate_split],
-                                np.int64,
-                            ),
-                            np.asarray(batch.row_lens, np.int64),
-                            b"".join(tb), toffs,
-                            max((len(s) for s in tb), default=0),
-                        )
+                if fast is None and batch.hit_runs is None and native.available():
+                    # dense window taxa (the default transfer): full lines
+                    # format in C++ too — no per-read Python on any
+                    # detailed path. Skipped when a hit-runs bundle exists
+                    # but overflowed (the pairs path below then fetches
+                    # only the overflow rows densely — fetching the whole
+                    # dense array here would defeat the compact transfer)
+                    fast_dense = (
+                        np.ascontiguousarray(batch.codes[:n], np.uint8),
+                        self._dense_window_taxa(batch, n),
+                        splits_arr,
+                        np.asarray(batch.row_lens, np.int64),
+                        blob, toffs, max_title,
+                    )
                 pairs = (
                     None
                     if fast is not None or fast_dense is not None

@@ -10,6 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -359,18 +360,21 @@ def hit_lines_runs(values, counts, nruns, totals, splits, k):
     return result
 
 
-#: reused private-slot emit buffer for the output_lines_* formatters — a
-#: fresh multi-MB allocation per batch costs more in page faults than the
-#: C++ emit loop itself; the buffer is consumed (gathered/joined) by the
-#: caller before the next call overwrites it
-_emit_buf = None
+#: reused private-slot emit buffer for the output_lines_*/hit_lines*
+#: formatters — a fresh multi-MB allocation per batch costs more in page
+#: faults than the C++ emit loop itself. THREAD-LOCAL so concurrent
+#: Classifier streams never share a buffer; within a thread the buffer is
+#: consumed (gathered/joined/decoded) by the caller before the next
+#: formatter call overwrites it.
+_emit_tls = threading.local()
 
 
 def _emit_buffer(size: int):
-    global _emit_buf
-    if _emit_buf is None or len(_emit_buf) < size:
-        _emit_buf = ctypes.create_string_buffer(max(size, 1 << 20))
-    return _emit_buf
+    buf = getattr(_emit_tls, "buf", None)
+    if buf is None or len(buf) < size:
+        buf = ctypes.create_string_buffer(max(size, 1 << 20))
+        _emit_tls.buf = buf
+    return buf
 
 
 def output_lines_runs(values, counts, nruns, totals, splits, titles_blob,
@@ -453,15 +457,15 @@ def gather_rows(buf, starts, ends, idxs) -> bytearray:
     starts = np.ascontiguousarray(starts, np.int64)
     ends = np.ascontiguousarray(ends, np.int64)
     idxs = np.ascontiguousarray(idxs, np.int64)
-    total = int((ends[idxs] - starts[idxs]).sum())
-    dst = bytearray(total)
-    if total == 0:
-        return dst
     if lib is None:  # pure-Python fallback (tests stub the formatters)
         mv = memoryview(buf)
         return bytearray(b"").join(
             [mv[starts[i] : ends[i]] for i in idxs.tolist()]
         )
+    total = int((ends[idxs] - starts[idxs]).sum())
+    dst = bytearray(total)
+    if total == 0:
+        return dst
     lib.stpu_gather_rows(
         buf,
         _as_ptr(starts, ctypes.c_int64),

@@ -96,7 +96,7 @@ class ParallelGzipWriter:
         if not self._buf:
             return
         data = b"".join(
-            x.encode() if isinstance(x, str) else bytes(x) for x in self._buf
+            x.encode() if isinstance(x, str) else x for x in self._buf
         )
         self._buf = []
         self._buffered = 0

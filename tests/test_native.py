@@ -168,6 +168,52 @@ def test_output_lines_dense_and_gather(rng):
         assert bytes(data).decode() == "".join(want_lines[i] for i in idxs)
 
 
+def test_output_lines_thread_safety(rng):
+    """The reused emit buffer is thread-local: two threads formatting
+    concurrently must never corrupt each other's lines."""
+    import threading
+
+    k = 35
+    B, L = 512, 160
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    wt = rng.integers(1, 1000, (B, L)).astype(np.int32)
+    splits = np.full(B, -1, np.int64)
+    row_lens = np.full(B, L, np.int64)
+    tb = [f"t{i}".encode() for i in range(B)]
+    toffs = np.zeros(B + 1, np.int64)
+    np.cumsum([len(t) for t in tb], out=toffs[1:])
+    blob = b"".join(tb)
+    rtax = rng.integers(1, 1 << 20, B).astype(np.int64)
+    classified = np.ones(B, np.uint8)
+    idxs = np.arange(B)
+
+    def render():
+        buf, starts, ends = native.output_lines_dense(
+            codes, wt, splits, row_lens, blob, toffs, rtax, classified,
+            k, 8,
+        )
+        return bytes(native.gather_rows(buf, starts, ends, idxs))
+
+    want = render()
+    errors = []
+
+    def worker():
+        try:
+            for _ in range(30):
+                if render() != want:
+                    errors.append("corrupted output")
+                    return
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
 def test_packed_pairs_match_fragment_path(rng, tmp_path):
     """Paired packed fast path must classify identically to the Fragment
     path."""
