@@ -678,6 +678,64 @@ def test_streaming_detailed_dense_native_identical(rng, monkeypatch, tmp_path):
     assert runs == fallback
 
 
+def test_streaming_detailed_wide_index_identical(rng, monkeypatch, tmp_path):
+    """The streaming detailed writer's three emission paths stay
+    byte-identical on a WIDE (m > 31) index — hit runs and line
+    formatting are downstream of the probe and must be key-width
+    agnostic."""
+    import gzip
+
+    from slacken_tpu import native
+    from slacken_tpu.ops import encode
+
+    t = random_taxonomy(rng)
+    genomes = make_genomes(rng, t, n_genomes=4, length=700)
+    idx = KeyValueIndex.build(genomes, IndexParams(k=45, m=33, spaces=7), t)
+
+    def pack(reads):
+        codes = np.stack(
+            [
+                np.pad(
+                    encode.encode_seq(s), (0, 128 - len(s)), constant_values=4
+                )
+                for _, s in reads
+            ]
+        )
+        return native.PackedReads(
+            codes,
+            np.array([len(s) for _, s in reads], np.int32),
+            [h for h, _ in reads],
+        )
+
+    reads = []
+    for i in range(24):
+        _, seq = sample_read(rng, genomes)
+        if rng.random() < 0.4:
+            chars = list(seq)
+            for p in rng.integers(0, len(seq), 4):
+                chars[int(p)] = "N"
+            seq = "".join(chars)
+        reads.append((f"w{i}", seq))
+    cpar = ClassifyParams(
+        thresholds=[0.0], per_read_output=True, with_unclassified=True
+    )
+
+    def run(tag):
+        out = str(tmp_path / tag)
+        Classifier(idx, probe="hashed1").classify_and_write_packed(
+            iter([pack(reads)]), out, cpar
+        )
+        with gzip.open(out + "_c0.0/sample=all/part-00000.txt.gz", "rt") as f:
+            return f.read()
+
+    monkeypatch.setenv("STPU_HIT_RUNS", "0")
+    dense = run("dense")
+    monkeypatch.setenv("STPU_HIT_RUNS", "1")
+    runs = run("runs")
+    assert dense == runs
+    assert dense.count("\n") == 24 and "C\t" in dense
+
+
 def test_hit_runs_output_identical(rng, monkeypatch):
     """Detailed output must be byte-identical with the device hit-runs
     reduction on vs the dense window-taxa path, including paired reads and
