@@ -101,6 +101,67 @@ def fuzz_iteration(it: int, seed: int) -> int:
 
     cpar = ClassifyParams(thresholds=confs, min_hit_groups=mhg)
     res = Classifier(idx, probe=probe).classify(frags, cpar)
+
+    if os.environ.get("STPU_FUZZ_PACKED") == "1":
+        # the packed fast path (C++ parser layout) must equal the
+        # Fragment path read-for-read under the same random params
+        from slacken_tpu import native
+        from slacken_tpu.ops import encode
+
+        def pack_one(seqs):
+            width = max(len(x) for x in seqs)
+            codes = np.stack(
+                [
+                    np.pad(
+                        encode.encode_seq(x), (0, width - len(x)),
+                        constant_values=4,
+                    )
+                    for x in seqs
+                ]
+            )
+            return codes, np.array([len(x) for x in seqs], np.int32)
+
+        singles = [f for f in frags if f.seq2 is None]
+        pairs_f = [f for f in frags if f.seq2 is not None]
+        packs = []
+        if singles:
+            c, l = pack_one([f.seq for f in singles])
+            packs.append(
+                native.PackedReads(c, l, [f.title for f in singles])
+            )
+        if pairs_f:
+            c1, l1 = pack_one([f.seq for f in pairs_f])
+            c2, l2 = pack_one([f.seq2 for f in pairs_f])
+            packs.append(
+                native.pack_pairs(
+                    native.PackedReads(c1, l1, [f.title for f in pairs_f]),
+                    native.PackedReads(c2, l2, [f.title for f in pairs_f]),
+                )
+            )
+        pres = Classifier(idx, probe=probe).classify_packed(
+            iter(packs), cpar
+        )
+        for conf in confs:
+            by_title = {
+                r.title: (r.classified, r.taxon, r.hit_details, r.length_string)
+                for r in pres[conf]
+            }
+            for r in res[conf]:
+                got = by_title[r.title]
+                want = (r.classified, r.taxon, r.hit_details, r.length_string)
+                if got != want:
+                    print(
+                        json.dumps(
+                            {
+                                "PACKED_MISMATCH": True, "iteration": it,
+                                "seed": seed, "k": k, "m": m, "s": s,
+                                "probe": probe, "conf": conf,
+                                "title": r.title, "got": got, "want": want,
+                            }
+                        )
+                    )
+                    sys.exit(1)
+
     checked = 0
     for conf in confs:
         for f, r in zip(frags, res[conf]):
