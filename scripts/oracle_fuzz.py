@@ -198,6 +198,10 @@ def main():
         seed = args.seed + it
         total += fuzz_iteration(it, seed)
         it += 1
+        # every iteration compiles FRESH jit shapes (random k/m/lengths);
+        # without this the in-process XLA:CPU executable cache grows
+        # unboundedly (~1 GB/iteration) and long runs die of host OOM
+        jax.clear_caches()
         if it % 5 == 0:
             print(
                 f"[fuzz {time.strftime('%T')}] {it} iterations, "
