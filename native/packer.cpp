@@ -408,10 +408,11 @@ int64_t stpu_output_lines_runs(
 
 // Full Kraken output lines from DENSE window taxa ([B, L] i32 + codes),
 // the accelerator detailed-mode default (the hit-runs device reduction is
-// measured slower than the dense transfer on TPU — see classify.py). Same
-// private-slot + ends[] contract as stpu_output_lines_runs. Two passes per
-// row: a cheap k-mer count pass for the length column (which precedes the
-// details in the Kraken line), then the emit_mate detail walk.
+// measured slower than the dense transfer on TPU — see classify.py).
+// Line format per Classifier.scala:184-251 / TaxonCounts output strings.
+// Same private-slot + ends[] contract as stpu_output_lines_runs. Two
+// passes per row: a cheap k-mer count pass for the length column (which
+// precedes the details in the Kraken line), then the emit_mate detail walk.
 int64_t stpu_output_lines_dense(
     const uint8_t* codes, const int32_t* wt, const int64_t* splits,
     const int64_t* row_lens, const char* titles, const int64_t* toffs,

@@ -202,7 +202,8 @@ def _scan_batch_records_kernel(codes, taxa_rows, params: MinimizerParams, lut=No
 def _scan_batch_records_kernel_wide(codes, taxa_rows, params: MinimizerParams):
     """_scan_batch_records_kernel for wide (m > 31) minimizers: [5, B*L]
     u32 raw records (l3, l2, l1, l0 most-significant-first, taxon),
-    sentinel-masked at non-span positions."""
+    sentinel-masked at non-span positions (the reference's build scan has
+    no m bound, KeyValueIndex.scala:85-93 / Minimizers.scala:43-76)."""
     wm = window_minimizers(codes, params)
     b, l = codes.shape
     n = b * l
@@ -227,8 +228,9 @@ def _scan_batch_records_kernel_wide(codes, taxa_rows, params: MinimizerParams):
 @jax.jit
 def _reduce_chunks_kernel_wide(l3, l2, l1, l0, tax, rpath_table):
     """_reduce_chunks_kernel for wide keys: sort on the four u32 limbs (+
-    taxon for determinism), segment-LCA runs of equal keys. Sentinel
-    convention: l3 = all-ones marks padding (real wide keys have
+    taxon for determinism), segment-LCA runs of equal keys (the groupBy +
+    LCA-UDAF of KeyValueIndex.scala:85-93 at the full m <= 63 envelope).
+    Sentinel convention: l3 = all-ones marks padding (real wide keys have
     hi64 < 2^62, so l3 < 2^30). Returns ([5, M] u32, n_runs)."""
     from .ops import lca as lca_ops
 
