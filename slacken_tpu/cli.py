@@ -270,7 +270,13 @@ def main(argv=None):
         except RuntimeError:
             pass
     t0 = time.time()
-    rc = COMMANDS[args.command](args)
+    try:
+        rc = COMMANDS[args.command](args)
+    except FileNotFoundError as e:
+        # missing taxonomy dirs / read files / index paths are user input
+        # errors, not crashes: one clear line, exit 2 (no traceback)
+        print(f"slacken_tpu {args.command}: error: {e}", file=sys.stderr)
+        return 2
     print(f"Total time: {time.time() - t0:.1f} s", file=sys.stderr)
     return rc or 0
 
